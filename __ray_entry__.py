@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init`` / ``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` maps operator names from SURVEY.md §2 (+ the training-data
+curation ops) to callables over ``sf_dir``; ``oracle_sql()`` provides the
+DuckDB-equivalent SQL for every SQL-expressible entry. Column names match
+between the two (the driver hash-compares values after sorting columns by
+name). Non-SQL-expressible ops (the extraction pipeline over the synthetic
+pages corpus, MinHash/SimHash sketches, LSH ANN) have no oracle entry →
+driver records a rows-only check; their real correctness gate is the
+byte-identity pytest suite (tests/test_pipeline_golden.py).
 """
 
 from __future__ import annotations
@@ -18,27 +18,334 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+_EN = "('the','a','of','and','to','is','in','it','that')"
+_DE = "('der','die','das','und','ist','nicht','ein','mit')"
+_FR = "('le','la','les','et','est','une','dans','pas')"
+_ES = "('el','la','los','y','es','una','en','por','que')"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship extraction pipeline on the sf0.001-scale synthetic pages
+    corpus: sniff/route → dedup-collapse → extract → fan-out results."""
+    from horizon_ocr_python_ray import build_extract_pipeline, ensure_corpus, read_pages
+
+    corpus = ensure_corpus(0.001)
+    return build_extract_pipeline(read_pages(corpus))
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _pages_extract(sf_dir: str):
+    from horizon_ocr_python_ray import build_extract_pipeline, ensure_corpus, read_pages, sf_from_dir
+    import pyarrow as pa
+
+    corpus = ensure_corpus(sf_from_dir(sf_dir))
+    out = build_extract_pipeline(read_pages(corpus))
+
+    def project(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        n_spans = pc.list_value_length(t.column("spans")).cast(pa.int64())
+        text_len = pc.utf8_length(t.column("extracted_text")).cast(pa.int64())
+        return pa.Table.from_arrays(
+            [t.column("url"), t.column("route"), t.column("content_hash"), text_len, n_spans],
+            names=["url", "route", "content_hash", "text_len", "n_spans"],
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+def _pages_route_counts(sf_dir: str):
+    from horizon_ocr_python_ray import ensure_corpus, read_pages, sf_from_dir
+    from horizon_ocr_python_ray.stages.route import add_sniff_stage
+    from ray.data.aggregate import Count
+
+    corpus = ensure_corpus(sf_from_dir(sf_dir))
+    ds = add_sniff_stage(read_pages(corpus))
+    return ds.groupby("route").aggregate(Count(alias_name="n_pages"))
+
+
+def _doc_exact_dedup(sf_dir: str):
+    import ray.data
+    from horizon_ocr_python_ray.stages.dedup_docs import exact_dedup_docs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return exact_dedup_docs(docs)
+
+
+def _doc_token_stats(sf_dir: str):
+    import ray.data
+    from horizon_ocr_python_ray.stages.textstats_stage import token_stats_batch
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(token_stats_batch, batch_format="pyarrow")
+
+
+def _doc_quality(sf_dir: str):
+    import ray.data
+    from horizon_ocr_python_ray.stages.textstats_stage import quality_batch
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(quality_batch, batch_format="pyarrow")
+
+
+def _doc_lang_id(sf_dir: str):
+    import ray.data
+    from horizon_ocr_python_ray.stages.textstats_stage import lang_id_batch
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(lang_id_batch, batch_format="pyarrow")
+
+
+def _doc_fingerprint(sf_dir: str):
+    import ray.data
+    from horizon_ocr_python_ray.stages.textstats_stage import fingerprint_batch
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+def _doc_simhash(sf_dir: str):
+    import ray.data
+    from horizon_ocr_python_ray.stages.dedup_docs import simhash_batch
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(simhash_batch, batch_format="pyarrow")
+
+
+def _minhash_near_dup(sf_dir: str):
+    import ray.data
+    from horizon_ocr_python_ray.stages.dedup_docs import minhash_lsh_pairs, ngram_jaccard_verify
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(docs, min_est_jaccard=0.5)
+    return ngram_jaccard_verify(docs, pairs, threshold=0.5)
+
+
+def _ann_topk(sf_dir: str):
+    import numpy as np
+    import ray.data
+    from horizon_ocr_python_ray.stages.ann import brute_force_topk
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = np.array(emb.sort("vec_id").take(1)[0]["embedding"], dtype=np.float64)
+    out = brute_force_topk(emb, q, k=10)
+
+    def project(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        return pa.Table.from_arrays(
+            [t.column("vec_id"), pc.round(t.column("score"), 6), t.column("rank")],
+            names=["vec_id", "score", "rank"],
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+def _ann_topk_lsh(sf_dir: str):
+    import numpy as np
+    import ray.data
+    from horizon_ocr_python_ray.stages.ann import lsh_bucketed_topk
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = np.array(emb.sort("vec_id").take(1)[0]["embedding"], dtype=np.float64)
+    return lsh_bucketed_topk(emb, q, k=10, dim=len(q))
+
+
+def _events_hourly(sf_dir: str):
+    import ray.data
+    from horizon_ocr_python_ray.stages.window import tumbling_window
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["event_id", "ts", "event_type", "value"])
+    out = tumbling_window(events, width_s=3600)
+
+    def as_e4(t: "pa.Table") -> "pa.Table":
+        # Float sums accumulate order-dependent ulps; compare as integer
+        # 1e-4 units so the hash is stable vs the DuckDB oracle.
+        e4 = pc.cast(pc.round(pc.multiply(t.column("sum_value"), 10000.0)), pa.int64())
+        return t.set_column(t.column_names.index("sum_value"), "sum_value_e4", e4)
+
+    return out.map_batches(as_e4, batch_format="pyarrow")
+
+
+def _q1(sf_dir: str):
+    import pyarrow.compute as pc
+    from horizon_ocr_python_ray.pipelines.analytics import q1_pricing_summary
+
+    out = q1_pricing_summary(sf_dir)
+
+    def r(t):
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"):
+            t = t.set_column(t.column_names.index(c), c, pc.round(t.column(c), 2))
+        return t
+
+    return out.map_batches(r, batch_format="pyarrow")
+
+
+def _revenue_by_nation(sf_dir: str):
+    import pyarrow.compute as pc
+    from horizon_ocr_python_ray.pipelines.analytics import revenue_by_nation
+
+    out = revenue_by_nation(sf_dir)
+    return out.map_batches(
+        lambda t: t.set_column(t.column_names.index("total_revenue"), "total_revenue",
+                               pc.round(t.column("total_revenue"), 2)),
+        batch_format="pyarrow",
+    )
+
+
+def _top_orders(sf_dir: str):
+    from horizon_ocr_python_ray.pipelines.analytics import top_orders
+
+    return top_orders(sf_dir, k=10)
+
+
+def _orders_by_mktsegment(sf_dir: str):
+    import pyarrow.compute as pc
+    from horizon_ocr_python_ray.pipelines.analytics import orders_per_customer_join
+
+    out = orders_per_customer_join(sf_dir)
+    return out.map_batches(
+        lambda t: t.set_column(t.column_names.index("total_revenue"), "total_revenue",
+                               pc.round(t.column("total_revenue"), 2)),
+        batch_format="pyarrow",
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "pages_extract": _pages_extract,
+        "pages_route_counts": _pages_route_counts,
+        "doc_exact_dedup": _doc_exact_dedup,
+        "doc_token_stats": _doc_token_stats,
+        "doc_quality": _doc_quality,
+        "doc_lang_id": _doc_lang_id,
+        "doc_fingerprint": _doc_fingerprint,
+        "doc_simhash": _doc_simhash,
+        "minhash_near_dup": _minhash_near_dup,
+        "ann_topk": _ann_topk,
+        "ann_topk_lsh": _ann_topk_lsh,
+        "events_hourly": _events_hourly,
+        "lineitem_pricing_summary": _q1,
+        "revenue_by_nation": _revenue_by_nation,
+        "top_orders": _top_orders,
+        "orders_by_mktsegment": _orders_by_mktsegment,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB; views pre-registered per table name)
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tok = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+    ntok = "CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+    return {
+        "doc_exact_dedup": """
+            SELECT md5(text) AS text_hash,
+                   min(doc_id) AS rep_doc_id,
+                   count(*) AS n_dups
+            FROM documents GROUP BY md5(text)
+        """,
+        "doc_token_stats": f"""
+            SELECT doc_id,
+                   {ntok} AS n_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f]')) AS n_bpe_tokens,
+                   length(text) AS n_chars_computed
+            FROM documents
+        """,
+        "doc_quality": f"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE {tok} END AS toks
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(toks)::BIGINT AS n_tokens,
+                   CASE WHEN length(text) = 0 THEN 0.0
+                        ELSE len(regexp_extract_all(text, '[.!?]'))::DOUBLE / length(text) END AS punct_ratio,
+                   CASE WHEN len(toks) = 0 THEN 0.0
+                        ELSE len(list_filter(toks, x -> x IN {_EN}))::DOUBLE / len(toks) END AS stopword_ratio,
+                   CASE WHEN len(toks) = 0 THEN 0.0
+                        ELSE length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE / len(toks) END AS mean_word_len
+            FROM t
+        """,
+        "doc_lang_id": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE {tok} END AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id, len(toks) AS n,
+                     len(list_filter(toks, x -> x IN {_EN}))::DOUBLE AS c_en,
+                     len(list_filter(toks, x -> x IN {_DE}))::DOUBLE AS c_de,
+                     len(list_filter(toks, x -> x IN {_FR}))::DOUBLE AS c_fr,
+                     len(list_filter(toks, x -> x IN {_ES}))::DOUBLE AS c_es
+              FROM t
+            )
+            SELECT doc_id,
+                   CASE WHEN n = 0 THEN 'unknown'
+                        WHEN greatest(c_en, c_de, c_fr, c_es) / n < 0.03 THEN 'unknown'
+                        WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+                        WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+                        WHEN c_es >= c_fr THEN 'es'
+                        ELSE 'fr' END AS pred_lang
+            FROM s
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT embedding FROM embeddings ORDER BY vec_id LIMIT 1)
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS score,
+                   row_number() OVER (
+                     ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                              e.vec_id
+                   ) AS rank
+            FROM embeddings e, q
+            ORDER BY rank LIMIT 10
+        """,
+        "events_hourly": """
+            SELECT event_type,
+                   make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
+                   count(*) AS n_events,
+                   CAST(round(sum(value) * 10000) AS BIGINT) AS sum_value_e4
+            FROM events
+            GROUP BY event_type, (epoch_us(ts) // 3600000000)
+        """,
+        "lineitem_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT n.n_name,
+                   round(sum(o.o_totalprice), 2) AS total_revenue,
+                   count(*) AS n_orders
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        "top_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice,
+                   row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rank
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 10
+        """,
+        "orders_by_mktsegment": """
+            SELECT c.c_mktsegment,
+                   round(sum(o.o_totalprice), 2) AS total_revenue,
+                   count(*) AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
+    }

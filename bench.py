@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line with the headline metric.
+
+Headline: wall seconds for the flagship extraction pipeline (sniff →
+dedup-collapse → route-dispatched extract → fan-out) over the synthetic
+Common-Crawl-style pages corpus at the scale factor implied by
+``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1 → 50k pages), consumed by
+``write_parquet`` (a real sink, not a driver materialization).
+
+``--scaling``: runs the same job in two fresh processes at
+``num_cpus=8`` and ``num_cpus=32`` on the same (pre-generated, page-cache
+-warm) input and reports throughputs + scaling efficiency
+= (t_lo/t_hi)/(hi/lo); 1.0 = linear.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from horizon_ocr_python_ray import build_extract_pipeline, ensure_corpus, read_pages, sf_from_dir
+
+    sf = sf_from_dir(sf_dir)
+    corpus = ensure_corpus(sf)  # untimed: corpus generation + page-cache warm
+    n_docs = None
+
+    queries: dict[str, float] = {}
+
+    # ---- headline: extraction throughput --------------------------------
+    out_dir = "/tmp/hopr_bench_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.monotonic()
+    out = build_extract_pipeline(read_pages(corpus))
+    out.write_parquet(out_dir)
+    extract_s = time.monotonic() - t0
+    queries["extract"] = round(extract_s, 3)
+    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
+
+    n_docs = pads.dataset(out_dir).count_rows()
+
+    # ---- secondary operator pipelines over the driver tables ------------
+    import importlib
+
+    entry = importlib.import_module("__ray_entry__")
+    q = entry.queries()
+    for name in ("lineitem_pricing_summary", "doc_exact_dedup", "events_hourly",
+                 "ann_topk", "minhash_near_dup"):
+        t0 = time.monotonic()
+        res = q[name](sf_dir)
+        if hasattr(res, "count"):
+            res.count()
+        queries[name] = round(time.monotonic() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "extraction_pipeline_sec",
+        "value": round(extract_s, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / extract_s, 2) if extract_s else None,
+    }
+
+
+def run_scaling() -> dict:
+    """Same input, two fresh processes at num_cpus=8 and 32."""
+    # pre-generate the corpus (and warm the page cache) untimed
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from horizon_ocr_python_ray import ensure_corpus, sf_from_dir
+
+    ensure_corpus(sf_from_dir(sf_dir))
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = one(lo), one(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "docs_per_sec_8": r_lo.get("docs_per_sec"),
+        "docs_per_sec_32": r_hi.get("docs_per_sec"),
+        "sf": r_lo.get("sf"),
+        "queries": {"extract_8": t_lo, "extract_32": t_hi},
+    }
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,142 @@
+"""Configuration tree for the extraction engine.
+
+Mirrors the *semantics* of the reference's YAML-loaded dataclass tree
+(``/root/reference/docvision/config.py:239-316``) but is a plain dataclass
+passed to Ray Data stages via ``fn_constructor_kwargs`` — no YAML, no
+mutation at runtime (the reference mutates shared config during routing,
+``pipeline/orchestrator.py:432-434``; we avoid that by making routing a
+per-row column).
+
+Every threshold that affects byte-identity of extracted text is a named
+constant here so fixture identity survives refactors (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+# ---------------------------------------------------------------------------
+# Named semantic constants (cited to the reference behaviour they preserve)
+# ---------------------------------------------------------------------------
+
+#: Minimum recognition confidence before a line is re-processed by the
+#: second-pass recognizer (reference: re-OCR threshold 0.70,
+#: ``/root/reference/docvision/config.py:220-227``).
+REOCR_CONFIDENCE_THRESHOLD = 0.70
+
+#: A re-processed result replaces the original only if its confidence is
+#: at least this much higher (reference accept margin 0.05,
+#: ``config.py:221``).
+REOCR_ACCEPT_MARGIN = 0.05
+
+#: Per-page cap on lines selected for re-processing, worst-first
+#: (reference: 50 lines/page, ``ocr/targeted_reocr.py:67``, ``config.py:227``).
+REOCR_MAX_LINES_PER_PAGE = 50
+
+#: Lines whose centers overlap vertically by at least this fraction of the
+#: smaller line height belong to the same reading-order row (reference
+#: ``detect/text_craft.py:353-410``).
+READING_ORDER_VERTICAL_OVERLAP = 0.5
+
+#: Fuser drops single-source candidates below this confidence
+#: (reference quality filter, ``kie/fuse.py:135``).
+FUSE_MIN_SINGLE_SOURCE_CONFIDENCE = 0.15
+
+#: Cross-field consistency: |total - (subtotal + tax)| tolerance
+#: (reference ``config.py:172``, ``kie/validators.py:495-558``).
+CONSISTENCY_AMOUNT_TOLERANCE = 0.01
+
+#: HTML fast path: a text block must have at least this many characters to
+#: be retained as main content (trafilatura/readability-style heuristic).
+HTML_MIN_BLOCK_CHARS = 40
+
+#: HTML fast path: blocks whose anchor-text fraction exceeds this are
+#: considered navigation/boilerplate (link-density heuristic).
+HTML_MAX_LINK_DENSITY = 0.33
+
+#: Separator used to join retained blocks / lines / pages into the final
+#: extracted text (reference joins line texts with "\n",
+#: ``pipeline/orchestrator.py:780``). Byte-identity critical.
+TEXT_JOIN_SEPARATOR = "\n"
+
+
+@dataclass(frozen=True)
+class HtmlConfig:
+    """Fast-path DOM heuristic extraction knobs."""
+
+    min_block_chars: int = HTML_MIN_BLOCK_CHARS
+    max_link_density: float = HTML_MAX_LINK_DENSITY
+    # Structural containers whose entire subtree is boilerplate.
+    drop_tags: tuple[str, ...] = (
+        "head", "title", "nav", "header", "footer", "aside", "script",
+        "style", "noscript", "form", "button", "iframe", "svg", "template",
+    )
+    # Tags that delimit candidate text blocks.
+    block_tags: tuple[str, ...] = (
+        "p", "h1", "h2", "h3", "h4", "h5", "h6", "li", "td", "th",
+        "pre", "blockquote", "div", "article", "section", "main", "body",
+        "ul", "ol", "table", "tr",
+    )
+    # Headings are kept regardless of min_block_chars (titles are short).
+    heading_tags: tuple[str, ...] = ("h1", "h2", "h3", "h4", "h5", "h6")
+
+
+@dataclass(frozen=True)
+class DocConfig:
+    """Heavy-path (binary document / image payload) knobs."""
+
+    reocr_confidence_threshold: float = REOCR_CONFIDENCE_THRESHOLD
+    reocr_accept_margin: float = REOCR_ACCEPT_MARGIN
+    reocr_max_lines_per_page: int = REOCR_MAX_LINES_PER_PAGE
+    reading_order_vertical_overlap: float = READING_ORDER_VERTICAL_OVERLAP
+    # Actor-pool sizing for the stateful recognize stage.
+    detect_concurrency: int = 4
+    recognize_concurrency: int = 4
+    recognize_batch_size: int = 64
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    """Exact dedup over the content hash (reference content-addressed
+    cache semantics, ``azure/response_cache.py:66-91``)."""
+
+    enabled: bool = True
+    # Hash-join partition count for propagating the representative's
+    # result back to every url sharing the content hash.
+    join_num_partitions: int = 16
+
+
+@dataclass(frozen=True)
+class FuseConfig:
+    """Field fusion knobs (reference ``kie/fuse.py``)."""
+
+    strategy: str = "weighted_vote"  # weighted_vote|consensus|highest_confidence|validator_priority
+    min_single_source_confidence: float = FUSE_MIN_SINGLE_SOURCE_CONFIDENCE
+    source_weights: tuple[tuple[str, float], ...] = (
+        ("regex", 1.0),
+        ("layout", 0.9),
+        ("fallback", 0.5),
+    )
+
+
+@dataclass(frozen=True)
+class RuntimeConfig:
+    """Per-stage physical execution knobs."""
+
+    sniff_batch_size: int = 1024
+    html_batch_size: int = 256
+    target_max_block_size: int | None = None  # None = Ray default (128 MiB)
+
+
+@dataclass(frozen=True)
+class ExtractConfig:
+    """Top-level engine configuration."""
+
+    html: HtmlConfig = field(default_factory=HtmlConfig)
+    doc: DocConfig = field(default_factory=DocConfig)
+    dedup: DedupConfig = field(default_factory=DedupConfig)
+    fuse: FuseConfig = field(default_factory=FuseConfig)
+    runtime: RuntimeConfig = field(default_factory=RuntimeConfig)
+
+
+DEFAULT_CONFIG = ExtractConfig()

@@ -1,0 +1,84 @@
+"""Route-dispatched payload extraction — the per-record core.
+
+One pure function ``extract_payload(route, payload, text, cfg)`` shared by
+the single-stage combined pipeline and the fully staged (page fan-out →
+actor pool → reassembly) pipeline, so both produce byte-identical output.
+
+Reference lifecycle mirrored (``/root/reference/docvision/pipeline/
+orchestrator.py:447-816``): load/decode → per-page detect+recognize →
+reading-order ``raw_text`` assembly (``orchestrator.py:780``), with routes
+replacing the reference's extension probe and mode switches.
+"""
+
+from __future__ import annotations
+
+import re
+
+from ..config import TEXT_JOIN_SEPARATOR, ExtractConfig
+from . import sniff as sniff_mod
+from .docformat import decode_doc_payload, decode_image_payload
+from .htmltext import extract_html
+from .layout import recognize_page
+
+_LINE_SPLIT_RE = re.compile(r"\r\n|\r|\n")
+
+
+def normalize_plain_text(raw: str) -> tuple[str, list[dict]]:
+    """Passthrough route: normalize the ``text`` column — split lines,
+    strip each, drop empties, join with the canonical separator."""
+    lines = [ln.strip() for ln in _LINE_SPLIT_RE.split(raw or "")]
+    lines = [ln for ln in lines if ln]
+    parts, spans, pos = [], [], 0
+    for ln in lines:
+        spans.append({"start": pos, "end": pos + len(ln), "kind": "line"})
+        parts.append(ln)
+        pos += len(ln) + len(TEXT_JOIN_SEPARATOR)
+    return TEXT_JOIN_SEPARATOR.join(parts), spans
+
+
+def lines_to_text_spans(line_texts: list[str]) -> tuple[str, list[dict]]:
+    """Reading-ordered line texts → (joined text, per-line spans)."""
+    parts, spans, pos = [], [], 0
+    for ln in line_texts:
+        spans.append({"start": pos, "end": pos + len(ln), "kind": "line"})
+        parts.append(ln)
+        pos += len(ln) + len(TEXT_JOIN_SEPARATOR)
+    return TEXT_JOIN_SEPARATOR.join(parts), spans
+
+
+def recognize_doc_pages(payload: bytes, cfg: ExtractConfig) -> list[str]:
+    """Doc payload → reading-ordered line texts across pages (page order
+    preserved — the one ordering requirement, SURVEY.md §2.7)."""
+    pages = decode_doc_payload(payload)
+    pages.sort(key=lambda p: p["page"])
+    out: list[str] = []
+    for page in pages:
+        out.extend(li["text"] for li in recognize_page(page["lines"], cfg.doc))
+    return out
+
+
+def recognize_image(payload: bytes, cfg: ExtractConfig) -> list[str]:
+    page = decode_image_payload(payload)
+    return [li["text"] for li in recognize_page(page["lines"], cfg.doc)]
+
+
+def extract_payload(
+    route: str,
+    payload: bytes | None,
+    text: str | None,
+    cfg: ExtractConfig,
+) -> tuple[str, list[dict], str | None]:
+    """Returns (extracted_text, spans, error)."""
+    try:
+        if route == sniff_mod.ROUTE_HTML:
+            extracted, spans = extract_html(payload or b"", cfg.html)
+            return extracted, spans, None
+        if route == sniff_mod.ROUTE_DOC:
+            return (*lines_to_text_spans(recognize_doc_pages(payload or b"", cfg)), None)
+        if route == sniff_mod.ROUTE_IMAGE:
+            return (*lines_to_text_spans(recognize_image(payload or b"", cfg)), None)
+        if route == sniff_mod.ROUTE_TEXT:
+            return (*normalize_plain_text(text or ""), None)
+        return "", [], f"unsupported_route:{route}"
+    except Exception as exc:  # per-row error column — rows never throw
+        return "", [], f"{type(exc).__name__}: {exc}"

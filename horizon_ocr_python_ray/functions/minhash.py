@@ -1,0 +1,119 @@
+"""Near-duplicate sketches: shingles, MinHash, SimHash, n-gram Jaccard.
+
+Deterministic hashing throughout (no Python ``hash``); numpy-vectorized
+per document. These feed the LSH-bucketed dedup pipelines in
+``stages/neardup.py``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from .textstats import tokens
+
+_MERSENNE_P = (1 << 61) - 1
+_MASK64 = (1 << 64) - 1
+
+
+def _stable_hash64(s: str) -> int:
+    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little")
+
+
+def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Distinct k-token shingle hashes as uint64 array (sorted)."""
+    toks = tokens(text.lower())
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    if len(toks) <= k:
+        grams = {" ".join(toks)}
+    else:
+        grams = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+    return np.sort(np.array([_stable_hash64(g) for g in grams], dtype=np.uint64))
+
+
+def minhash_params(num_hashes: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic (a, b) parameter vectors for x → (a*x + b) mod p."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE_P, size=num_hashes, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE_P, size=num_hashes, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """MinHash signature (uint64[num_hashes]); empty doc → all-max sentinel.
+
+    Exact (a*x + b) mod p, p = 2^61-1, fully vectorized in uint64 by
+    splitting the multiply into <2^62 partial products and reducing with
+    the Mersenne identity 2^61 ≡ 1 (mod p).
+    """
+    m = len(a)
+    if shingles.size == 0:
+        return np.full(m, _MASK64, dtype=np.uint64)
+    p = np.uint64(_MERSENNE_P)
+    x = shingles.astype(np.uint64) % p                       # (s,)
+    x1 = x >> np.uint64(31)                                  # < 2^30
+    x0 = x & np.uint64(0x7FFFFFFF)                           # < 2^31
+    a64 = a.astype(np.uint64) % p
+    a1 = (a64 >> np.uint64(31))[:, None]                     # (m,1) < 2^30
+    a0 = (a64 & np.uint64(0x7FFFFFFF))[:, None]              # (m,1) < 2^31
+
+    def red(v):  # one folding step: v < 2^64 → < 2^61 + small
+        return (v & p) + (v >> np.uint64(61))
+
+    def shl31_mod(v):  # (v * 2^31) mod p for v < 2^62
+        v = red(v)
+        return red(((v & np.uint64((1 << 30) - 1)) << np.uint64(31)) + (v >> np.uint64(30)))
+
+    hi = a1 * x1[None, :]                                    # < 2^60, × 2^62
+    mid = a1 * x0[None, :] + a0 * x1[None, :]                # < 2^62, × 2^31
+    lo = a0 * x0[None, :]                                    # < 2^62
+    # hi × 2^62 ≡ hi × 2 (mod p)
+    acc = red(red(hi << np.uint64(1)) + shl31_mod(mid))
+    acc = red(red(acc + red(lo)) + b.astype(np.uint64)[:, None] % p)
+    acc = red(acc)
+    acc = np.where(acc >= p, acc - p, acc)
+    return acc.min(axis=1).astype(np.uint64)
+
+
+def band_hashes(sig: np.ndarray, num_bands: int) -> list[int]:
+    """Split the signature into bands; hash each band deterministically."""
+    rows = len(sig) // num_bands
+    out = []
+    for b in range(num_bands):
+        chunk = sig[b * rows : (b + 1) * rows]
+        out.append(_stable_hash64(",".join(map(str, chunk.tolist()))))
+    return out
+
+
+def estimated_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    return float(np.mean(sig_a == sig_b))
+
+
+def exact_jaccard(sh_a: np.ndarray, sh_b: np.ndarray) -> float:
+    if sh_a.size == 0 and sh_b.size == 0:
+        return 1.0
+    inter = np.intersect1d(sh_a, sh_b, assume_unique=True).size
+    union = sh_a.size + sh_b.size - inter
+    return inter / union if union else 0.0
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over token hashes (unweighted)."""
+    toks = tokens(text.lower())
+    if not toks:
+        return 0
+    hs = np.array([_stable_hash64(t) for t in toks], dtype=np.uint64)
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+    sums = bits.sum(axis=0)
+    out = 0
+    half = len(toks) / 2.0
+    for i in range(64):
+        if sums[i] > half:
+            out |= 1 << i
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")

@@ -1,0 +1,115 @@
+"""Text-analysis kernels for training-data curation: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All kernels are pure and vectorized-per-batch (no model weights): they run
+in stateless ``map_batches`` bodies over the ``documents`` table. Each has
+a matching DuckDB-expressible definition where possible so the driver's
+oracle can verify values exactly (``__ray_entry__.oracle_sql``).
+"""
+
+from __future__ import annotations
+
+import re
+
+_TOKEN_RE = re.compile(r"\S+")
+# BPE-ish subword split: runs of letters, runs of digits, single other chars.
+_BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+_SENT_PUNCT = ".!?"
+
+# Keep in sync with the SQL oracle in __ray_entry__.oracle_sql (lang_id):
+# marker stopword lists per language, scored by token membership.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "is", "in", "it", "that"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "fr": ("le", "la", "les", "et", "est", "une", "dans", "pas"),
+    "es": ("el", "la", "los", "y", "es", "una", "en", "por", "que"),
+}
+
+#: Minimum fraction of tokens that must be marker stopwords of the best
+#: language for a confident call; otherwise "unknown".
+LANG_MIN_STOPWORD_RATIO = 0.03
+
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+_MASK64 = (1 << 64) - 1
+
+
+def tokens(text: str) -> list[str]:
+    return _TOKEN_RE.findall(text or "")
+
+
+def token_count(text: str) -> int:
+    """Whitespace token count — SQL analog:
+    ``len(regexp_split_to_array(trim(text), '\\s+'))`` (0 for empty)."""
+    return len(tokens(text))
+
+
+def bpe_token_count(text: str) -> int:
+    """BPE-ish subword count (letter runs / digit runs / punct singles)."""
+    return len(_BPE_RE.findall(text or ""))
+
+
+def quality_features(text: str) -> dict[str, float]:
+    """Length / punctuation / stopword-ratio quality signals (the
+    readability-assessment analog of the reference,
+    ``/root/reference/docvision/preprocess/enhance.py:311-365``)."""
+    toks = tokens(text)
+    n_tok = len(toks)
+    n_chars = len(text or "")
+    n_sent_punct = sum((text or "").count(c) for c in _SENT_PUNCT)
+    en_stop = set(STOPWORDS["en"])
+    n_stop = sum(1 for t in toks if t.lower() in en_stop)
+    mean_word_len = (sum(len(t) for t in toks) / n_tok) if n_tok else 0.0
+    return {
+        "n_chars": float(n_chars),
+        "n_tokens": float(n_tok),
+        "punct_ratio": (n_sent_punct / n_chars) if n_chars else 0.0,
+        "stopword_ratio": (n_stop / n_tok) if n_tok else 0.0,
+        "mean_word_len": mean_word_len,
+    }
+
+
+def lang_scores(text: str) -> dict[str, float]:
+    toks = [t.lower() for t in tokens(text)]
+    n = len(toks)
+    if not n:
+        return {lang: 0.0 for lang in STOPWORDS}
+    return {
+        lang: sum(1 for t in toks if t in set(words)) / n
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def lang_id(text: str) -> str:
+    """Stopword-marker language ID. Deterministic tie-break: language name
+    ascending among equal scores."""
+    scores = lang_scores(text)
+    best = max(sorted(scores), key=lambda k: scores[k])
+    return best if scores[best] >= LANG_MIN_STOPWORD_RATIO else "unknown"
+
+
+def fnv1a64(data: bytes) -> int:
+    h = _FNV_OFFSET
+    for b in data:
+        h ^= b
+        h = (h * _FNV_PRIME) & _MASK64
+    return h
+
+
+def rolling_fingerprint(text: str, window: int = 8) -> int:
+    """Document fingerprint: FNV-1a over the sorted set of rolling
+    token-window hashes — stable under token reordering outside the
+    window, deterministic across processes."""
+    toks = tokens(text)
+    if not toks:
+        return 0
+    if len(toks) <= window:
+        grams = [" ".join(toks)]
+    else:
+        grams = [" ".join(toks[i : i + window]) for i in range(len(toks) - window + 1)]
+    gram_hashes = sorted({fnv1a64(g.encode("utf-8")) for g in grams})
+    acc = _FNV_OFFSET
+    for gh in gram_hashes:
+        acc ^= gh
+        acc = (acc * _FNV_PRIME) & _MASK64
+    return acc

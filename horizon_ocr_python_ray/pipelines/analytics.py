@@ -1,0 +1,155 @@
+"""Relational demo pipelines over the driver's TPC-H-ish test tables.
+
+These exercise the engine's generic operator surface — vectorized batch
+transforms, combiner-before-shuffle grouped aggregates, broadcast hash
+joins for small dimension sides, partial top-k — with exact DuckDB SQL
+oracles registered in ``__ray_entry__``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+
+def _tbl(sf_dir: str, name: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style pricing summary: partial per-batch aggregate, then a
+    small groupby over the partials (combiner pattern — ray_guide
+    'Aggregation at scale')."""
+    li = _tbl(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        charge = pc.multiply(disc_price, pc.add(pa.scalar(1.0), t.column("l_tax")))
+        t2 = pa.Table.from_arrays(
+            [t.column("l_returnflag"), t.column("l_linestatus"), t.column("l_quantity"),
+             t.column("l_extendedprice"), disc_price, charge],
+            names=["l_returnflag", "l_linestatus", "qty", "price", "disc_price", "charge"],
+        )
+        agg = pa.TableGroupBy(t2, ["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("price", "sum"), ("disc_price", "sum"), ("charge", "sum"), ("qty", "count")]
+        )
+        return agg.rename_columns(
+            ["l_returnflag", "l_linestatus", "p_qty", "p_price", "p_disc", "p_charge", "p_n"]
+        )
+
+    partials = li.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("p_qty", alias_name="sum_qty"),
+        Sum("p_price", alias_name="sum_base_price"),
+        Sum("p_disc", alias_name="sum_disc_price"),
+        Sum("p_charge", alias_name="sum_charge"),
+        Sum("p_n", alias_name="count_order"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.column_names.index("count_order"), "count_order",
+            t.column("count_order").cast(pa.int64()),
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def revenue_by_nation(sf_dir: str):
+    """Revenue per customer nation: the two small dimension sides
+    (customer key→nationkey, nation key→name) are broadcast via
+    ``ray.put`` and applied as in-batch lookups — no shuffle join for
+    dimension tables (ray_guide 'Joins and lookups')."""
+    cust = _tbl(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _tbl(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    cust_map = dict(zip(cust["c_custkey"].to_numpy(), cust["c_nationkey"].to_numpy()))
+    nation_map = dict(zip(nation["n_nationkey"].to_numpy(), nation["n_name"].tolist()))
+    ref = ray.put((cust_map, nation_map))
+
+    class Lookup:
+        def __init__(self, ref):
+            self.cust_map, self.nation_map = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t.column("o_custkey").to_numpy()
+            nk = np.array([self.cust_map.get(k, -1) for k in keys])
+            names = [self.nation_map.get(int(k), "UNKNOWN") for k in nk]
+            t2 = pa.Table.from_arrays(
+                [pa.array(names, pa.string()), t.column("o_totalprice")],
+                names=["n_name", "o_totalprice"],
+            )
+            agg = pa.TableGroupBy(t2, ["n_name"]).aggregate([("o_totalprice", "sum"), ("o_totalprice", "count")])
+            return agg.rename_columns(["n_name", "p_rev", "p_n"])
+
+    orders = _tbl(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    partials = orders.map_batches(Lookup, fn_constructor_kwargs={"ref": ref},
+                                  batch_format="pyarrow", batch_size=65536, concurrency=2)
+    out = partials.groupby("n_name").aggregate(
+        Sum("p_rev", alias_name="total_revenue"),
+        Sum("p_n", alias_name="n_orders"),
+    )
+    return out.map_batches(
+        lambda t: t.set_column(t.column_names.index("n_orders"), "n_orders",
+                               t.column("n_orders").cast(pa.int64())),
+        batch_format="pyarrow",
+    )
+
+
+def top_orders(sf_dir: str, k: int = 10):
+    """Global top-k by total price — per-batch partial top-k, then a tiny
+    driver-side merge; never a full sort of the table."""
+    orders = _tbl(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return pa.Table.from_pandas(
+            df.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(k),
+            preserve_index=False,
+        )
+
+    partials = orders.map_batches(partial_topk, batch_format="pyarrow", batch_size=65536)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(k)
+        return df.reset_index(drop=True)
+
+    merged = merge(partials.to_pandas())
+    merged["rank"] = np.arange(1, len(merged) + 1, dtype=np.int64)
+    return merged
+
+
+def orders_per_customer_join(sf_dir: str, num_partitions: int = 8):
+    """Large-side hash join demo via ``Dataset.join`` (hash-partitioned on
+    the key): orders ⋈ customer, then count + revenue per market segment."""
+    orders = _tbl(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _tbl(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = orders.join(
+        cust, join_type="inner", num_partitions=num_partitions,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(t.select(["c_mktsegment", "o_totalprice"]), ["c_mktsegment"]).aggregate(
+            [("o_totalprice", "sum"), ("o_totalprice", "count")]
+        )
+        return agg.rename_columns(["c_mktsegment", "p_rev", "p_n"])
+
+    out = joined.map_batches(partial, batch_format="pyarrow").groupby("c_mktsegment").aggregate(
+        Sum("p_rev", alias_name="total_revenue"),
+        Sum("p_n", alias_name="n_orders"),
+    )
+    return out.map_batches(
+        lambda t: t.set_column(t.column_names.index("n_orders"), "n_orders",
+                               t.column("n_orders").cast(pa.int64())),
+        batch_format="pyarrow",
+    )

@@ -1,0 +1,79 @@
+"""Key-information extraction over extracted text: candidate generation →
+per-document fuse → validate → long-format fields table.
+
+The candidate generator plays the role of the reference's two KIE model
+heads (Donut ``kie/donut_runner.py`` + LayoutLMv3 ``kie/layoutlmv3_runner.py``):
+two deterministic "sources" parse ``Key: Value`` lines from the extracted
+text with different confidence profiles, then the fuser picks winners per
+field name (``kie/fuse.py`` semantics in ``functions/fuse.py``).
+
+Runs as a stateless ``map_batches`` over extraction output — all fields of
+a document live in its row, so fusion needs no shuffle (SURVEY.md §2.4:
+all reference joins are within-document).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+from ..config import DEFAULT_CONFIG, ExtractConfig
+from ..functions.fuse import Candidate, fuse_fields
+from ..schema import FIELDS_SCHEMA
+
+_KV_RE = re.compile(r"^([A-Za-z][A-Za-z0-9 _\-]{0,40}):\s+(.+?)\s*$")
+
+#: Confidence profile of the two pseudo-sources (analog of the reference's
+#: per-engine source weights ``kie/fuse.py:44-71``).
+REGEX_SOURCE_CONF = 0.90
+LAYOUT_SOURCE_CONF = 0.80
+
+
+def candidates_from_text(text: str) -> list[Candidate]:
+    """Parse ``Key: Value`` lines into candidates from two sources.
+
+    The "layout" head re-reads only value-bearing (digit-containing)
+    fields, mimicking a second model that focuses on amounts/dates.
+    """
+    out: list[Candidate] = []
+    for line in (text or "").split("\n"):
+        m = _KV_RE.match(line)
+        if not m:
+            continue
+        name, value = m.group(1), m.group(2)
+        out.append(Candidate(name, value, REGEX_SOURCE_CONF, "regex"))
+        if re.search(r"\d", value):
+            out.append(Candidate(name, value, LAYOUT_SOURCE_CONF, "layout"))
+    return out
+
+
+def fields_batch(batch: pa.Table, cfg: ExtractConfig) -> pa.Table:
+    urls = batch.column("url").to_pylist()
+    texts = batch.column("extracted_text").to_pylist()
+    rows: dict[str, list] = {name: [] for name in FIELDS_SCHEMA.names}
+    for url, text in zip(urls, texts):
+        cands = candidates_from_text(text)
+        if not cands:
+            continue
+        for f in fuse_fields(cands, cfg.fuse):
+            rows["url"].append(url)
+            rows["name"].append(f.name)
+            rows["value"].append(f.value)
+            rows["normalized_value"].append(f.normalized_value)
+            rows["data_type"].append(f.data_type)
+            rows["status"].append(f.status)
+            rows["confidence"].append(f.confidence)
+            rows["n_candidates"].append(f.n_candidates)
+    return pa.Table.from_arrays(
+        [pa.array(rows[n], FIELDS_SCHEMA.field(n).type) for n in FIELDS_SCHEMA.names],
+        schema=FIELDS_SCHEMA,
+    )
+
+
+def build_fields_pipeline(extraction_ds, cfg: ExtractConfig | None = None):
+    """extraction results → long-format fused-fields table."""
+    cfg = cfg or DEFAULT_CONFIG
+    return extraction_ds.map_batches(
+        lambda t: fields_batch(t, cfg), batch_format="pyarrow", batch_size=256
+    )

@@ -1,0 +1,167 @@
+"""Partition-level checkpointing, lineage records, and resumable runs.
+
+North-rule requirement: "resumable from checkpoint with per-partition
+lineage + metrics". The reference's proxy for this is its
+content-addressed response cache (re-runs are cheap because cache hits
+skip recompute, ``/root/reference/docvision/azure/response_cache.py``);
+the distributed restatement is a **write-then-commit partition manifest**
+(SURVEY.md §4 "Checkpoint / resume"):
+
+- The corpus is split into P fragments by a stable key hash (url).
+- Each fragment runs as its own bounded Dataset job and writes its output
+  parquet into ``out_dir/part=<pid>/`` ATOMICALLY (write to a temp dir,
+  rename) — idempotent, partition-named output.
+- After a successful write, a lineage record ``(partition_id, rows,
+  checksum, wall_s)`` is appended to ``manifest.jsonl`` (commit AFTER
+  write — a crash between write and commit re-runs the partition, which
+  the atomic rename makes safe → exactly-once output).
+- Resume = read the manifest, anti-filter finished partitions, run the
+  rest. Fragments are large at scale (e.g. 256 over a corpus) so each
+  still streams internally with backpressure.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+from collections.abc import Callable
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def partition_of(url: str, num_partitions: int) -> int:
+    """Stable fragment id from the url (first 8 hex of sha1, mod P)."""
+    return int(hashlib.sha1(url.encode("utf-8")).hexdigest()[:8], 16) % num_partitions
+
+
+def add_partition_column(batch: pa.Table, num_partitions: int) -> pa.Table:
+    pids = [partition_of(u, num_partitions) for u in batch.column("url").to_pylist()]
+    return batch.append_column("partition_id", pa.array(pids, pa.int32()))
+
+
+def _manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "manifest.jsonl")
+
+
+def read_manifest(out_dir: str) -> dict[int, dict]:
+    """partition_id → lineage record (last write wins)."""
+    path = _manifest_path(out_dir)
+    done: dict[int, dict] = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    rec = json.loads(line)
+                    done[rec["partition_id"]] = rec
+    return done
+
+
+def _append_manifest(out_dir: str, rec: dict) -> None:
+    with open(_manifest_path(out_dir), "a") as f:
+        f.write(json.dumps(rec, sort_keys=True) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+
+
+def _rows_checksum(result_table: pa.Table, key_col: str = "url") -> str:
+    """Order-insensitive checksum of the partition output (XOR of per-row
+    key+payload hashes) — cheap lineage fingerprint."""
+    acc = 0
+    text_col = (
+        result_table.column("extracted_text").to_pylist()
+        if "extracted_text" in result_table.column_names
+        else [""] * result_table.num_rows
+    )
+    for key, text in zip(result_table.column(key_col).to_pylist(), text_col):
+        h = hashlib.sha256(f"{key}\x00{text}".encode("utf-8")).digest()[:16]
+        acc ^= int.from_bytes(h, "little")
+    return f"{acc:032x}"
+
+
+def run_partitioned(
+    pipeline_for_partition: Callable[[int], "pa.Table | object"],
+    out_dir: str,
+    num_partitions: int,
+    max_partitions: int | None = None,
+) -> list[int]:
+    """Run each unfinished partition's pipeline and commit it.
+
+    ``pipeline_for_partition(pid)`` returns a ``ray.data.Dataset`` (or
+    ``pa.Table``) holding ONLY that fragment's output rows. Returns the
+    partition ids committed in this invocation. ``max_partitions`` limits
+    how many fragments run (used by the kill/resume test).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    done = read_manifest(out_dir)
+    committed: list[int] = []
+    for pid in range(num_partitions):
+        if pid in done:
+            continue
+        if max_partitions is not None and len(committed) >= max_partitions:
+            break
+        t0 = time.monotonic()
+        result = pipeline_for_partition(pid)
+        if hasattr(result, "to_arrow_refs"):  # ray.data.Dataset
+            import ray
+
+            tables = [t for t in ray.get(result.to_arrow_refs()) if t.num_rows]
+            table = pa.concat_tables(tables) if tables else None
+        else:
+            table = result
+        part_dir = os.path.join(out_dir, f"part={pid}")
+        tmp_dir = part_dir + ".tmp"
+        if os.path.exists(tmp_dir):
+            shutil.rmtree(tmp_dir)
+        os.makedirs(tmp_dir)
+        import pyarrow.parquet as pq
+
+        n_rows = 0
+        checksum = "0" * 32
+        if table is not None and table.num_rows:
+            pq.write_table(table, os.path.join(tmp_dir, "data.parquet"))
+            n_rows = table.num_rows
+            checksum = _rows_checksum(table)
+        else:
+            with open(os.path.join(tmp_dir, "_EMPTY"), "w") as f:
+                f.write("")
+        if os.path.exists(part_dir):
+            shutil.rmtree(part_dir)
+        os.replace(tmp_dir, part_dir)  # atomic publish, then commit:
+        _append_manifest(
+            out_dir,
+            {
+                "partition_id": pid,
+                "rows": n_rows,
+                "checksum": checksum,
+                "wall_s": round(time.monotonic() - t0, 3),
+            },
+        )
+        committed.append(pid)
+    return committed
+
+
+def read_all_output(out_dir: str) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    tables = []
+    for name in sorted(os.listdir(out_dir)):
+        p = os.path.join(out_dir, name, "data.parquet")
+        if name.startswith("part=") and os.path.exists(p):
+            tables.append(pq.read_table(p))
+    if not tables:
+        raise FileNotFoundError(f"no committed partitions under {out_dir}")
+    return pa.concat_tables(tables)
+
+
+def filter_to_partition(batch: pa.Table, pid: int, num_partitions: int) -> pa.Table:
+    """Predicate used by fragment pipelines: keep rows of one fragment."""
+    pids = pa.array(
+        [partition_of(u, num_partitions) for u in batch.column("url").to_pylist()],
+        pa.int32(),
+    )
+    return batch.filter(pc.equal(pids, pa.scalar(pid, pa.int32())))

@@ -1,0 +1,43 @@
+"""End-to-end golden byte-identity over Ray (the correctness gate:
+byte-identical extracted text per url, FIXTURES.md §2)."""
+
+import pandas as pd
+
+from horizon_ocr_python_ray import build_extract_pipeline, read_pages
+
+
+def _run(corpus_dir, **kw) -> pd.DataFrame:
+    return build_extract_pipeline(read_pages(corpus_dir), **kw).to_pandas()
+
+
+def _assert_matches_golden(df: pd.DataFrame, golden_map):
+    assert len(df) == len(golden_map)
+    assert set(df["url"]) == set(golden_map)
+    for row in df.itertuples():
+        g = golden_map[row.url]
+        assert row.extracted_text == g["extracted_text"], row.url
+        assert row.route == g["route"], row.url
+        assert row.content_hash == g["content_hash"], row.url
+        got_spans = [dict(s) for s in row.spans]
+        assert got_spans == g["spans"], row.url
+        assert row.error is None
+
+
+def test_combined_pipeline_byte_identity(corpus_dir, golden_map):
+    _assert_matches_golden(_run(corpus_dir), golden_map)
+
+
+def test_combined_without_dedup_identical(corpus_dir, golden_map):
+    _assert_matches_golden(_run(corpus_dir, dedup=False), golden_map)
+
+
+def test_staged_pipeline_byte_identity(corpus_dir, golden_map):
+    _assert_matches_golden(_run(corpus_dir, variant="staged"), golden_map)
+
+
+def test_dedup_propagates_to_duplicate_urls(corpus_dir, golden_map):
+    df = _run(corpus_dir)
+    by_hash = df.groupby("content_hash")["extracted_text"].nunique()
+    assert (by_hash == 1).all()
+    # the synthetic corpus contains at least one real duplicate group
+    assert (df.groupby("content_hash")["url"].count() > 1).any()

@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Drive the driver contract end-to-end, the way the external driver does:
+ray.init → import __ray_entry__ → entry() smoke → every queries()[name]
+vs oracle_sql()[name] via DuckDB at the given sf_dir (row count, schema,
+order-insensitive value hash with columns sorted by name).
+
+Usage: python tools/driver_mimic.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+import duckdb
+import pandas as pd
+import ray
+
+
+def to_pandas(res) -> pd.DataFrame:
+    if hasattr(res, "to_pandas"):
+        df = res.to_pandas()
+    elif isinstance(res, pd.DataFrame):
+        df = res
+    else:
+        df = res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
+    return df
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    df = df[sorted(df.columns)].copy()
+    rows = sorted(
+        tuple(repr(v) for v in row) for row in df.itertuples(index=False, name=None)
+    )
+    h = hashlib.sha256()
+    for r in rows:
+        h.update("\x1f".join(r).encode("utf-8"))
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    ray.init(address="local", num_cpus=8, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, "/root/repo")
+    import importlib
+
+    entry_mod = importlib.import_module("__ray_entry__")
+
+    t0 = time.monotonic()
+    res = entry_mod.entry()
+    df = to_pandas(res)
+    print(f"entry(): {len(df)} rows, schema={list(df.columns)} ({time.monotonic()-t0:.1f}s)")
+    assert len(df) > 0
+
+    con = duckdb.connect()
+    for name in ("region", "nation", "customer", "supplier", "part", "orders",
+                 "lineitem", "events", "documents", "embeddings"):
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    n_pass = n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.monotonic()
+        try:
+            got = to_pandas(fn(sf_dir))
+        except Exception as exc:
+            print(f"FAIL {name}: query raised {type(exc).__name__}: {exc}")
+            n_fail += 1
+            continue
+        dt = time.monotonic() - t0
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(got)} rows, {dt:.1f}s)")
+            n_pass += 1
+            continue
+        want = con.execute(oracles[name]).fetchdf()
+        ok_rows = len(got) == len(want)
+        ok_schema = sorted(got.columns) == sorted(want.columns)
+        ok_hash = ok_rows and ok_schema and value_hash(got) == value_hash(want)
+        if ok_hash:
+            print(f"PASS {name}: {len(got)} rows match oracle ({dt:.1f}s)")
+            n_pass += 1
+        else:
+            n_fail += 1
+            print(f"FAIL {name}: rows {len(got)}/{len(want)} schema_ok={ok_schema} hash_ok={ok_hash}")
+            if ok_schema and ok_rows:
+                g = got[sorted(got.columns)].sort_values(sorted(got.columns)).reset_index(drop=True)
+                w = want[sorted(want.columns)].sort_values(sorted(want.columns)).reset_index(drop=True)
+                neq = (g != w) & ~(g.isna() & w.isna())
+                bad_rows = neq.any(axis=1)
+                print("  got :", g[bad_rows].head(3).to_dict("records"))
+                print("  want:", w[bad_rows].head(3).to_dict("records"))
+            else:
+                print("  got cols:", sorted(got.columns))
+                print("  want cols:", sorted(want.columns))
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    ray.shutdown()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
