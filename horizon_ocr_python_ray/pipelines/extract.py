@@ -4,14 +4,17 @@ Ray-native lifecycle (SURVEY.md §3, "Ray-native restatement"):
 
     read_parquet(pages)                       # url, warc_ts, html, text, lang
       → map_batches(sniff_and_route)          # route + content_hash columns
-      → groupby(content_hash).map_groups      # exact dedup collapse
-        (the ONE shuffle — uniform hash keys also break host-level skew)
+      → [narrow dup-registry pass]            # groupby over 4 thin columns
+        (payload column never shuffles; registry broadcast via ray.put)
+      → map_batches(DropDups)                 # skip non-representative dups
       → map_batches(ExtractActor)             # route-dispatched extraction
-      → map_batches(explode_members)          # fan results back to every url
+      → map_batches(FanOut)                   # re-emit dup members' rows
       → write_parquet / downstream stages
 
 ``variant="staged"`` swaps the combined extractor for the page-fan-out
-actor pipeline (``stages/staged.py``); output is byte-identical.
+actor pipeline (``stages/staged.py``); ``variant="grouped"`` uses the
+reference-shaped wide ``groupby(content_hash)`` collapse
+(``stages/dedup.py`` grouped variant). All three are byte-identical.
 """
 
 from __future__ import annotations
@@ -21,7 +24,14 @@ import os
 import ray.data
 
 from ..config import DEFAULT_CONFIG, ExtractConfig
-from ..stages.dedup import dedup_collapse, explode_members
+from ..stages.dedup import (
+    RESULT_COLS,
+    build_dup_registry,
+    dedup_collapse,
+    drop_dup_members_stage,
+    explode_members,
+    fanout_dup_results_stage,
+)
 from ..stages.extract_stage import add_extract_stage
 from ..stages.route import add_sniff_stage
 from ..stages.staged import build_staged_pipeline
@@ -53,13 +63,20 @@ def build_extract_pipeline(
         # Staged variant extracts every row independently (identical bytes
         # → identical output), demonstrating page fan-out/fan-in.
         return build_staged_pipeline(ds, cfg)
-    if use_dedup:
+    if variant == "grouped" and use_dedup:
+        # Reference-shaped wide collapse: shuffles payloads; fallback for
+        # corpora whose dup registry cannot be broadcast.
         ds = dedup_collapse(ds)
         ds = add_extract_stage(ds, cfg)
-        ds = ds.map_batches(explode_members, batch_format="pyarrow")
-    else:
-        ds = add_extract_stage(ds, cfg)
-        ds = ds.select_columns(
-            ["url", "warc_ts", "lang", "route", "content_hash", "extracted_text", "spans", "error"]
-        )
-    return ds
+        return ds.map_batches(explode_members, batch_format="pyarrow")
+    if use_dedup:
+        import ray
+
+        drop_urls, fanout = build_dup_registry(ds)
+        if drop_urls:
+            registry_ref = ray.put((drop_urls, fanout))
+            ds = drop_dup_members_stage(ds, registry_ref)
+            ds = add_extract_stage(ds, cfg)
+            return fanout_dup_results_stage(ds, registry_ref)
+    ds = add_extract_stage(ds, cfg)
+    return ds.select_columns(RESULT_COLS)

@@ -1,18 +1,29 @@
-"""Exact dedup: hash-partition by content hash, extract once, fan back out.
+"""Exact dedup: extract each distinct payload once, fan results back out.
 
 The reference's content-addressed response cache
 (``/root/reference/docvision/azure/response_cache.py:66-91``) skips
-recomputation for byte-identical inputs. The distributed restatement:
+recomputation for byte-identical inputs. Two distributed restatements:
 
-1. ``groupby(content_hash)`` — ONE all-to-all shuffle. Uniformly
-   distributed hash keys double as the skew-breaking repartition before
-   the heavy actor stage (a hot host's pages scatter across partitions).
-2. ``map_groups`` collapses each group to its representative row (minimum
-   ``url`` — a total, deterministic choice) and carries the other members
-   in a ``members`` list column (url, warc_ts, lang per member). Group
-   cardinality is the duplicate multiplicity — tiny — so no join back is
-   needed: after extraction, :func:`explode_members` restores one output
-   row per input url. Zero additional shuffles.
+**Broadcast registry (default — zero wide shuffles).** Duplicate groups
+are discovered on a NARROW projection (content_hash, url, warc_ts, lang):
+only those four thin columns ever cross the network, never the multi-KB
+payload. Hashes with >1 member — typically a few percent of a crawl —
+form a small *dup registry* broadcast via ``ray.put``; a pre-extract
+filter drops non-representative members (payload never decoded twice) and
+a post-extract fan-out re-emits their rows from the representative's
+result. At 100 TB the payload column stays where the read placed it.
+If the registry outgrows driver memory (pathologically duplicate-heavy
+corpora) the fallback is the grouped variant below, or a hash-join of the
+registry parquet against the results.
+
+**Grouped collapse (fallback / reference-shaped).** ``groupby(content_hash)``
+over the full rows — ONE all-to-all shuffle that moves the payloads —
+then ``map_groups`` keeps the representative (minimum url, a total
+deterministic choice) with the members in a list column;
+:func:`explode_members` restores one output row per input url after
+extraction. Simple and skew-proof (hash keys are uniform) but shuffles
+every payload byte; kept for the operator inventory and as the
+arbitrarily-large-registry fallback.
 """
 
 from __future__ import annotations
@@ -64,3 +75,131 @@ def explode_members(batch: pa.Table) -> pa.Table:
         pa.array(langs, pa.string()),
     ] + [taken.column(c) for c in keep]
     return pa.Table.from_arrays(arrays, names=["url", "warc_ts", "lang"] + keep)
+
+
+# ---------------------------------------------------------------------------
+# Broadcast-registry variant (default)
+# ---------------------------------------------------------------------------
+
+RESULT_COLS = ["url", "warc_ts", "lang", "route", "content_hash",
+               "extracted_text", "spans", "error"]
+
+
+def build_dup_registry(sniffed_ds):
+    """Narrow-projection duplicate discovery.
+
+    Groups ONLY (content_hash, url, warc_ts, lang) — the payload column is
+    pruned before the shuffle — and keeps hashes with >1 member. Returns
+    ``(drop_urls, fanout)``:
+
+    - ``drop_urls``: set of non-representative member urls (filtered out
+      before extraction so each distinct payload is decoded exactly once);
+    - ``fanout``: rep_url → list of (url, warc_ts_us, lang) for the OTHER
+      members, re-emitted from the representative's result after
+      extraction.
+
+    The representative is the minimum url — total and deterministic.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    # Materialize ONLY the thin projection (~1% of corpus bytes at scale;
+    # the payload column is pruned) so the counts pass and the members
+    # pass don't each re-read + re-sniff the whole corpus. At full scale
+    # you would fold hashing into ingest and persist this as a sidecar
+    # table next to the corpus.
+    narrow = sniffed_ds.select_columns(["content_hash", "url", "warc_ts", "lang"]).materialize()
+    # Vectorized count per hash (no per-group Python), then keep hashes
+    # seen more than once — the candidate duplicate set is tiny.
+    counts = narrow.groupby("content_hash").aggregate(Count(alias_name="n"))
+    dup_hash_tbl = counts.filter(expr="n > 1").select_columns(["content_hash"]).take_all()
+    dup_hashes = pa.array([r["content_hash"] for r in dup_hash_tbl], pa.string())
+    if len(dup_hashes) == 0:
+        return set(), {}
+
+    def members_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column("content_hash"), value_set=dup_hashes))
+
+    import pyarrow as _pa
+    tables = [t for t in narrow.map_batches(members_only, batch_format="pyarrow").to_arrow_refs()]
+    import ray as _ray
+    got = [x for x in _ray.get(tables) if x.num_rows]
+    table = _pa.concat_tables(got) if got else narrow.schema().empty_table()
+    drop_urls: set[str] = set()
+    fanout: dict[str, list[tuple[str, int, str]]] = {}
+    ts_us = table.column("warc_ts").cast(pa.int64()).to_pylist() if table.num_rows else []
+    hashes = table.column("content_hash").to_pylist() if table.num_rows else []
+    urls = table.column("url").to_pylist() if table.num_rows else []
+    langs = table.column("lang").to_pylist() if table.num_rows else []
+    by_hash: dict[str, list[tuple[str, int, str]]] = {}
+    for h, u, t, l in zip(hashes, urls, ts_us, langs):
+        by_hash.setdefault(h, []).append((u, t, l))
+    for members in by_hash.values():
+        members.sort(key=lambda m: m[0])
+        rep = members[0][0]
+        fanout[rep] = members[1:]
+        drop_urls.update(m[0] for m in members[1:])
+    return drop_urls, fanout
+
+
+def drop_dup_members_stage(ds, registry_ref):
+    """Filter out non-representative duplicate rows before extraction."""
+    import pyarrow.compute as pc
+
+    class DropDups:
+        def __init__(self, ref):
+            import ray
+
+            self.drop_urls, _ = ray.get(ref)  # fetched once per actor
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if not self.drop_urls:
+                return batch
+            mask = [u not in self.drop_urls for u in batch.column("url").to_pylist()]
+            return batch.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(DropDups, fn_constructor_kwargs={"ref": registry_ref},
+                          batch_format="pyarrow", concurrency=(1, 4))
+
+
+def fanout_dup_results_stage(ds, registry_ref):
+    """Re-emit dropped members' rows from their representative's result."""
+
+    class FanOut:
+        def __init__(self, ref):
+            import ray
+
+            _, self.fanout = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if not self.fanout:
+                return batch.select(RESULT_COLS)
+            urls = batch.column("url").to_pylist()
+            idx, m_url, m_ts, m_lang = [], [], [], []
+            for i, u in enumerate(urls):
+                for mu, mt, ml in self.fanout.get(u, ()):
+                    idx.append(i)
+                    m_url.append(mu)
+                    m_ts.append(mt)
+                    m_lang.append(ml)
+            batch = batch.select(RESULT_COLS)
+            if not idx:
+                return batch
+            src = batch.take(pa.array(idx, pa.int64()))
+            extra = pa.Table.from_arrays(
+                [
+                    pa.array(m_url, pa.string()),
+                    pa.array(m_ts, pa.int64()).cast(pa.timestamp("us")),
+                    pa.array(m_lang, pa.string()),
+                    src.column("route"),
+                    src.column("content_hash"),
+                    src.column("extracted_text"),
+                    src.column("spans"),
+                    src.column("error"),
+                ],
+                names=RESULT_COLS,
+            )
+            return pa.concat_tables([batch, extra])
+
+    return ds.map_batches(FanOut, fn_constructor_kwargs={"ref": registry_ref},
+                          batch_format="pyarrow", concurrency=(1, 4))
