@@ -1,12 +1,21 @@
 """Fast-path main-content extraction from HTML bytes.
 
-A trafilatura/readability-style boilerplate stripper implemented on the
-stdlib ``html.parser`` (no lxml in the sandbox): parse the byte stream,
-drop structural boilerplate subtrees (nav/header/footer/aside/...), split
-the remainder into text blocks at block-tag boundaries, and retain blocks
-by text length and link density. Deterministic, stateless, pure Python —
-it runs as a vectorized-ish ``map_batches`` body (one parser per row, but
-the parser is cheap; the batch function is the unit of scheduling).
+A trafilatura/readability-style boilerplate stripper (no lxml in the
+sandbox): tokenize the byte stream, drop structural boilerplate subtrees
+(nav/header/footer/aside/...), split the remainder into text blocks at
+block-tag boundaries, and retain blocks by text length and link density.
+Deterministic, stateless, pure Python — it runs as a ``map_batches`` body.
+
+Two tokenizer front-ends drive one block state machine (``_BlockSink``):
+
+- :func:`_parse_fast` — a compiled-regex tag tokenizer (~8× stdlib
+  ``html.parser``, which spends its time in ``goahead``/``parse_starttag``
+  per profiling). Handles comments, CDATA, doctype/PI, quoted ``>`` in
+  attributes, self-closing tags, and rawtext elements (script/style/...)
+  whose bodies may contain ``<``.
+- :class:`_BlockParser` — the stdlib ``html.parser`` front-end, kept as
+  the parity oracle (``tests/test_htmltext.py`` drives both and asserts
+  identical blocks).
 
 The output is the extracted main text (blocks joined with ``"\\n"``,
 mirroring the reference's line join ``pipeline/orchestrator.py:780``) plus
@@ -19,6 +28,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass
+from html import unescape
 from html.parser import HTMLParser
 
 from ..config import TEXT_JOIN_SEPARATOR, HtmlConfig
@@ -33,6 +43,9 @@ _INLINE_TAGS = frozenset(
 
 _VOID_TAGS = frozenset("br hr img input meta link area base col embed source track wbr".split())
 
+#: Elements whose raw bodies may contain ``<`` without opening a tag.
+_RAWTEXT_TAGS = frozenset("script style textarea title".split())
+
 
 @dataclass
 class Block:
@@ -46,8 +59,8 @@ class Block:
         return self.link_chars / self.total_chars if self.total_chars else 0.0
 
 
-class _BlockParser(HTMLParser):
-    """Streams character data into blocks delimited by block-tag boundaries.
+class _BlockSink:
+    """Block state machine fed by either tokenizer front-end.
 
     Text inside any :attr:`HtmlConfig.drop_tags` subtree is discarded
     entirely. Characters emitted while inside an ``<a>`` count toward the
@@ -55,7 +68,6 @@ class _BlockParser(HTMLParser):
     """
 
     def __init__(self, cfg: HtmlConfig) -> None:
-        super().__init__(convert_charrefs=True)
         self.cfg = cfg
         self._drop_set = frozenset(cfg.drop_tags)
         self._block_set = frozenset(cfg.block_tags)
@@ -66,13 +78,13 @@ class _BlockParser(HTMLParser):
         self._kind = "block"
         self.blocks: list[Block] = []
 
-    # -- buffer management ---------------------------------------------------
     def _flush(self) -> None:
         if not self._chunks:
             return
         raw = "".join(c for c, _ in self._chunks)
-        text = _WS_RE.sub(" ", raw).strip()
-        link_chars = sum(len(_WS_RE.sub(" ", c).strip()) for c, in_a in self._chunks if in_a)
+        # " ".join(x.split()) ≡ regex \s+ → " " then strip, at C speed.
+        text = " ".join(raw.split())
+        link_chars = sum(len(" ".join(c.split())) for c, in_a in self._chunks if in_a)
         self._chunks = []
         if not text:
             return
@@ -85,8 +97,7 @@ class _BlockParser(HTMLParser):
             kind = "paragraph"
         self.blocks.append(Block(text=text, kind=kind, link_chars=link_chars, total_chars=len(text)))
 
-    # -- parser events -------------------------------------------------------
-    def handle_starttag(self, tag: str, attrs) -> None:
+    def start(self, tag: str) -> None:
         if tag in self._drop_set:
             self._drop_depth += 1
             return
@@ -98,11 +109,7 @@ class _BlockParser(HTMLParser):
             self._flush()
             self._kind = tag
 
-    def handle_startendtag(self, tag: str, attrs) -> None:
-        # <br/> and friends: no block boundary, no drop-depth change.
-        pass
-
-    def handle_endtag(self, tag: str) -> None:
+    def end(self, tag: str) -> None:
         if tag in self._drop_set:
             if self._drop_depth:
                 self._drop_depth -= 1
@@ -115,24 +122,123 @@ class _BlockParser(HTMLParser):
             self._flush()
             self._kind = "block"
 
-    def handle_data(self, data: str) -> None:
-        if self._drop_depth or not data:
+    def data(self, text: str) -> None:
+        if self._drop_depth or not text:
             return
-        self._chunks.append((data, self._a_depth > 0))
+        self._chunks.append((text, self._a_depth > 0))
 
-    def close(self) -> None:  # final flush
-        super().close()
+    def close(self) -> None:
         self._flush()
 
 
-def extract_blocks(html_bytes: bytes, cfg: HtmlConfig) -> list[Block]:
+class _BlockParser(HTMLParser):
+    """stdlib front-end — the parity oracle for the fast tokenizer."""
+
+    def __init__(self, cfg: HtmlConfig) -> None:
+        super().__init__(convert_charrefs=True)
+        self.sink = _BlockSink(cfg)
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        self.sink.start(tag)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        # <br/> and friends: no block boundary, no drop-depth change.
+        pass
+
+    def handle_endtag(self, tag: str) -> None:
+        self.sink.end(tag)
+
+    def handle_data(self, data: str) -> None:
+        self.sink.data(data)
+
+    def close(self) -> None:
+        super().close()
+        self.sink.close()
+
+
+# ---------------------------------------------------------------------------
+# Fast tokenizer
+# ---------------------------------------------------------------------------
+
+_TAG_RE = re.compile(
+    r"<(?:"
+    r"!--.*?(?:-->|\Z)"                                   # comment
+    r"|!\[CDATA\[.*?(?:\]\]>|\Z)"                           # CDATA
+    r"|![^>]*>"                                             # doctype/decl
+    r"|\?[^>]*>"                                            # processing instr
+    r"|/(?P<end>[a-zA-Z][a-zA-Z0-9:_-]*)[^>]*>"            # end tag
+    r"|(?P<start>[a-zA-Z][a-zA-Z0-9:_-]*)"                 # start tag
+    r"(?P<attrs>(?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>"
+    r")",
+    re.DOTALL,
+)
+
+_RAW_END_RES = {t: re.compile(f"</{t}[^>]*>", re.IGNORECASE) for t in _RAWTEXT_TAGS}
+
+
+def _parse_fast(text: str, sink: _BlockSink) -> None:
+    pos = 0
+    n = len(text)
+    find = text.find
+    while pos < n:
+        lt = find("<", pos)
+        if lt < 0:
+            chunk = text[pos:]
+            sink.data(unescape(chunk) if "&" in chunk else chunk)
+            break
+        if lt > pos:
+            chunk = text[pos:lt]
+            sink.data(unescape(chunk) if "&" in chunk else chunk)
+        m = _TAG_RE.match(text, lt)
+        if m is None:
+            sink.data("<")  # stray '<' — treat as text, resync
+            pos = lt + 1
+            continue
+        pos = m.end()
+        tag = m.group("start")
+        if tag is not None:
+            tag = tag.lower()
+            attrs = m.group("attrs") or ""
+            self_closing = attrs.rstrip().endswith("/")
+            if self_closing:
+                # parity with HTMLParser.handle_startendtag: ignored
+                continue
+            sink.start(tag)
+            if tag in _RAWTEXT_TAGS:
+                # Raw body: scan to the real close tag; content may hold '<'.
+                em = _RAW_END_RES[tag].search(text, pos)
+                if em is None:
+                    body = text[pos:]
+                    pos = n
+                else:
+                    body = text[pos:em.start()]
+                    pos = em.end()
+                if tag in ("title", "textarea") and "&" in body:
+                    body = unescape(body)  # RCDATA: charrefs convert
+                sink.data(body)
+                sink.end(tag)
+            continue
+        tag = m.group("end")
+        if tag is not None:
+            sink.end(tag.lower())
+        # comments/CDATA/decl/PI: skipped
+
+
+def extract_blocks(html_bytes: bytes, cfg: HtmlConfig, engine: str = "fast") -> list[Block]:
     """Parse and return the retained main-content blocks in document order."""
     text = html_bytes.decode("utf-8", errors="replace")
-    parser = _BlockParser(cfg)
-    parser.feed(text)
-    parser.close()
+    if engine == "fast":
+        sink = _BlockSink(cfg)
+        _parse_fast(text, sink)
+        sink.close()
+        blocks = sink.blocks
+    else:  # stdlib oracle
+        parser = _BlockParser(cfg)
+        parser.feed(text)
+        parser.close()
+        blocks = parser.sink.blocks
     kept: list[Block] = []
-    for b in parser.blocks:
+    for b in blocks:
         if b.kind in ("title", "heading"):
             kept.append(b)
         elif b.total_chars >= cfg.min_block_chars and b.link_density <= cfg.max_link_density:
@@ -140,13 +246,13 @@ def extract_blocks(html_bytes: bytes, cfg: HtmlConfig) -> list[Block]:
     return kept
 
 
-def extract_html(html_bytes: bytes, cfg: HtmlConfig) -> tuple[str, list[dict]]:
+def extract_html(html_bytes: bytes, cfg: HtmlConfig, engine: str = "fast") -> tuple[str, list[dict]]:
     """HTML bytes → (extracted_text, spans).
 
     spans: ``[{"start": int, "end": int, "kind": str}, ...]`` — half-open
     offsets into the extracted text, one per retained block.
     """
-    blocks = extract_blocks(html_bytes, cfg)
+    blocks = extract_blocks(html_bytes, cfg, engine)
     sep = TEXT_JOIN_SEPARATOR
     parts: list[str] = []
     spans: list[dict] = []

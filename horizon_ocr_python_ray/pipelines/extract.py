@@ -51,13 +51,21 @@ def build_extract_pipeline(
     pages: ray.data.Dataset,
     cfg: ExtractConfig | None = None,
     dedup: bool | None = None,
-    variant: str = "combined",
+    variant: str | None = None,
 ) -> ray.data.Dataset:
     """pages dataset → extraction results
     (url, warc_ts, lang, route, content_hash, extracted_text, spans, error).
+
+    ``variant``: ``"combined"`` (single-pass actor-cache dedup — default),
+    ``"registry"`` (broadcast dup-registry pre-pass), ``"grouped"`` (wide
+    groupby collapse), ``"staged"`` (page fan-out/fan-in actor pipeline).
+    All byte-identical; see ``DedupConfig`` for the trade-offs.
     """
     cfg = cfg or DEFAULT_CONFIG
     use_dedup = cfg.dedup.enabled if dedup is None else dedup
+    if variant is None:
+        variant = {"actor_cache": "combined", "registry": "registry",
+                   "grouped": "grouped"}.get(cfg.dedup.strategy, "combined")
     ds = add_sniff_stage(pages, cfg.runtime.sniff_batch_size)
     if variant == "staged":
         # Staged variant extracts every row independently (identical bytes
@@ -69,14 +77,22 @@ def build_extract_pipeline(
         ds = dedup_collapse(ds)
         ds = add_extract_stage(ds, cfg)
         return ds.map_batches(explode_members, batch_format="pyarrow")
-    if use_dedup:
+    if variant == "registry" and use_dedup:
         import ray
 
-        drop_urls, fanout = build_dup_registry(ds)
+        try:
+            # Metadata-only count for fresh parquet reads; used to pick the
+            # registry discovery path (driver single-pass vs distributed).
+            approx_rows = pages.count()
+        except Exception:
+            approx_rows = None
+        drop_urls, fanout = build_dup_registry(ds, approx_rows=approx_rows)
         if drop_urls:
             registry_ref = ray.put((drop_urls, fanout))
             ds = drop_dup_members_stage(ds, registry_ref)
             ds = add_extract_stage(ds, cfg)
             return fanout_dup_results_stage(ds, registry_ref)
+    # combined: ONE streaming pass; per-actor content-hash memo handles
+    # duplicate recompute (DedupConfig.strategy == "actor_cache").
     ds = add_extract_stage(ds, cfg)
     return ds.select_columns(RESULT_COLS)

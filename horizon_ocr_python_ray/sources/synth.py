@@ -283,19 +283,21 @@ def _build_empty(rng: random.Random, i: int) -> tuple[None, str, list[tuple[str,
 # Corpus assembly
 # ---------------------------------------------------------------------------
 
-def gen_corpus(n_rows: int, seed: int = 42) -> tuple[pa.Table, pa.Table]:
-    """Generate (pages table, golden table) with ``n_rows`` pages."""
-    urls, tss, htmls, texts, langs = [], [], [], [], []
-    g_text, g_spans, g_route, g_hash = [], [], [], []
-    # keep a pool of earlier rows eligible as dup sources: (html, text, route, parts)
-    dup_pool: list[tuple[bytes, str, str, str, list[dict]]] = []
-
+def _decide_rows(n_rows: int, seed: int):
+    """Phase 1 (sequential, cheap): replicate exactly the per-row RNG
+    consumption that precedes payload building — host pick (1 draw), route
+    draw (1 draw), dup-source pick (1 randrange) — without building any
+    payload. Returns (hosts, routes, src_idx) where ``routes[i]`` is the
+    *storage* route ("dup" rows reference ``src_idx[i]``)."""
+    hosts: list[str] = []
+    routes: list[str] = []
+    srcs: list[int] = []
+    pool: list[int] = []  # indices of rows eligible as dup sources
     for i in range(n_rows):
         rng = random.Random(f"{seed}:{i}")
-        host = _pick_host(rng)
-        url = f"https://{host}/p/{i:08d}"
+        hosts.append(_pick_host(rng))
         r = rng.random()
-        if r < 0.70 or (r >= 0.98 and not dup_pool):
+        if r < 0.70 or (r >= 0.98 and not pool):
             route = "html"
         elif r < 0.85:
             route = "doc"
@@ -305,29 +307,81 @@ def gen_corpus(n_rows: int, seed: int = 42) -> tuple[pa.Table, pa.Table]:
             route = "text"
         else:
             route = "dup"
-
+        src = -1
         if route == "dup":
-            src_html, src_text_col, src_route, src_extracted, src_spans = dup_pool[
-                rng.randrange(len(dup_pool))
-            ]
-            html_b: bytes | None = src_html
-            text_col = src_text_col
-            extracted, spans, eff_route = src_extracted, src_spans, src_route
-        else:
-            if route == "html":
-                html_b, text_col, parts = _build_html(rng, i)
-            elif route == "doc":
-                html_b, text_col, parts = _build_doc(rng, i)
-            elif route == "image":
-                html_b, text_col, parts = _build_image(rng, i)
-            else:
-                html_b, text_col, parts = _build_empty(rng, i)
-            extracted, spans = _spans_from_parts(parts)
-            eff_route = route
-            if html_b is not None and len(dup_pool) < 256:
-                dup_pool.append((html_b, text_col, eff_route, extracted, spans))
+            src = pool[rng.randrange(len(pool))]
+        elif route != "text" and len(pool) < 256:
+            pool.append(i)
+        routes.append(route)
+        srcs.append(src)
+    return hosts, routes, srcs
 
-        urls.append(url)
+
+def _build_row(i: int, seed: int, route: str):
+    """Build row ``i``'s payload with an RNG in the exact state the
+    sequential generator would have it in (host + route draws consumed)."""
+    rng = random.Random(f"{seed}:{i}")
+    rng.random()  # host pick
+    rng.random()  # route draw
+    if route == "html":
+        return _build_html(rng, i)
+    if route == "doc":
+        return _build_doc(rng, i)
+    if route == "image":
+        return _build_image(rng, i)
+    return _build_empty(rng, i)
+
+
+def _build_chunk(args):
+    """Worker: build payload+golden for a slice of rows. Dup rows rebuild
+    their SOURCE row's payload (deterministic — identical bytes to the
+    sequential generator at ~2% duplicated work)."""
+    seed, items = args  # items: [(i, route, src, src_route)]
+    out = []
+    for i, route, src, src_route in items:
+        if route == "dup":
+            html_b, text_col, parts = _build_row(src, seed, src_route)
+            eff_route = src_route
+        else:
+            html_b, text_col, parts = _build_row(i, seed, route)
+            eff_route = route
+        extracted, spans = _spans_from_parts(parts)
+        out.append((html_b, text_col, extracted, spans, eff_route,
+                    _sha256(html_b, text_col)))
+    return out
+
+
+#: Row count above which payload building fans out over processes.
+_PARALLEL_GEN_MIN_ROWS = 20_000
+
+
+def gen_corpus(n_rows: int, seed: int = 42) -> tuple[pa.Table, pa.Table]:
+    """Generate (pages table, golden table) with ``n_rows`` pages.
+
+    Two phases so large corpora build in parallel with byte-identical
+    output: a sequential decision pass (route mix + dup-source choice,
+    pure RNG bookkeeping) and an embarrassingly parallel payload-build
+    pass (each row's RNG is keyed ``f"{seed}:{i}"`` — no cross-row
+    state)."""
+    hosts, routes, srcs = _decide_rows(n_rows, seed)
+    items = [(i, routes[i], srcs[i], routes[srcs[i]] if srcs[i] >= 0 else "")
+             for i in range(n_rows)]
+
+    if n_rows >= _PARALLEL_GEN_MIN_ROWS:
+        import multiprocessing as mp
+
+        nproc = min(16, os.cpu_count() or 1)
+        chunk = -(-n_rows // (nproc * 4))
+        jobs = [(seed, items[k:k + chunk]) for k in range(0, n_rows, chunk)]
+        with mp.get_context("fork").Pool(nproc) as pool:
+            built = [row for part in pool.map(_build_chunk, jobs) for row in part]
+    else:
+        built = _build_chunk((seed, items))
+
+    urls, tss, htmls, texts, langs = [], [], [], [], []
+    g_text, g_spans, g_route, g_hash = [], [], [], []
+    for i, (html_b, text_col, extracted, spans, eff_route, h) in enumerate(built):
+        urls.append(f"https://{hosts[i]}/p/{i:08d}")
         tss.append(_EPOCH_US + i * 1_000_000)
         htmls.append(html_b)
         texts.append(text_col)
@@ -335,7 +389,7 @@ def gen_corpus(n_rows: int, seed: int = 42) -> tuple[pa.Table, pa.Table]:
         g_text.append(extracted)
         g_spans.append(spans)
         g_route.append(eff_route)
-        g_hash.append(_sha256(html_b, text_col))
+        g_hash.append(h)
 
     pages = pa.Table.from_arrays(
         [

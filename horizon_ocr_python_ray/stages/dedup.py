@@ -85,52 +85,36 @@ RESULT_COLS = ["url", "warc_ts", "lang", "route", "content_hash",
                "extracted_text", "spans", "error"]
 
 
-def build_dup_registry(sniffed_ds):
-    """Narrow-projection duplicate discovery.
+def _pool_max(floor: int = 4) -> int:
+    """Autoscaling actor-pool ceiling: one actor per cluster CPU (each
+    actor takes num_cpus=1), never below ``floor``. Sized at stage-build
+    time so the same code saturates an 8-CPU dev box and a 256-node
+    cluster."""
+    try:
+        import ray
 
-    Groups ONLY (content_hash, url, warc_ts, lang) — the payload column is
-    pruned before the shuffle — and keeps hashes with >1 member. Returns
-    ``(drop_urls, fanout)``:
+        cpus = int(ray.cluster_resources().get("CPU", floor))
+        # leave headroom for the read/sniff/write task stages
+        return max(floor, cpus - 2)
+    except Exception:
+        return floor
 
-    - ``drop_urls``: set of non-representative member urls (filtered out
-      before extraction so each distinct payload is decoded exactly once);
-    - ``fanout``: rep_url → list of (url, warc_ts_us, lang) for the OTHER
-      members, re-emitted from the representative's result after
-      extraction.
 
-    The representative is the minimum url — total and deterministic.
-    """
-    import pyarrow.compute as pc
-    from ray.data.aggregate import Count
+#: Above this corpus size the registry is discovered with a distributed
+#: groupby instead of a single driver-side pass over the thin projection.
+DRIVER_REGISTRY_MAX_ROWS = 2_000_000
 
-    # Materialize ONLY the thin projection (~1% of corpus bytes at scale;
-    # the payload column is pruned) so the counts pass and the members
-    # pass don't each re-read + re-sniff the whole corpus. At full scale
-    # you would fold hashing into ingest and persist this as a sidecar
-    # table next to the corpus.
-    narrow = sniffed_ds.select_columns(["content_hash", "url", "warc_ts", "lang"]).materialize()
-    # Vectorized count per hash (no per-group Python), then keep hashes
-    # seen more than once — the candidate duplicate set is tiny.
-    counts = narrow.groupby("content_hash").aggregate(Count(alias_name="n"))
-    dup_hash_tbl = counts.filter(expr="n > 1").select_columns(["content_hash"]).take_all()
-    dup_hashes = pa.array([r["content_hash"] for r in dup_hash_tbl], pa.string())
-    if len(dup_hashes) == 0:
-        return set(), {}
 
-    def members_only(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.is_in(batch.column("content_hash"), value_set=dup_hashes))
-
-    import pyarrow as _pa
-    tables = [t for t in narrow.map_batches(members_only, batch_format="pyarrow").to_arrow_refs()]
-    import ray as _ray
-    got = [x for x in _ray.get(tables) if x.num_rows]
-    table = _pa.concat_tables(got) if got else narrow.schema().empty_table()
+def _registry_from_members(table: pa.Table):
+    """Dup-member rows (content_hash, url, warc_ts, lang) → registry."""
     drop_urls: set[str] = set()
     fanout: dict[str, list[tuple[str, int, str]]] = {}
-    ts_us = table.column("warc_ts").cast(pa.int64()).to_pylist() if table.num_rows else []
-    hashes = table.column("content_hash").to_pylist() if table.num_rows else []
-    urls = table.column("url").to_pylist() if table.num_rows else []
-    langs = table.column("lang").to_pylist() if table.num_rows else []
+    if table.num_rows == 0:
+        return drop_urls, fanout
+    hashes = table.column("content_hash").to_pylist()
+    urls = table.column("url").to_pylist()
+    ts_us = table.column("warc_ts").cast(pa.int64()).to_pylist()
+    langs = table.column("lang").to_pylist()
     by_hash: dict[str, list[tuple[str, int, str]]] = {}
     for h, u, t, l in zip(hashes, urls, ts_us, langs):
         by_hash.setdefault(h, []).append((u, t, l))
@@ -140,6 +124,77 @@ def build_dup_registry(sniffed_ds):
         fanout[rep] = members[1:]
         drop_urls.update(m[0] for m in members[1:])
     return drop_urls, fanout
+
+
+def build_dup_registry(sniffed_ds, approx_rows: int | None = None):
+    """Narrow-projection duplicate discovery.
+
+    Looks ONLY at (content_hash, url, warc_ts, lang) — the payload column
+    is pruned before anything moves — and keeps hashes with >1 member.
+    Returns ``(drop_urls, fanout)``:
+
+    - ``drop_urls``: set of non-representative member urls (filtered out
+      before extraction so each distinct payload is decoded exactly once);
+    - ``fanout``: rep_url → list of (url, warc_ts_us, lang) for the OTHER
+      members, re-emitted from the representative's result after
+      extraction.
+
+    The representative is the minimum url — total and deterministic.
+
+    Two discovery paths, chosen by corpus size: below
+    ``DRIVER_REGISTRY_MAX_ROWS`` the thin projection is collected in ONE
+    Ray job and scanned vectorized on the driver (a few MB — three extra
+    job barriers would dominate small runs); above it, a distributed
+    ``groupby(content_hash)`` count + member filter runs over a
+    materialized narrow projection, and only actually-duplicated rows
+    reach the driver. At full crawl scale you would fold hashing into
+    ingest and persist the thin projection as a sidecar table.
+    """
+    import pyarrow.compute as pc
+
+    narrow = sniffed_ds.select_columns(["content_hash", "url", "warc_ts", "lang"])
+
+    if approx_rows is not None and approx_rows <= DRIVER_REGISTRY_MAX_ROWS:
+        import ray
+
+        got = [t for t in ray.get(narrow.to_arrow_refs()) if t.num_rows]
+        if not got:
+            return set(), {}
+        table = pa.concat_tables(got).combine_chunks()
+        # vectorized dup detection: hashes seen more than once
+        counts = pa.TableGroupBy(table.select(["content_hash"]), "content_hash").aggregate(
+            [("content_hash", "count")]
+        )
+        dup_hashes = counts.filter(
+            pc.greater(counts.column("content_hash_count"), 1)
+        ).column("content_hash")
+        if len(dup_hashes) == 0:
+            return set(), {}
+        members = table.filter(pc.is_in(table.column("content_hash"),
+                                        value_set=dup_hashes.combine_chunks()))
+        return _registry_from_members(members)
+
+    # -- distributed path --------------------------------------------------
+    from ray.data.aggregate import Count
+
+    narrow = narrow.materialize()
+    counts = narrow.groupby("content_hash").aggregate(Count(alias_name="n"))
+    dup_hash_tbl = counts.filter(expr="n > 1").select_columns(["content_hash"]).take_all()
+    dup_hashes = pa.array([r["content_hash"] for r in dup_hash_tbl], pa.string())
+    if len(dup_hashes) == 0:
+        return set(), {}
+
+    def members_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column("content_hash"), value_set=dup_hashes))
+
+    import ray
+
+    got = [x for x in ray.get(
+        narrow.map_batches(members_only, batch_format="pyarrow").to_arrow_refs()
+    ) if x.num_rows]
+    if not got:
+        return set(), {}
+    return _registry_from_members(pa.concat_tables(got))
 
 
 def drop_dup_members_stage(ds, registry_ref):
@@ -159,7 +214,7 @@ def drop_dup_members_stage(ds, registry_ref):
             return batch.filter(pa.array(mask, pa.bool_()))
 
     return ds.map_batches(DropDups, fn_constructor_kwargs={"ref": registry_ref},
-                          batch_format="pyarrow", concurrency=(1, 4))
+                          batch_format="pyarrow", concurrency=(1, _pool_max()))
 
 
 def fanout_dup_results_stage(ds, registry_ref):
@@ -202,4 +257,4 @@ def fanout_dup_results_stage(ds, registry_ref):
             return pa.concat_tables([batch, extra])
 
     return ds.map_batches(FanOut, fn_constructor_kwargs={"ref": registry_ref},
-                          batch_format="pyarrow", concurrency=(1, 4))
+                          batch_format="pyarrow", concurrency=(1, _pool_max()))

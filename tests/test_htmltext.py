@@ -71,3 +71,47 @@ def test_malformed_html_does_not_crash():
     text, spans = _extract("<body><p>Unclosed paragraph that is long enough to keep around here")
     assert "Unclosed paragraph" in text
     assert spans[0]["start"] == 0
+
+
+class TestFastTokenizerParity:
+    """The fast regex tokenizer must produce the same blocks as the
+    stdlib ``html.parser`` front-end (the parity oracle)."""
+
+    def _assert_parity(self, html_bytes):
+        from horizon_ocr_python_ray.config import DEFAULT_CONFIG
+        from horizon_ocr_python_ray.functions.htmltext import extract_html
+
+        fast = extract_html(html_bytes, DEFAULT_CONFIG.html, engine="fast")
+        ref = extract_html(html_bytes, DEFAULT_CONFIG.html, engine="stdlib")
+        assert fast == ref
+
+    def test_corpus_parity(self, corpus_dir):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        for f in sorted(glob.glob(corpus_dir + "/pages/*.parquet")):
+            t = pq.read_table(f, columns=["html"])
+            for payload in t.column("html").to_pylist():
+                if payload and payload.lstrip()[:1] == b"<":
+                    self._assert_parity(payload)
+
+    def test_adversarial_snippets(self):
+        cases = [
+            b"<html><body><p>plain text block with enough characters to be retained ok</p></body></html>",
+            b"<p>comment <!-- <p>hidden</p> --> splits nothing and this text is long enough</p>",
+            b'<p data-x="a>b">quoted gt inside attribute keeps the tag intact and text long enough</p>',
+            b"<script>if (a < b && c > d) { document.write('<p>js</p>'); }</script><p>after script body comes real retained content text</p>",
+            b"<style>p > a { color: red; }</style><p>styles with angle brackets are dropped but this stays</p>",
+            b"<p>entity &amp; roundtrip &lt;kept&gt; in data with sufficient length for retention here</p>",
+            b"<P>UPPERCASE tags normalize and this paragraph is long enough to be kept around</P>",
+            b"<p>self closing <br/> void <img src='x'/> tags do not split this long enough block</p>",
+            b"<p>stray < lone less-than is text and the block is long enough to be retained fine</p>",
+            b"<div><ul><li><a href='/a'>nav link one</a></li><li><a href='/b'>nav link two</a></li></ul></div>",
+            b"<textarea>raw <b>not bold</b> body</textarea><p>paragraph after textarea long enough to keep</p>",
+            b"<!DOCTYPE html><?xml version='1.0'?><![CDATA[ <p>not real</p> ]]><p>document with prolog noise and a sufficiently long paragraph</p>",
+            b"<p>unterminated tag at end of doc long enough to retain <a href=",
+            b"",
+        ]
+        for c in cases:
+            self._assert_parity(c)

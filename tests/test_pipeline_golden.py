@@ -41,3 +41,11 @@ def test_dedup_propagates_to_duplicate_urls(corpus_dir, golden_map):
     assert (by_hash == 1).all()
     # the synthetic corpus contains at least one real duplicate group
     assert (df.groupby("content_hash")["url"].count() > 1).any()
+
+
+def test_grouped_dedup_variant_byte_identity(corpus_dir, golden_map):
+    _assert_matches_golden(_run(corpus_dir, variant="grouped"), golden_map)
+
+
+def test_registry_dedup_variant_byte_identity(corpus_dir, golden_map):
+    _assert_matches_golden(_run(corpus_dir, variant="registry"), golden_map)
