@@ -172,6 +172,78 @@ def _events_hourly(sf_dir: str):
     return out.map_batches(as_e4, batch_format="pyarrow")
 
 
+def _events_sliding(sf_dir: str):
+    import ray.data
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from horizon_ocr_python_ray.stages.window import sliding_window
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["event_id", "ts", "event_type", "value"])
+    out = sliding_window(events, width_s=3600, slide_s=900)
+
+    def as_e4(t: pa.Table) -> pa.Table:
+        e4 = pc.cast(pc.round(pc.multiply(t.column("sum_value"), 10000.0)), pa.int64())
+        return t.set_column(t.column_names.index("sum_value"), "sum_value_e4", e4)
+
+    return out.map_batches(as_e4, batch_format="pyarrow")
+
+
+def _events_sessions(sf_dir: str):
+    import ray.data
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from horizon_ocr_python_ray.stages.window import session_window
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["event_id", "ts", "user_id", "value"])
+    out = session_window(events, gap_s=1800)
+
+    def finish(t: pa.Table) -> pa.Table:
+        e4 = pc.cast(pc.round(pc.multiply(t.column("sum_value"), 10000.0)), pa.int64())
+        t = t.set_column(t.column_names.index("sum_value"), "sum_value_e4", e4)
+        return t.set_column(t.column_names.index("session_idx"), "session_idx",
+                            t.column("session_idx").cast(pa.int64()))
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _emb_near_dup(sf_dir: str):
+    import ray.data
+    from horizon_ocr_python_ray.stages.ann import embedding_near_dup_pairs
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embedding_near_dup_pairs(emb, threshold=0.4)
+
+
+def _emb_near_dup_lsh(sf_dir: str):
+    import ray.data
+    from horizon_ocr_python_ray.stages.ann import embedding_near_dup_pairs_lsh
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = emb.take(1)[0]["embedding"]
+    return embedding_near_dup_pairs_lsh(emb, threshold=0.4, dim=len(q))
+
+
+def _pages_fields(sf_dir: str):
+    from horizon_ocr_python_ray import build_extract_pipeline, ensure_corpus, read_pages, sf_from_dir
+    from horizon_ocr_python_ray.stages.fields_stage import build_fields_pipeline
+
+    corpus = ensure_corpus(sf_from_dir(sf_dir))
+    out = build_extract_pipeline(read_pages(corpus))
+    return build_fields_pipeline(out)
+
+
+def _media_features(sf_dir: str):
+    import ray.data
+    from horizon_ocr_python_ray import sf_from_dir
+    from horizon_ocr_python_ray.stages.multimodal import build_media_pipeline, gen_media_table
+
+    n = max(30, int(sf_from_dir(sf_dir) * 30_000))
+    media = ray.data.from_arrow(gen_media_table(n, seed=42))
+    return build_media_pipeline(media)
+
+
 def _q1(sf_dir: str):
     import pyarrow.compute as pc
     from horizon_ocr_python_ray.pipelines.analytics import q1_pricing_summary
@@ -230,6 +302,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _ann_topk,
         "ann_topk_lsh": _ann_topk_lsh,
         "events_hourly": _events_hourly,
+        "events_sliding": _events_sliding,
+        "events_sessions": _events_sessions,
+        "emb_near_dup": _emb_near_dup,
+        "emb_near_dup_lsh": _emb_near_dup_lsh,
+        "pages_fields": _pages_fields,
+        "media_features": _media_features,
         "lineitem_pricing_summary": _q1,
         "revenue_by_nation": _revenue_by_nation,
         "top_orders": _top_orders,
@@ -315,6 +393,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(sum(value) * 10000) AS BIGINT) AS sum_value_e4
             FROM events
             GROUP BY event_type, (epoch_us(ts) // 3600000000)
+        """,
+        "events_sliding": """
+            SELECT event_type,
+                   make_timestamp(((epoch_us(ts) // 900000000) - k.k) * 900000000) AS window_start,
+                   count(*) AS n_events,
+                   CAST(round(sum(value) * 10000) AS BIGINT) AS sum_value_e4
+            FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS k) k
+            GROUP BY event_type, ((epoch_us(ts) // 900000000) - k.k)
+        """,
+        "events_sessions": """
+            WITH o AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                              PARTITION BY user_id ORDER BY ts, event_id
+                          ) > 1800000000 THEN 1 ELSE 0 END AS brk
+              FROM events
+            ), s AS (
+              SELECT *, sum(brk) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING
+                     ) AS session_idx
+              FROM o
+            )
+            SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events,
+                   CAST(round(sum(value) * 10000) AS BIGINT) AS sum_value_e4
+            FROM s GROUP BY user_id, session_idx
+        """,
+        "emb_near_dup": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   CAST(round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1000000) AS BIGINT) AS sim_e6
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
         """,
         "lineitem_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -113,19 +113,25 @@ def run_scaling() -> dict:
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SCALING_SF=scaling_sf)
-        best = None
-        for _ in range(2):
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)], env=env,
-                capture_output=True, text=True, check=True,
-            ).stdout
-            r = json.loads(out.strip().splitlines()[-1])
-            if best is None or r["value"] < best["value"]:
-                best = r
-        return best
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    r_lo, r_hi = one(lo), one(hi)
+    # Interleave trials (lo, hi, lo, hi, ...) and keep the best per level:
+    # the sandbox VM's wall-clock noise is ±50%, slow system states drift
+    # over tens of seconds, and best-of-interleaved controls for both.
+    trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "3"))
+    r_lo = r_hi = None
+    for _ in range(trials):
+        r = one(lo)
+        if r_lo is None or r["value"] < r_lo["value"]:
+            r_lo = r
+        r = one(hi)
+        if r_hi is None or r["value"] < r_hi["value"]:
+            r_hi = r
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {

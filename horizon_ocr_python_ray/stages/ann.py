@@ -116,3 +116,79 @@ def lsh_bucketed_topk(emb_ds, query: np.ndarray, k: int = 10, dim: int = 64,
         batch_format="pyarrow",
     )
     return brute_force_topk(candidates.drop_columns(["bucket"]), query, k)
+
+
+def embedding_near_dup_pairs(emb_ds, threshold: float = 0.95):
+    """Embedding-cosine near-duplicate pairs: all (a < b) with cosine ≥
+    threshold.
+
+    Exact variant: the normalized corpus matrix is broadcast once via
+    ``ray.put`` and each batch computes ``batch × corpusᵀ`` with one numpy
+    matmul — O(n²) flops but fully vectorized and embarrassingly parallel
+    across batches. The scale path replaces the broadcast matrix with LSH
+    bucketing (:class:`HyperplaneLSH` + within-bucket pairs) at the cost
+    of recall; at 100 TB you would also shard the right-hand side and
+    sweep shards per batch (block-matmul join).
+    """
+    rows = emb_ds.select_columns(["vec_id", "embedding"]).take_all()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    mat = _normalize(np.array([rows[i]["embedding"] for i in order], dtype=np.float64))
+    ref = ray.put((ids, mat))
+
+    class PairFinder:
+        def __init__(self, ref, threshold):
+            self.ids, self.mat = ray.get(ref)  # fetched once per worker
+            self.threshold = threshold
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            bids, bemb = _batch_matrix(batch)
+            sims = _normalize(bemb) @ self.mat.T  # (batch, corpus)
+            rows_i, cols_j = np.nonzero(sims >= self.threshold)
+            keep = bids[rows_i] < self.ids[cols_j]  # a < b, drops self-pairs
+            rows_i, cols_j = rows_i[keep], cols_j[keep]
+            return pa.Table.from_arrays(
+                [
+                    pa.array(bids[rows_i], pa.int64()),
+                    pa.array(self.ids[cols_j], pa.int64()),
+                    pa.array(np.round(sims[rows_i, cols_j] * 1e6).astype(np.int64), pa.int64()),
+                ],
+                names=["vec_a", "vec_b", "sim_e6"],
+            )
+
+    return emb_ds.map_batches(
+        PairFinder, fn_constructor_kwargs={"ref": ref, "threshold": threshold},
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, 8),
+    )
+
+
+def embedding_near_dup_pairs_lsh(emb_ds, threshold: float = 0.95, dim: int = 64,
+                                 n_planes: int = 12):
+    """Approximate near-dup pairs: bucket by random-hyperplane signature,
+    compare only within buckets (``groupby(bucket)``). Misses pairs whose
+    members land in different buckets — recall is tested against the
+    exact variant, not equality."""
+    import pandas as pd
+
+    bucketed = emb_ds.map_batches(
+        HyperplaneLSH, fn_constructor_kwargs={"dim": dim, "n_planes": n_planes},
+        batch_format="pyarrow", concurrency=2,
+    )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                                 "vec_b": pd.Series(dtype="int64"),
+                                 "sim_e6": pd.Series(dtype="int64")})
+        g = g.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy()
+        mat = _normalize(np.array(g["embedding"].tolist(), dtype=np.float64))
+        sims = mat @ mat.T
+        i, j = np.nonzero(np.triu(sims >= threshold, k=1))
+        return pd.DataFrame({
+            "vec_a": ids[i], "vec_b": ids[j],
+            "sim_e6": np.round(sims[i, j] * 1e6).astype(np.int64),
+        })
+
+    return bucketed.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pandas")

@@ -1,0 +1,302 @@
+"""Multimodal binary columns: image / audio / video stages.
+
+Treats media as opaque ``binary`` payload columns with typed metadata,
+processed by actor-pool ``map_batches`` stages — the same shape as the
+reference's image pipeline (rasterize → preprocess → detect → recognize,
+``/root/reference/docvision/io/image.py:49-185`` and
+``preprocess/enhance.py``), generalized to audio/video.
+
+The sandbox ships no image/audio codecs (no PIL/cv2/ffmpeg), so the
+DECODE step is stubbed behind an import-try: with a real codec present,
+``_decode_image`` would call it; here a clearly-marked deterministic fake
+derives a pixel/sample tensor from the payload bytes. Everything AROUND
+the stub — schemas, batch sizing for wide binary rows, actor signatures
+(warm state in ``__init__``), numpy kernels over the decoded tensors,
+per-frame fan-out layout — is real and tested, and is exactly what a
+weights/codec-bearing deployment would keep.
+
+Batch sizing: media payloads are orders of magnitude wider than text
+rows; stages default to small ``batch_size`` so batch × concurrency fits
+worker heaps (SURVEY.md §7.4 "wide binary rows"), and payload columns are
+dropped at the decode stage.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+try:  # pragma: no cover - not present in this container
+    import PIL.Image as _PIL  # noqa: N812
+except ImportError:
+    _PIL = None
+
+#: Deterministic fake media container magics (content-sniffable).
+IMAGE_MAGIC = b"\x89PNG\r\n\x1a\nSYNPIX1\n"
+AUDIO_MAGIC = b"RIFFSYNWAV1\n"
+VIDEO_MAGIC = b"\x00\x00\x00 ftypSYNVID1\n"
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),         # image | audio | video
+        ("payload", pa.binary()),
+        ("meta", pa.struct([
+            ("width", pa.int32()),
+            ("height", pa.int32()),
+            ("channels", pa.int32()),
+            ("sample_rate", pa.int32()),
+            ("n_frames", pa.int32()),
+        ])),
+    ]
+)
+
+
+def gen_media_table(n_rows: int, seed: int = 42) -> pa.Table:
+    """Deterministic synthetic media table (one row per media object)."""
+    import random
+
+    ids, kinds, payloads, metas = [], [], [], []
+    for i in range(n_rows):
+        rng = random.Random(f"media:{seed}:{i}")
+        kind = ("image", "audio", "video")[i % 3]
+        body = bytes(rng.randrange(256) for _ in range(rng.randint(512, 2048)))
+        if kind == "image":
+            w, h, c = rng.choice((64, 128, 256)), rng.choice((64, 128)), 3
+            payloads.append(IMAGE_MAGIC + body)
+            metas.append({"width": w, "height": h, "channels": c,
+                          "sample_rate": 0, "n_frames": 1})
+        elif kind == "audio":
+            sr = rng.choice((8000, 16000))
+            payloads.append(AUDIO_MAGIC + body)
+            metas.append({"width": 0, "height": 0, "channels": 1,
+                          "sample_rate": sr, "n_frames": 0})
+        else:
+            w, h = 64, 64
+            nf = rng.randint(8, 48)
+            payloads.append(VIDEO_MAGIC + body)
+            metas.append({"width": w, "height": h, "channels": 3,
+                          "sample_rate": 0, "n_frames": nf})
+        ids.append(i)
+        kinds.append(kind)
+    return pa.Table.from_arrays(
+        [pa.array(ids, pa.int64()), pa.array(kinds, pa.string()),
+         pa.array(payloads, pa.binary()), pa.array(metas, MEDIA_SCHEMA.field("meta").type)],
+        schema=MEDIA_SCHEMA,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decode stubs — the ONLY fake parts
+# ---------------------------------------------------------------------------
+
+def _fake_bytes_tensor(payload: bytes, size: int) -> np.ndarray:
+    """STUB: deterministic stand-in for a codec decode — tiles the payload
+    bytes to ``size`` elements. A real deployment replaces this with
+    PIL/cv2/ffmpeg; everything downstream consumes only the ndarray."""
+    raw = np.frombuffer(payload, dtype=np.uint8)
+    if len(raw) == 0:
+        return np.zeros(size, dtype=np.uint8)
+    reps = -(-size // len(raw))
+    return np.tile(raw, reps)[:size]
+
+
+def _decode_image(payload: bytes, meta: dict) -> np.ndarray:
+    """payload → HxWxC uint8. Real codec if available, else the stub."""
+    if _PIL is not None:  # pragma: no cover
+        import io
+
+        return np.asarray(_PIL.open(io.BytesIO(payload)).convert("RGB"))
+    if not payload.startswith(IMAGE_MAGIC):
+        raise ValueError("undecodable image payload")
+    h, w, c = meta["height"], meta["width"], meta["channels"]
+    return _fake_bytes_tensor(payload[len(IMAGE_MAGIC):], h * w * c).reshape(h, w, c)
+
+
+def _decode_audio(payload: bytes, meta: dict) -> np.ndarray:
+    """payload → float32 mono waveform in [-1, 1]."""
+    if not payload.startswith(AUDIO_MAGIC):
+        raise ValueError("undecodable audio payload")
+    body = payload[len(AUDIO_MAGIC):]
+    n = max(1, len(body) // 2) * meta["sample_rate"] // 8000
+    wave = _fake_bytes_tensor(body, n).astype(np.float32)
+    return (wave - 127.5) / 127.5
+
+
+def _decode_video_frame(payload: bytes, meta: dict, frame_idx: int) -> np.ndarray:
+    """payload + frame index → HxWxC uint8 frame."""
+    if not payload.startswith(VIDEO_MAGIC):
+        raise ValueError("undecodable video payload")
+    h, w, c = meta["height"], meta["width"], meta["channels"]
+    base = _fake_bytes_tensor(payload[len(VIDEO_MAGIC):], h * w * c)
+    # frame content varies deterministically with the index
+    return np.roll(base, frame_idx).reshape(h, w, c)
+
+
+# ---------------------------------------------------------------------------
+# Stages — real actor-pool plumbing + numpy kernels
+# ---------------------------------------------------------------------------
+
+class ImageFeatureStage:
+    """Decode → per-image features (mean/std per channel, sha of pixels).
+
+    Actor: codec handles (or model weights, in a real deployment) load
+    once in ``__init__``. Drops the payload column on output.
+    """
+
+    def __init__(self, resize_to: int | None = None) -> None:
+        self.resize_to = resize_to
+
+    @staticmethod
+    def _resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+        """Nearest-neighbor resize — index-map kernel identical for real
+        or stubbed pixel tensors."""
+        h, w = img.shape[:2]
+        rows = (np.arange(out_h) * h // out_h).astype(np.int64)
+        cols = (np.arange(out_w) * w // out_w).astype(np.int64)
+        return img[rows][:, cols]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        metas = batch.column("meta").to_pylist()
+        out_h, out_w, means, stds, shas, errs = [], [], [], [], [], []
+        for payload, meta in zip(payloads, metas):
+            try:
+                img = _decode_image(payload, meta)
+                if self.resize_to:
+                    img = self._resize_nearest(img, self.resize_to, self.resize_to)
+                out_h.append(img.shape[0])
+                out_w.append(img.shape[1])
+                means.append(float(img.mean()))
+                stds.append(float(img.std()))
+                shas.append(hashlib.sha256(img.tobytes()).hexdigest()[:16])
+                errs.append(None)
+            except Exception as exc:
+                out_h.append(0); out_w.append(0); means.append(0.0); stds.append(0.0)
+                shas.append(""); errs.append(f"{type(exc).__name__}: {exc}")
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(out_h, pa.int32()),
+             pa.array(out_w, pa.int32()), pa.array(means, pa.float64()),
+             pa.array(stds, pa.float64()), pa.array(shas, pa.string()),
+             pa.array(errs, pa.string())],
+            names=["media_id", "height", "width", "pix_mean", "pix_std",
+                   "pix_sha", "error"],
+        )
+
+
+class AudioFeatureStage:
+    """Decode → framed RMS-energy features (one row per media object)."""
+
+    def __init__(self, frame_len: int = 400, hop: int = 160) -> None:
+        self.frame_len = frame_len
+        self.hop = hop
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        metas = batch.column("meta").to_pylist()
+        n_sam, n_frm, rms_mean, rms_max, errs = [], [], [], [], []
+        for payload, meta in zip(payloads, metas):
+            try:
+                wave = _decode_audio(payload, meta)
+                n = len(wave)
+                if n >= self.frame_len:
+                    starts = np.arange(0, n - self.frame_len + 1, self.hop)
+                    idx = starts[:, None] + np.arange(self.frame_len)[None, :]
+                    frames = wave[idx]
+                    rms = np.sqrt((frames ** 2).mean(axis=1))
+                else:
+                    rms = np.sqrt(np.array([(wave ** 2).mean()]))
+                n_sam.append(n); n_frm.append(len(rms))
+                rms_mean.append(float(rms.mean())); rms_max.append(float(rms.max()))
+                errs.append(None)
+            except Exception as exc:
+                n_sam.append(0); n_frm.append(0); rms_mean.append(0.0)
+                rms_max.append(0.0); errs.append(f"{type(exc).__name__}: {exc}")
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(n_sam, pa.int64()),
+             pa.array(n_frm, pa.int64()), pa.array(rms_mean, pa.float64()),
+             pa.array(rms_max, pa.float64()), pa.array(errs, pa.string())],
+            names=["media_id", "n_samples", "n_frames", "rms_mean", "rms_max",
+                   "error"],
+        )
+
+
+class VideoFrameSampleStage:
+    """Sample every k-th frame → one OUTPUT ROW PER SAMPLED FRAME (batch
+    fan-out: the video analog of the document page ``flat_map``)."""
+
+    def __init__(self, every_k: int = 8) -> None:
+        self.every_k = every_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        metas = batch.column("meta").to_pylist()
+        o_id, o_frame, o_mean, o_sha, o_err = [], [], [], [], []
+        for mid, payload, meta in zip(ids, payloads, metas):
+            try:
+                for f in range(0, meta["n_frames"], self.every_k):
+                    frame = _decode_video_frame(payload, meta, f)
+                    o_id.append(mid); o_frame.append(f)
+                    o_mean.append(float(frame.mean()))
+                    o_sha.append(hashlib.sha256(frame.tobytes()).hexdigest()[:16])
+                    o_err.append(None)
+            except Exception as exc:
+                o_id.append(mid); o_frame.append(-1); o_mean.append(0.0)
+                o_sha.append(""); o_err.append(f"{type(exc).__name__}: {exc}")
+        return pa.Table.from_arrays(
+            [pa.array(o_id, pa.int64()), pa.array(o_frame, pa.int32()),
+             pa.array(o_mean, pa.float64()), pa.array(o_sha, pa.string()),
+             pa.array(o_err, pa.string())],
+            names=["media_id", "frame_idx", "pix_mean", "pix_sha", "error"],
+        )
+
+
+def build_media_pipeline(media_ds, resize_to: int | None = 32,
+                         frame_every_k: int = 8):
+    """Route a mixed media table through the three stages and union the
+    per-kind feature tables into one long-format output
+    (media_id, kind, feature, value)."""
+    import pyarrow.compute as pc
+
+    def only(kind):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t.column("kind"), kind))
+        return fn
+
+    def melt(feature_cols):
+        def fn(t: pa.Table) -> pa.Table:
+            ids, feats, vals = [], [], []
+            for col in feature_cols:
+                ids.extend(t.column("media_id").to_pylist())
+                feats.extend([col] * t.num_rows)
+                vals.extend(float(v) if v is not None else 0.0
+                            for v in t.column(col).to_pylist())
+            return pa.Table.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(feats, pa.string()),
+                 pa.array(vals, pa.float64())],
+                names=["media_id", "feature", "value"],
+            )
+        return fn
+
+    img = (media_ds.map_batches(only("image"), batch_format="pyarrow")
+           .map_batches(ImageFeatureStage,
+                        fn_constructor_kwargs={"resize_to": resize_to},
+                        batch_format="pyarrow", batch_size=32,
+                        concurrency=(1, 4))
+           .map_batches(melt(["pix_mean", "pix_std"]), batch_format="pyarrow"))
+    aud = (media_ds.map_batches(only("audio"), batch_format="pyarrow")
+           .map_batches(AudioFeatureStage, batch_format="pyarrow",
+                        batch_size=32, concurrency=(1, 4))
+           .map_batches(melt(["rms_mean", "rms_max"]), batch_format="pyarrow"))
+    vid = (media_ds.map_batches(only("video"), batch_format="pyarrow")
+           .map_batches(VideoFrameSampleStage,
+                        fn_constructor_kwargs={"every_k": frame_every_k},
+                        batch_format="pyarrow", batch_size=16,
+                        concurrency=(1, 4))
+           .map_batches(melt(["pix_mean"]), batch_format="pyarrow"))
+    return img.union(aud).union(vid)

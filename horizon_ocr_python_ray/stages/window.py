@@ -47,3 +47,84 @@ def tumbling_window(events_ds, width_s: int = 3600):
         )
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def sliding_window(events_ds, width_s: int = 3600, slide_s: int = 900):
+    """Sliding event-time windows: each event belongs to ``width/slide``
+    overlapping windows. The expansion happens inside ``map_batches``
+    (vectorized repeat + arithmetic) and is immediately pre-aggregated per
+    (key, window) — the combiner keeps the shuffle at distinct-group size
+    even though the raw expansion is ``width/slide``× the input."""
+    assert width_s % slide_s == 0, "width must be a multiple of slide"
+    k = width_s // slide_s
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        epoch_us = batch.column("ts").cast(pa.int64()).to_numpy()
+        vals = batch.column("value").to_numpy()
+        base = (epoch_us // (slide_s * 1_000_000)) * (slide_s * 1_000_000)
+        n = len(epoch_us)
+        # event → windows starting at base - j*slide for j in 0..k-1
+        starts = np.repeat(base, k) - np.tile(
+            np.arange(k, dtype=np.int64) * slide_s * 1_000_000, n
+        )
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), k))
+        t = pa.Table.from_arrays(
+            [
+                batch.column("event_type").take(idx),
+                pa.array(starts, pa.int64()),
+                pa.array(np.repeat(vals, k), pa.float64()),
+            ],
+            names=["event_type", "window_start_us", "value"],
+        )
+        agg = pa.TableGroupBy(t, ["event_type", "window_start_us"]).aggregate(
+            [("value", "sum"), ("value", "count")]
+        )
+        return agg.rename_columns(["event_type", "window_start_us", "part_sum", "part_n"])
+
+    partials = events_ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+    out = partials.groupby(["event_type", "window_start_us"]).aggregate(
+        Sum("part_sum", alias_name="sum_value"),
+        Sum("part_n", alias_name="n_events"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        ws = t.column("window_start_us").cast(pa.timestamp("us"))
+        return pa.Table.from_arrays(
+            [t.column("event_type"), ws,
+             t.column("n_events").cast(pa.int64()), t.column("sum_value")],
+            names=["event_type", "window_start", "n_events", "sum_value"],
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def session_window(events_ds, gap_s: int = 1800):
+    """Per-user session windows: a session breaks when the gap between
+    consecutive events exceeds ``gap_s``. Shuffles once on ``user_id``
+    (``groupby.map_groups``); ordering inside the group is explicit
+    ``(ts, event_id)`` — never block arrival order (SURVEY.md §7.4)."""
+    import numpy as np
+    import pandas as pd
+
+    gap_us = gap_s * 1_000_000
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        e = g["ts"].astype("int64").to_numpy()
+        brk = np.zeros(len(g), dtype=np.int64)
+        if len(g) > 1:
+            brk[1:] = (e[1:] - e[:-1] > gap_us).astype(np.int64)
+        sess = brk.cumsum()
+        g["session_idx"] = sess
+        out = g.groupby("session_idx", sort=True).agg(
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            n_events=("event_id", "count"),
+            sum_value=("value", "sum"),
+        ).reset_index()
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        return out
+
+    return events_ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")

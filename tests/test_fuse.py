@@ -96,3 +96,48 @@ def test_deterministic_tie_break():
     a = fuse_fields(cands, CFG, run_validators=False)
     b = fuse_fields(list(reversed(cands)), CFG, run_validators=False)
     assert a[0].value == b[0].value
+
+
+class TestWindows:
+    def test_sliding_window_covers_each_event_k_times(self):
+        import pyarrow as pa
+        import ray.data
+        from horizon_ocr_python_ray.stages.window import sliding_window, tumbling_window
+
+        ts = [1_704_067_200_000_000 + i * 600_000_000 for i in range(20)]  # every 10 min
+        t = pa.Table.from_arrays(
+            [pa.array(list(range(20)), pa.int64()),
+             pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+             pa.array(["a"] * 20, pa.string()),
+             pa.array([1.0] * 20, pa.float64())],
+            names=["event_id", "ts", "event_type", "value"],
+        )
+        ds = ray.data.from_arrow(t)
+        out = sliding_window(ds, width_s=3600, slide_s=900).to_pandas()
+        # every event lands in exactly width/slide = 4 windows
+        assert out["n_events"].sum() == 20 * 4
+        tumb = tumbling_window(ds, width_s=3600).to_pandas()
+        assert tumb["n_events"].sum() == 20
+
+    def test_session_window_break_on_gap(self):
+        import pyarrow as pa
+        import ray.data
+        from horizon_ocr_python_ray.stages.window import session_window
+
+        base = 1_704_067_200_000_000
+        # user 1: two sessions (gap 2h); user 2: one session
+        rows = [
+            (1, 1, base), (2, 1, base + 60_000_000), (3, 1, base + 7_260_000_000),
+            (4, 2, base), (5, 2, base + 1_000_000),
+        ]
+        t = pa.Table.from_arrays(
+            [pa.array([r[0] for r in rows], pa.int64()),
+             pa.array([r[2] for r in rows], pa.int64()).cast(pa.timestamp("us")),
+             pa.array([r[1] for r in rows], pa.int64()),
+             pa.array([1.0] * len(rows), pa.float64())],
+            names=["event_id", "ts", "user_id", "value"],
+        )
+        out = session_window(ray.data.from_arrow(t), gap_s=1800).to_pandas()
+        u1 = out[out.user_id == 1].sort_values("session_idx")
+        assert list(u1["n_events"]) == [2, 1]
+        assert list(out[out.user_id == 2]["n_events"]) == [2]
