@@ -47,7 +47,7 @@ def run_bench() -> dict:
     # ---- untimed warmup: force worker-process imports + executor spin-up
     # (the 100 TB regime runs with warm workers; a cold 32-process import
     # storm would otherwise dominate a short benchmark run)
-    warm = ensure_corpus(0.001)
+    warm = ensure_corpus(0.01)
     build_extract_pipeline(read_pages(warm)).write_parquet("/tmp/hopr_bench_warmup")
     shutil.rmtree("/tmp/hopr_bench_warmup", ignore_errors=True)
 
