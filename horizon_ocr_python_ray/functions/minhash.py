@@ -21,16 +21,46 @@ def _stable_hash64(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little")
 
 
-def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Distinct k-token shingle hashes as uint64 array (sorted)."""
+#: Odd multiplier for the polynomial window combine (golden-ratio prime).
+_POLY_C = np.uint64(0x9E3779B97F4A7C15)
+
+
+def token_hashes(toks: list[str], cache: dict[str, int] | None = None) -> np.ndarray:
+    """Per-token stable 64-bit hashes; ``cache`` amortizes blake2b across
+    documents (natural-language token vocabularies are tiny relative to
+    token counts, so a per-worker cache turns hashing ~O(tokens) blake2b
+    calls into ~O(vocab))."""
+    if cache is None:
+        return np.fromiter((_stable_hash64(t) for t in toks), dtype=np.uint64,
+                           count=len(toks))
+    out = np.empty(len(toks), dtype=np.uint64)
+    for i, t in enumerate(toks):
+        h = cache.get(t)
+        if h is None:
+            h = _stable_hash64(t)
+            cache[t] = h
+        out[i] = h
+    return out
+
+
+def shingle_hashes(text: str, k: int = 5, cache: dict[str, int] | None = None) -> np.ndarray:
+    """Distinct k-token shingle hashes as uint64 array (sorted).
+
+    Shingle hash = positional polynomial over the window's token hashes
+    (``Σ tok_hash[i+j] · C^j`` in wrapping uint64) — vectorized with k
+    shifted adds instead of one string-hash per shingle."""
     toks = tokens(text.lower())
     if not toks:
         return np.empty(0, dtype=np.uint64)
-    if len(toks) <= k:
-        grams = {" ".join(toks)}
-    else:
-        grams = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
-    return np.sort(np.array([_stable_hash64(g) for g in grams], dtype=np.uint64))
+    th = token_hashes(toks, cache)
+    k_eff = min(k, len(toks))
+    n = len(toks) - k_eff + 1
+    acc = np.zeros(n, dtype=np.uint64)
+    c = np.uint64(1)
+    for j in range(k_eff):
+        acc += th[j:j + n] * c
+        c = c * _POLY_C
+    return np.unique(acc)
 
 
 def minhash_params(num_hashes: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
@@ -79,12 +109,22 @@ def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.
 
 def band_hashes(sig: np.ndarray, num_bands: int) -> list[int]:
     """Split the signature into bands; hash each band deterministically."""
-    rows = len(sig) // num_bands
-    out = []
-    for b in range(num_bands):
-        chunk = sig[b * rows : (b + 1) * rows]
-        out.append(_stable_hash64(",".join(map(str, chunk.tolist()))))
-    return out
+    return band_hash_matrix(sig[None, :], num_bands)[0].tolist()
+
+
+def band_hash_matrix(sigs: np.ndarray, num_bands: int) -> np.ndarray:
+    """(docs, num_hashes) signatures → (docs, num_bands) uint64 band keys,
+    fully vectorized (FNV-1a over the band's rows, folded with the band
+    index so identical values in different bands cannot collide)."""
+    d, m = sigs.shape
+    rows = m // num_bands
+    r = sigs[:, : num_bands * rows].reshape(d, num_bands, rows)
+    acc = np.full((d, num_bands), 0xCBF29CE484222325, dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    for j in range(rows):
+        acc = (acc ^ r[:, :, j]) * prime
+    acc = (acc ^ np.arange(num_bands, dtype=np.uint64)[None, :]) * prime
+    return acc
 
 
 def estimated_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:

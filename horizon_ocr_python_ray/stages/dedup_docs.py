@@ -16,7 +16,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions.minhash import (
-    band_hashes,
+    band_hash_matrix,
     estimated_jaccard,
     exact_jaccard,
     minhash_params,
@@ -54,84 +54,167 @@ def exact_dedup_docs(docs_ds):
 
 # -- MinHash + LSH near-dup --------------------------------------------------
 
-class MinHashStage:
-    """Actor-pool stage: shingles → signature → LSH band rows.
+#: Worker-process-global warm MinHash stages keyed by parameters — the
+#: task-based analog of actor state (Ray reuses task worker processes).
+_WORKER_MINHASH: dict[tuple, "MinHashStage"] = {}
 
-    Emits (doc_id, band_id, band_hash, sig) — one row per band. Identical
-    band_hash within a band_id ⇒ candidate pair (standard banding scheme).
-    Signatures ride along so candidate verification after the band groupby
-    needs no join back; at corpus scale you would instead hash-join
-    signatures by doc_id (documented trade-off).
+
+def _worker_minhash_stage(num_hashes: int, num_bands: int, k_shingle: int,
+                          seed: int = 7) -> "MinHashStage":
+    key = (num_hashes, num_bands, k_shingle, seed)
+    st = _WORKER_MINHASH.get(key)
+    if st is None:
+        st = MinHashStage(num_hashes, num_bands, k_shingle, seed)
+        _WORKER_MINHASH[key] = st
+    return st
+
+
+def minhash_band_task(batch: pa.Table, num_hashes: int = 128, num_bands: int = 32,
+                      k_shingle: int = 5) -> pa.Table:
+    return _worker_minhash_stage(num_hashes, num_bands, k_shingle)(batch)
+
+
+class MinHashStage:
+    """Stateful stage: shingles → signature → LSH band-key rows.
+
+    Emits (doc_id, band_key) — one row per band; ``band_key`` folds the
+    band index into the band hash, so a single int64 equality groups
+    candidates. Warm per-worker state: hash params + a token-hash cache
+    (vocabularies repeat heavily across documents).
     """
 
-    def __init__(self, num_hashes: int = 128, num_bands: int = 16, k_shingle: int = 5,
+    def __init__(self, num_hashes: int = 128, num_bands: int = 32, k_shingle: int = 5,
                  seed: int = 7) -> None:
         self.a, self.b = minhash_params(num_hashes, seed)
         self.num_bands = num_bands
         self.k = k_shingle
+        self._token_cache: dict[str, int] = {}
+
+    def signature(self, text: str) -> np.ndarray:
+        return minhash_signature(
+            shingle_hashes(text or "", self.k, self._token_cache), self.a, self.b
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_pylist()
+        doc_ids = batch.column("doc_id").to_numpy()
         texts = batch.column("text").to_pylist()
-        out_doc, out_band, out_bh, out_sig = [], [], [], []
-        for did, text in zip(doc_ids, texts):
-            sig = minhash_signature(shingle_hashes(text or "", self.k), self.a, self.b)
-            for band_id, bh in enumerate(band_hashes(sig, self.num_bands)):
-                out_doc.append(did)
-                out_band.append(band_id)
-                out_bh.append(bh - (1 << 63))  # shift to signed int64 domain
-                out_sig.append(sig.view(np.int64).tolist())
+        sigs = np.stack([self.signature(t) for t in texts]) if len(texts) else \
+            np.empty((0, len(self.a)), dtype=np.uint64)
+        keys = band_hash_matrix(sigs, self.num_bands)  # (docs, bands)
+        n, b = keys.shape
         return pa.Table.from_arrays(
             [
-                pa.array(out_doc, pa.int64()),
-                pa.array(out_band, pa.int32()),
-                pa.array(out_bh, pa.int64()),
-                pa.array(out_sig, pa.list_(pa.int64())),
+                pa.array(np.repeat(doc_ids, b), pa.int64()),
+                pa.array(keys.reshape(-1).view(np.int64), pa.int64()),
             ],
-            names=["doc_id", "band_id", "band_hash", "sig"],
+            names=["doc_id", "band_key"],
         )
 
 
-def _candidate_pairs_group(g: pd.DataFrame) -> pd.DataFrame:
-    """One (band_id, band_hash) bucket → candidate pairs with estimated
-    Jaccard from the signatures."""
-    if len(g) < 2:
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []}).astype(
-            {"doc_a": "int64", "doc_b": "int64", "est_jaccard": "float64"}
-        )
-    g = g.sort_values("doc_id").drop_duplicates("doc_id")
-    ids = g["doc_id"].tolist()
-    sigs = [np.array(s, dtype=np.int64).view(np.uint64) for s in g["sig"].tolist()]
-    rows = []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            rows.append((ids[i], ids[j], estimated_jaccard(sigs[i], sigs[j])))
-    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "est_jaccard"])
-
-
-def minhash_lsh_pairs(docs_ds, num_hashes: int = 128, num_bands: int = 16,
+def minhash_lsh_pairs(docs_ds, num_hashes: int = 128, num_bands: int = 32,
                       k_shingle: int = 5, min_est_jaccard: float = 0.5):
-    """documents → near-duplicate candidate pairs (deduped across bands).
+    """documents → near-duplicate candidate pairs (doc_a, doc_b,
+    est_jaccard), deduped across bands, est ≥ ``min_est_jaccard``.
 
-    shingle→minhash→band (map) → groupby(band) (shuffle #1) → pairs →
-    groupby(pair) dedup (shuffle #2, tiny).
+    Physical plan (combiner + broadcast, no giant tiny-group shuffle):
+
+    1. map: shingle → minhash → band keys (one narrow int64 row per band);
+    2. ``groupby(band_key).aggregate(Count)`` — vectorized narrow shuffle —
+       keeps only keys with ≥2 members (collisions are rare, so this is a
+       tiny set);
+    3. members of colliding keys are collected and paired on the driver
+       (pair multiplicity ~ duplicate rate, not corpus size);
+    4. estimated Jaccard is computed distributed over the pair list from
+       re-derived signatures of ONLY the candidate documents (their texts
+       are broadcast once via ``ray.put``).
+
+    Banding defaults (128 hashes, 32 bands × 4 rows) put the s-curve
+    collision threshold at (1/32)^(1/4) ≈ 0.42, matched to the default
+    ``min_est_jaccard=0.5`` (16×8 would miss half of 0.5–0.7 near-dups).
     """
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    pairs_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                              ("est_jaccard", pa.float64())])
+
+    # Task-based stage (worker-global warm MinHashStage — no actor spawn),
+    # materialized once: the band table is two int64 columns, and three
+    # consumers (counts, members, est) would otherwise re-run the sketch.
     bands = docs_ds.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs={"num_hashes": num_hashes, "num_bands": num_bands,
-                               "k_shingle": k_shingle},
+        minhash_band_task,
+        fn_kwargs={"num_hashes": num_hashes, "num_bands": num_bands,
+                   "k_shingle": k_shingle},
         batch_format="pyarrow",
-        concurrency=2,
     )
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        _candidate_pairs_group, batch_format="pandas"
-    )
+    band_tables = [t for t in ray.get(bands.to_arrow_refs()) if t.num_rows]
+    # The band table is two int64 columns (docs × bands rows). Below
+    # ~50M rows, one driver-side vectorized pass beats three extra Ray
+    # job barriers; above it, switch to the distributed plan:
+    # groupby(band_key).aggregate(Count) → filter n>1 → broadcast hot
+    # keys → member filter (same shape as stages/dedup.build_dup_registry
+    # distributed path).
+    if not band_tables:
+        return ray.data.from_arrow(pairs_schema.empty_table())
+    tbl = pa.concat_tables(band_tables).combine_chunks()
+    keys_np = tbl.column("band_key").to_numpy()
+    docs_np = tbl.column("doc_id").to_numpy()
+    uniq, inv, cnt = np.unique(keys_np, return_inverse=True, return_counts=True)
+    hot_mask = cnt[inv] > 1
+    by_key: dict[int, list[int]] = {}
+    for k, d in zip(keys_np[hot_mask].tolist(), docs_np[hot_mask].tolist()):
+        by_key.setdefault(k, []).append(d)
+    pair_set: set[tuple[int, int]] = set()
+    for ids in by_key.values():
+        ids = sorted(set(ids))
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pair_set.add((ids[i], ids[j]))
+    if not pair_set:
+        return ray.data.from_arrow(pairs_schema.empty_table())
+    pairs_sorted = sorted(pair_set)
+    cand_ids = sorted({d for p in pairs_sorted for d in p})
 
-    def dedup_pair(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    # texts of ONLY the candidate docs, broadcast once
+    id_set = pa.array(cand_ids, pa.int64())
+    cand_rows = [t for t in ray.get(
+        docs_ds.map_batches(
+            lambda t: t.filter(pc.is_in(t.column("doc_id"), value_set=id_set)),
+            batch_format="pyarrow",
+        ).to_arrow_refs()
+    ) if t.num_rows]
+    cand_tbl = pa.concat_tables(cand_rows)
+    texts = dict(zip(cand_tbl.column("doc_id").to_pylist(),
+                     cand_tbl.column("text").to_pylist()))
+    ref = ray.put(texts)
 
-    pairs = pairs.groupby(["doc_a", "doc_b"]).map_groups(dedup_pair, batch_format="pandas")
-    return pairs.filter(lambda r: r["est_jaccard"] >= min_est_jaccard)
+    pairs_ds = ray.data.from_arrow(pa.Table.from_arrays(
+        [pa.array([p[0] for p in pairs_sorted], pa.int64()),
+         pa.array([p[1] for p in pairs_sorted], pa.int64())],
+        names=["doc_a", "doc_b"],
+    ))
+
+    def est_jaccard_task(t: pa.Table) -> pa.Table:
+        texts = ray.get(ref)  # zero-copy plasma read per task; pairs are few
+        stage = _worker_minhash_stage(num_hashes, num_bands, k_shingle)
+        sig_cache: dict[int, np.ndarray] = {}
+
+        def sig(did: int) -> np.ndarray:
+            s = sig_cache.get(did)
+            if s is None:
+                s = stage.signature(texts.get(did, "") or "")
+                sig_cache[did] = s
+            return s
+
+        da = t.column("doc_a").to_pylist()
+        db = t.column("doc_b").to_pylist()
+        est = [estimated_jaccard(sig(a), sig(b)) for a, b in zip(da, db)]
+        out = t.append_column("est_jaccard", pa.array(est, pa.float64()))
+        return out.filter(pc.greater_equal(out.column("est_jaccard"),
+                                           pa.scalar(min_est_jaccard)))
+
+    return pairs_ds.map_batches(est_jaccard_task, batch_format="pyarrow")
 
 
 # -- SimHash -----------------------------------------------------------------
@@ -148,12 +231,28 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
 # -- n-gram Jaccard verification --------------------------------------------
 
 def ngram_jaccard_verify(docs_ds, pairs_ds, k_shingle: int = 5, threshold: float = 0.5):
-    """Verify candidate pairs with EXACT n-gram Jaccard. The (small)
-    document text map is broadcast once via ``ray.put`` and read in every
-    verify task — never re-shipped per batch."""
+    """Verify candidate pairs with EXACT n-gram Jaccard. Only the texts of
+    documents that actually appear in a candidate pair are collected and
+    broadcast once via ``ray.put`` (candidate multiplicity ~ duplicate
+    rate, not corpus size) — never re-shipped per batch."""
+    import pyarrow.compute as pc
     import ray
+    import ray.data
 
-    texts = {r["doc_id"]: r["text"] for r in docs_ds.select_columns(["doc_id", "text"]).take_all()}
+    pair_rows = pairs_ds.select_columns(["doc_a", "doc_b"]).take_all()
+    cand = sorted({d for r in pair_rows for d in (r["doc_a"], r["doc_b"])})
+    if not cand:
+        texts: dict[int, str] = {}
+    else:
+        id_set = pa.array(cand, pa.int64())
+        got = [t for t in ray.get(
+            docs_ds.select_columns(["doc_id", "text"]).map_batches(
+                lambda t: t.filter(pc.is_in(t.column("doc_id"), value_set=id_set)),
+                batch_format="pyarrow",
+            ).to_arrow_refs()
+        ) if t.num_rows]
+        tbl = pa.concat_tables(got)
+        texts = dict(zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()))
     ref = ray.put(texts)
 
     class Verify:

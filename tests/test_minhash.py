@@ -1,0 +1,97 @@
+"""MinHash/LSH near-dup: kernel determinism + end-to-end pair detection
+on constructed near-duplicates."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from horizon_ocr_python_ray.functions.minhash import (
+    band_hash_matrix,
+    estimated_jaccard,
+    exact_jaccard,
+    minhash_params,
+    minhash_signature,
+    shingle_hashes,
+)
+from horizon_ocr_python_ray.stages.dedup_docs import (
+    minhash_lsh_pairs,
+    ngram_jaccard_verify,
+)
+
+
+def test_shingle_hashes_deterministic_and_cached():
+    t = "the quick brown fox jumps over the lazy dog again and again today"
+    a = shingle_hashes(t)
+    b = shingle_hashes(t, cache={})
+    assert np.array_equal(a, b)
+    assert len(a) > 0
+    assert exact_jaccard(a, a) == 1.0
+
+
+def test_minhash_estimates_jaccard():
+    base = ("data engine stream batch arrow block shard record table column "
+            "field vector index query layout page line text token parse "
+            "merge fuse route cache hash split model actor worker cluster") * 3
+    variant = base.replace("arrow", "sparrow", 2)
+    a_params = minhash_params(256)
+    sa = minhash_signature(shingle_hashes(base), *a_params)
+    sv = minhash_signature(shingle_hashes(variant), *a_params)
+    est = estimated_jaccard(sa, sv)
+    true = exact_jaccard(shingle_hashes(base), shingle_hashes(variant))
+    assert abs(est - true) < 0.15
+    assert true > 0.5
+
+
+def test_band_hash_matrix_groups_identical_sigs():
+    sigs = np.random.RandomState(0).randint(0, 2**63, size=(3, 128)).astype(np.uint64)
+    sigs[1] = sigs[0]
+    keys = band_hash_matrix(sigs, 16)
+    assert keys.shape == (3, 16)
+    assert np.array_equal(keys[0], keys[1])
+    assert not np.array_equal(keys[0], keys[2])
+
+
+def _docs_table():
+    base = ("data engine stream batch arrow block shard record table column "
+            "field vector index query layout page line text token parse "
+            "merge fuse route cache hash split model actor worker cluster "
+            "node spill shuffle window sample filter reduce extract detect")
+    texts = {
+        0: base,
+        1: base.replace("arrow", "sparrow", 1),    # near-dup of 0
+        2: base,                                   # exact dup of 0
+        3: "completely different tiny document about nothing in particular",
+        4: "another unrelated text with its own distinct vocabulary set here",
+    }
+    return pa.Table.from_arrays(
+        [pa.array(sorted(texts), pa.int64()),
+         pa.array([texts[k] for k in sorted(texts)], pa.string())],
+        names=["doc_id", "text"],
+    )
+
+
+def test_lsh_pipeline_finds_near_dups():
+    docs = ray.data.from_arrow(_docs_table())
+    pairs = minhash_lsh_pairs(docs, min_est_jaccard=0.5)
+    verified = ngram_jaccard_verify(docs, pairs, threshold=0.5).to_pandas()
+    found = {tuple(sorted((a, b))) for a, b in zip(verified.doc_a, verified.doc_b)}
+    assert (0, 1) in found
+    assert (0, 2) in found
+    assert (1, 2) in found
+    assert all(3 not in p and 4 not in p for p in found)
+    assert (verified["jaccard"] >= 0.5).all()
+
+
+def test_lsh_pipeline_no_dups_is_empty():
+    t = pa.Table.from_arrays(
+        [pa.array([0, 1], pa.int64()),
+         pa.array(["alpha beta gamma delta epsilon zeta eta theta iota kappa",
+                   "one two three four five six seven eight nine ten eleven"],
+                  pa.string())],
+        names=["doc_id", "text"],
+    )
+    docs = ray.data.from_arrow(t)
+    pairs = minhash_lsh_pairs(docs, min_est_jaccard=0.5)
+    assert pairs.count() == 0
