@@ -103,3 +103,32 @@ def test_stale_tmp_dir_is_cleaned(tmp_path, corpus_dir, golden_map):
                      table.column("extracted_text").to_pylist()))
     sample = next(iter(golden_map))
     assert texts[sample] == golden_map[sample]["extracted_text"]
+
+
+def test_cli_run_and_resume(tmp_path, corpus_dir, golden_map):
+    """python -m horizon_ocr_python_ray run — end-to-end + resume summary."""
+    import contextlib
+    import io
+    import json
+    import os
+
+    from horizon_ocr_python_ray.__main__ import main
+
+    out_dir = str(tmp_path / "cli_out")
+    pages_dir = os.path.join(corpus_dir, "pages")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["run", "--input", pages_dir, "--output", out_dir,
+                   "--partitions", "3"])
+    assert rc == 0
+    s1 = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert s1["committed_now"] == 3
+    assert s1["total_rows"] == len(golden_map)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["run", "--input", pages_dir, "--output", out_dir,
+                   "--partitions", "3"])
+    s2 = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert rc == 0
+    assert s2["committed_now"] == 0 and s2["resumed_from"] == 3
