@@ -234,6 +234,26 @@ def _pages_fields(sf_dir: str):
     return build_fields_pipeline(out)
 
 
+def _q6(sf_dir: str):
+    from horizon_ocr_python_ray.pipelines.analytics import q6_filtered_revenue
+
+    return q6_filtered_revenue(sf_dir)
+
+
+def _minhash_dup_clusters(sf_dir: str):
+    import ray.data
+    from horizon_ocr_python_ray.stages.dedup_docs import (
+        minhash_lsh_pairs,
+        near_dup_clusters,
+        ngram_jaccard_verify,
+    )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(docs, min_est_jaccard=0.5)
+    verified = ngram_jaccard_verify(docs, pairs, threshold=0.5)
+    return near_dup_clusters(verified)
+
+
 def _media_features(sf_dir: str):
     import ray.data
     from horizon_ocr_python_ray import sf_from_dir
@@ -308,6 +328,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_near_dup_lsh": _emb_near_dup_lsh,
         "pages_fields": _pages_fields,
         "media_features": _media_features,
+        "lineitem_filtered_revenue": _q6,
+        "minhash_dup_clusters": _minhash_dup_clusters,
         "lineitem_pricing_summary": _q1,
         "revenue_by_nation": _revenue_by_nation,
         "top_orders": _top_orders,
@@ -427,6 +449,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1000000) AS BIGINT) AS sim_e6
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        """,
+        "lineitem_filtered_revenue": """
+            SELECT CAST(round(sum(l_extendedprice * l_discount) * 100) AS BIGINT) AS revenue_e2,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
         """,
         "lineitem_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

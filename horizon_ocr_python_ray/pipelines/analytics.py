@@ -153,3 +153,44 @@ def orders_per_customer_join(sf_dir: str, num_partitions: int = 8):
                                t.column("n_orders").cast(pa.int64())),
         batch_format="pyarrow",
     )
+
+
+def q6_filtered_revenue(sf_dir: str):
+    """TPC-H Q6-style selective aggregate with ROW-GROUP PUSHDOWN: the
+    predicate is handed to ``read_parquet`` as a pyarrow dataset
+    expression, so non-matching row groups never leave storage (and only
+    four columns are read at all). The aggregate is a per-batch partial
+    sum folded by a tiny global groupby on a constant key."""
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+        filter=(
+            (pc.field("l_shipdate") >= pa.scalar(pd.Timestamp("1996-01-01")))
+            & (pc.field("l_shipdate") < pa.scalar(pd.Timestamp("1997-01-01")))
+            & (pc.field("l_discount") >= pa.scalar(0.05))
+            & (pc.field("l_discount") <= pa.scalar(0.07))
+            & (pc.field("l_quantity") < pa.scalar(24.0))
+        ),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.sum(pc.multiply(t.column("l_extendedprice"), t.column("l_discount"))).as_py() or 0.0
+        return pa.Table.from_arrays(
+            [pa.array([0], pa.int64()), pa.array([rev], pa.float64()),
+             pa.array([t.num_rows], pa.int64())],
+            names=["k", "p_rev", "p_n"],
+        )
+
+    out = li.map_batches(partial, batch_format="pyarrow").groupby("k").aggregate(
+        Sum("p_rev", alias_name="revenue"),
+        Sum("p_n", alias_name="n_rows"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        e2 = pc.cast(pc.round(pc.multiply(t.column("revenue"), 100.0)), pa.int64())
+        return pa.Table.from_arrays(
+            [e2, t.column("n_rows").cast(pa.int64())],
+            names=["revenue_e2", "n_rows"],
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")

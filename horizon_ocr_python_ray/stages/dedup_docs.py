@@ -279,3 +279,132 @@ def ngram_jaccard_verify(docs_ds, pairs_ds, k_shingle: int = 5, threshold: float
         Verify, fn_constructor_kwargs={"ref": ref, "k": k_shingle, "threshold": threshold},
         batch_format="pyarrow", concurrency=2,
     )
+
+
+# -- near-dup clustering (connected components over verified pairs) ----------
+
+def near_dup_clusters(pairs_ds):
+    """Verified near-dup pairs → (doc_id, cluster_id) with cluster_id =
+    min doc_id of the connected component.
+
+    The candidate-pair set is provably small (≤ duplicate rate × corpus,
+    post-LSH + verification), so union-find runs on the driver — the
+    documented fast path; :func:`near_dup_clusters_distributed` is the
+    groupby-iteration form for pair sets too big to collect.
+    """
+    import ray.data
+
+    rows = pairs_ds.select_columns(["doc_a", "doc_b"]).take_all()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in rows:
+        ra, rb = find(r["doc_a"]), find(r["doc_b"])
+        if ra != rb:
+            # union by min so the representative is the smallest doc_id
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    nodes = sorted(parent)
+    table = pa.Table.from_arrays(
+        [pa.array(nodes, pa.int64()),
+         pa.array([find(n) for n in nodes], pa.int64())],
+        names=["doc_id", "cluster_id"],
+    )
+    return ray.data.from_arrow(table)
+
+
+def near_dup_clusters_distributed(pairs_ds, max_iters: int = 25):
+    """Distributed min-label propagation over the pair graph: each round
+    co-groups edges with current labels on the neighbor key (an explicit
+    partitioned hash join: union with a role marker → ``groupby(key)`` →
+    per-group emit) and takes ``min`` per node. One narrow shuffle per
+    round, converging in O(component diameter) rounds. The scale path
+    when pairs cannot be collected; identical output to
+    :func:`near_dup_clusters` (tested). ``Dataset.join`` is avoided: with
+    small inputs its hash partitions can be empty-schema'd (Ray 2.49)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Min
+
+    edges = pairs_ds.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [pa.concat_arrays([t.column("doc_a").combine_chunks(),
+                               t.column("doc_b").combine_chunks()]),
+             pa.concat_arrays([t.column("doc_b").combine_chunks(),
+                               t.column("doc_a").combine_chunks()])],
+            names=["u", "v"],
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    labels = edges.groupby("u").aggregate(Min("v", alias_name="m")).map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t.column("u"), pc.min_element_wise(t.column("u"), t.column("m"))],
+            names=["node", "label"],
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def as_edge_rows(t: pa.Table) -> pa.Table:
+        # (key=v, u, label=-1): edge rows awaiting their neighbor's label
+        return pa.Table.from_arrays(
+            [t.column("v"), t.column("u"),
+             pa.array([-1] * t.num_rows, pa.int64())],
+            names=["key", "u", "label"],
+        )
+
+    def as_label_rows(t: pa.Table) -> pa.Table:
+        # (key=node, u=-1, label): the label carrier row for this key
+        return pa.Table.from_arrays(
+            [t.column("node"), pa.array([-1] * t.num_rows, pa.int64()),
+             t.column("label")],
+            names=["key", "u", "label"],
+        )
+
+    def cogroup(g: pd.DataFrame) -> pd.DataFrame:
+        lbl = g.loc[g["u"] < 0, "label"]
+        if lbl.empty:
+            return pd.DataFrame({"u": pd.Series(dtype="int64"),
+                                 "label": pd.Series(dtype="int64")})
+        label_val = int(lbl.min())
+        us = g.loc[g["u"] >= 0, "u"]
+        return pd.DataFrame({"u": us.to_numpy(dtype="int64"),
+                             "label": label_val})
+
+    for _ in range(max_iters):
+        mixed = edges.map_batches(as_edge_rows, batch_format="pyarrow").union(
+            labels.map_batches(as_label_rows, batch_format="pyarrow")
+        )
+        prop = mixed.groupby("key").map_groups(cogroup, batch_format="pandas")
+        # normalize to arrow blocks (union requires homogeneous block types)
+        prop = prop.map_batches(lambda t: t, batch_format="pyarrow")
+        cand = prop.union(
+            labels.map_batches(
+                lambda t: pa.Table.from_arrays(
+                    [t.column("node"), t.column("label")], names=["u", "label"]),
+                batch_format="pyarrow",
+            )
+        )
+        new_labels = cand.groupby("u").aggregate(Min("label", alias_name="label")).map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("u"), t.column("label")], names=["node", "label"]),
+            batch_format="pyarrow",
+        ).materialize()
+        old = sum(r["label"] for r in labels.select_columns(["label"]).take_all())
+        new = sum(r["label"] for r in new_labels.select_columns(["label"]).take_all())
+        labels = new_labels
+        if old == new:
+            break
+    return labels.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t.column("node"), t.column("label")], names=["doc_id", "cluster_id"]),
+        batch_format="pyarrow",
+    )

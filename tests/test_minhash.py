@@ -95,3 +95,26 @@ def test_lsh_pipeline_no_dups_is_empty():
     docs = ray.data.from_arrow(t)
     pairs = minhash_lsh_pairs(docs, min_est_jaccard=0.5)
     assert pairs.count() == 0
+
+
+def test_near_dup_clusters_union_find_and_distributed():
+    import pandas as pd
+
+    from horizon_ocr_python_ray.stages.dedup_docs import (
+        near_dup_clusters,
+        near_dup_clusters_distributed,
+    )
+
+    # components: {1,2,3,9}, {5,6}, singleton pairs absent
+    pairs = pa.Table.from_arrays(
+        [pa.array([1, 2, 9, 5], pa.int64()),
+         pa.array([2, 3, 3, 6], pa.int64())],
+        names=["doc_a", "doc_b"],
+    )
+    pairs_ds = ray.data.from_arrow(pairs)
+    expect = {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+    got = {r["doc_id"]: r["cluster_id"] for r in near_dup_clusters(pairs_ds).take_all()}
+    assert got == expect
+    got_d = {r["doc_id"]: r["cluster_id"]
+             for r in near_dup_clusters_distributed(ray.data.from_arrow(pairs)).take_all()}
+    assert got_d == expect
