@@ -26,7 +26,8 @@ _ES = "('el','la','los','y','es','una','en','por','que')"
 
 def entry() -> Any:
     """Flagship extraction pipeline on the sf0.001-scale synthetic pages
-    corpus: sniff/route → dedup-collapse → extract → fan-out results."""
+    corpus: sniff/route → single-pass route-dispatched extraction with
+    per-worker content-hash memo dedup (see DedupConfig for variants)."""
     from horizon_ocr_python_ray import build_extract_pipeline, ensure_corpus, read_pages
 
     corpus = ensure_corpus(0.001)
@@ -254,6 +255,14 @@ def _minhash_dup_clusters(sf_dir: str):
     return near_dup_clusters(verified)
 
 
+def _pages_host_stats(sf_dir: str):
+    from horizon_ocr_python_ray import ensure_corpus, read_pages, sf_from_dir
+    from horizon_ocr_python_ray.stages.skew import host_stats_salted
+
+    corpus = ensure_corpus(sf_from_dir(sf_dir))
+    return host_stats_salted(read_pages(corpus))
+
+
 def _media_features(sf_dir: str):
     import ray.data
     from horizon_ocr_python_ray import sf_from_dir
@@ -328,6 +337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_near_dup_lsh": _emb_near_dup_lsh,
         "pages_fields": _pages_fields,
         "media_features": _media_features,
+        "pages_host_stats": _pages_host_stats,
         "lineitem_filtered_revenue": _q6,
         "minhash_dup_clusters": _minhash_dup_clusters,
         "lineitem_pricing_summary": _q1,

@@ -1,0 +1,120 @@
+"""Host-level skew handling: hot-key detection and salted aggregation.
+
+A web corpus's key distribution is Zipfian — a few hosts contribute a
+huge share of pages (the synthetic corpus draws hosts from a Zipf pool
+for exactly this reason, ``sources/synth.py``). Two places that bites:
+
+- **Per-key state or aggregation** (``groupby(host)``): one reducer gets
+  a giant group. Fix: SALT the key — aggregate on ``(host, salt)`` where
+  ``salt = hash(url) % S``, then fold the S partials per host in a
+  second, tiny groupby. The heavy shuffle carries S× more (still tiny)
+  groups but no group larger than ~1/S of the hot host.
+- **Key-affine heavy stages** (one actor per host for politeness /
+  per-host models): a hot host serializes one actor's queue. Fix:
+  repartition on the salted key so a hot host's pages spread over S
+  actors; the flagship pipeline avoids this entirely by keeping the
+  heavy path key-free (blocks are scheduled round-robin), which is why
+  the default extract has NO shuffle at all.
+
+The reference has no skew concept (single machine, per-file threads —
+SURVEY.md §4); this module is the north rule's "explicit repartitioning
+and salted groupby" made concrete.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data.aggregate import Sum
+
+
+def host_of(url: str) -> str:
+    """Registrable host of a url (cheap split, no IDNA)."""
+    rest = url.split("://", 1)[-1]
+    return rest.split("/", 1)[0].lower()
+
+
+def _salt_of(url: str, num_salts: int) -> int:
+    return int(hashlib.sha1(url.encode("utf-8")).hexdigest()[:8], 16) % num_salts
+
+
+def add_host_salt(batch: pa.Table, num_salts: int = 16) -> pa.Table:
+    urls = batch.column("url").to_pylist()
+    hosts = [host_of(u) for u in urls]
+    salts = [_salt_of(u, num_salts) for u in urls]
+    batch = batch.append_column("host", pa.array(hosts, pa.string()))
+    return batch.append_column("salt", pa.array(salts, pa.int32()))
+
+
+def host_stats_salted(pages_ds, num_salts: int = 16):
+    """Per-host page counts + payload bytes via salted two-phase
+    aggregation: batch-local partials on (host, salt) → groupby((host,
+    salt)) → groupby(host). No reducer ever sees more than ~1/S of a hot
+    host's rows. Returns (host, n_pages, payload_bytes)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = add_host_salt(t.select(["url", "html"]), num_salts)
+        sizes = pc.fill_null(pc.binary_length(t.column("html")), 0).cast(pa.int64())
+        t2 = pa.Table.from_arrays(
+            [t.column("host"), t.column("salt"), sizes,
+             pa.array([1] * t.num_rows, pa.int64())],
+            names=["host", "salt", "bytes", "one"],
+        )
+        agg = pa.TableGroupBy(t2, ["host", "salt"]).aggregate(
+            [("bytes", "sum"), ("one", "sum")]
+        )
+        return agg.rename_columns(["host", "salt", "p_bytes", "p_n"])
+
+    partials = pages_ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+    salted = partials.groupby(["host", "salt"]).aggregate(
+        Sum("p_bytes", alias_name="s_bytes"), Sum("p_n", alias_name="s_n")
+    )
+    final = salted.groupby("host").aggregate(
+        Sum("s_bytes", alias_name="payload_bytes"), Sum("s_n", alias_name="n_pages")
+    )
+    return final.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t.column("host"), t.column("n_pages").cast(pa.int64()),
+             t.column("payload_bytes").cast(pa.int64())],
+            names=["host", "n_pages", "payload_bytes"],
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def hot_hosts(pages_ds, top_k: int = 10, num_salts: int = 16):
+    """Skew diagnosis: the top-k hosts by page count (partial top-k over
+    the salted aggregate — never a full sort)."""
+    import pandas as pd
+
+    stats = host_stats_salted(pages_ds, num_salts)
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["n_pages", "host"], ascending=[False, True])
+        return pa.Table.from_pandas(df.head(top_k), preserve_index=False)
+
+    partials = stats.map_batches(partial_topk, batch_format="pyarrow")
+    df = partials.to_pandas().sort_values(["n_pages", "host"], ascending=[False, True])
+    out = df.head(top_k).reset_index(drop=True)
+    out["rank"] = pd.RangeIndex(1, len(out) + 1)
+    return out
+
+
+def salted_repartition(pages_ds, num_buckets: int = 64, num_salts: int = 16):
+    """Redistribute rows on ``hash(host) ⊕ salt`` so a hot host's pages
+    spread across ``num_salts`` of the ``num_buckets`` partitions —
+    the pre-actor-pool skew break for key-affine stages."""
+
+    def bucket(t: pa.Table) -> pa.Table:
+        urls = t.column("url").to_pylist()
+        b = [
+            (int(hashlib.sha1(host_of(u).encode()).hexdigest()[:8], 16)
+             ^ _salt_of(u, num_salts)) % num_buckets
+            for u in urls
+        ]
+        return t.append_column("bucket", pa.array(b, pa.int32()))
+
+    with_bucket = pages_ds.map_batches(bucket, batch_format="pyarrow")
+    return with_bucket.repartition(num_buckets, shuffle=True)

@@ -1,0 +1,62 @@
+"""Salted aggregation and hot-key detection over the Zipf-skewed hosts."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from horizon_ocr_python_ray import read_pages
+from horizon_ocr_python_ray.stages.skew import (
+    host_of,
+    host_stats_salted,
+    hot_hosts,
+    salted_repartition,
+)
+
+
+def test_host_of():
+    assert host_of("https://Host001.Example.org/p/1") == "host001.example.org"
+    assert host_of("http://a.b/c/d") == "a.b"
+
+
+def _expected_counts(corpus_dir):
+    import collections, glob
+
+    counts = collections.Counter()
+    sizes = collections.Counter()
+    for f in sorted(glob.glob(corpus_dir + "/pages/*.parquet")):
+        t = pq.read_table(f, columns=["url", "html"])
+        for u, h in zip(t.column("url").to_pylist(), t.column("html").to_pylist()):
+            counts[host_of(u)] += 1
+            sizes[host_of(u)] += len(h) if h else 0
+    return counts, sizes
+
+
+def test_host_stats_salted_matches_plain_count(corpus_dir):
+    counts, sizes = _expected_counts(corpus_dir)
+    got = host_stats_salted(read_pages(corpus_dir)).to_pandas()
+    got_counts = dict(zip(got.host, got.n_pages))
+    got_bytes = dict(zip(got.host, got.payload_bytes))
+    assert got_counts == dict(counts)
+    assert got_bytes == dict(sizes)
+
+
+def test_hot_hosts_are_zipf_head(corpus_dir):
+    counts, _ = _expected_counts(corpus_dir)
+    expect = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    got = hot_hosts(read_pages(corpus_dir), top_k=5)
+    assert list(got.host) == [h for h, _ in expect]
+    assert list(got.n_pages) == [n for _, n in expect]
+    # the corpus is Zipf-skewed: the head host dominates
+    assert got.n_pages.iloc[0] > 3 * got.n_pages.iloc[-1]
+
+
+def test_salted_repartition_spreads_hot_host(corpus_dir):
+    ds = salted_repartition(read_pages(corpus_dir), num_buckets=16, num_salts=8)
+    df = ds.to_pandas()
+    hot = df[df.url.str.contains("host000")]
+    # the hottest host lands in ~num_salts distinct buckets, not one
+    assert hot.bucket.nunique() >= 4
+    assert len(df) == len(_expected_counts(corpus_dir)[0]) or True  # row count preserved:
+    assert len(df) == sum(_expected_counts(corpus_dir)[0].values())
