@@ -263,6 +263,32 @@ def _pages_host_stats(sf_dir: str):
     return host_stats_salted(read_pages(corpus))
 
 
+def _pages_metrics(sf_dir: str):
+    from horizon_ocr_python_ray import build_extract_pipeline, ensure_corpus, read_pages, sf_from_dir
+    from horizon_ocr_python_ray.stages.metrics import job_metrics
+
+    corpus = ensure_corpus(sf_from_dir(sf_dir))
+    return job_metrics(build_extract_pipeline(read_pages(corpus)))
+
+
+def _pages_markdown(sf_dir: str):
+    from horizon_ocr_python_ray import build_extract_pipeline, ensure_corpus, read_pages, sf_from_dir
+    from horizon_ocr_python_ray.functions.markdown import markdown_batch
+
+    corpus = ensure_corpus(sf_from_dir(sf_dir))
+    out = build_extract_pipeline(read_pages(corpus))
+    md = out.map_batches(markdown_batch, batch_format="pyarrow")
+
+    def digest(t):
+        import hashlib
+        import pyarrow as pa
+        hs = [hashlib.md5(m.encode("utf-8")).hexdigest() for m in t.column("markdown").to_pylist()]
+        return pa.Table.from_arrays([t.column("url"), pa.array(hs, pa.string())],
+                                    names=["url", "markdown_md5"])
+
+    return md.map_batches(digest, batch_format="pyarrow")
+
+
 def _media_features(sf_dir: str):
     import ray.data
     from horizon_ocr_python_ray import sf_from_dir
@@ -338,6 +364,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_fields": _pages_fields,
         "media_features": _media_features,
         "pages_host_stats": _pages_host_stats,
+        "pages_metrics": _pages_metrics,
+        "pages_markdown": _pages_markdown,
         "lineitem_filtered_revenue": _q6,
         "minhash_dup_clusters": _minhash_dup_clusters,
         "lineitem_pricing_summary": _q1,
