@@ -1,0 +1,114 @@
+"""Property-based tests (hypothesis): the fast HTML tokenizer against the
+stdlib oracle on adversarial markup, kernel invariants, and parser
+round-trips. The reference has no property tests (SURVEY.md §5) — these
+guard the custom tokenizer and the determinism contracts."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from horizon_ocr_python_ray.config import DEFAULT_CONFIG
+from horizon_ocr_python_ray.functions.extract_core import normalize_plain_text
+from horizon_ocr_python_ray.functions.htmltext import extract_html
+from horizon_ocr_python_ray.functions.layout import reading_order_indices
+from horizon_ocr_python_ray.functions.sniff import content_hash, sniff_route
+from horizon_ocr_python_ray.functions.validators import normalize_date, parse_amount
+
+# -- HTML tokenizer parity fuzz ----------------------------------------------
+
+_tag_names = st.sampled_from(
+    ["p", "div", "span", "a", "h1", "h2", "nav", "li", "ul", "em", "br",
+     "script", "style", "table", "td", "unknowntag"]
+)
+_text_chunk = st.text(
+    alphabet=st.characters(blacklist_characters="<>&", max_codepoint=0x2FF),
+    max_size=40,
+)
+
+
+@st.composite
+def html_fragment(draw):
+    parts = []
+    for _ in range(draw(st.integers(0, 12))):
+        kind = draw(st.integers(0, 6))
+        tag = draw(_tag_names)
+        if kind == 0:
+            parts.append(f"<{tag}>")
+        elif kind == 1:
+            parts.append(f"</{tag}>")
+        elif kind == 2:
+            parts.append(draw(_text_chunk))
+        elif kind == 3:
+            parts.append(f"<!-- {draw(_text_chunk)} -->")
+        elif kind == 4:
+            parts.append(f'<{tag} class="{draw(_text_chunk)}" data-x=\'{draw(_text_chunk)}\'>')
+        elif kind == 5:
+            parts.append(f"<{tag}/>")
+        else:
+            parts.append("&amp; &lt;x&gt; &#65; &nbsp;")
+    return "".join(parts)
+
+
+@settings(max_examples=200, deadline=None)
+@given(html_fragment())
+def test_fast_tokenizer_matches_stdlib(fragment):
+    payload = f"<html><body>{fragment}</body></html>".encode("utf-8")
+    fast = extract_html(payload, DEFAULT_CONFIG.html, engine="fast")
+    ref = extract_html(payload, DEFAULT_CONFIG.html, engine="stdlib")
+    assert fast == ref
+
+
+# -- kernel invariants --------------------------------------------------------
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(
+    st.tuples(st.floats(0, 1000), st.floats(0, 1000),
+              st.floats(1, 100), st.floats(1, 50)),
+    max_size=30,
+))
+def test_reading_order_is_total_permutation(raw):
+    bboxes = [[x, y, x + w, y + h] for x, y, w, h in raw]
+    order = reading_order_indices(bboxes)
+    assert sorted(order) == list(range(len(bboxes)))
+    assert order == reading_order_indices(bboxes)  # deterministic
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=200))
+def test_normalize_plain_text_idempotent(raw):
+    text1, spans1 = normalize_plain_text(raw)
+    text2, spans2 = normalize_plain_text(text1)
+    assert text2 == text1
+    assert spans2 == spans1
+    # spans tile the text: each [start,end) slice has no newline
+    for s in spans1:
+        assert "\n" not in text1[s["start"]:s["end"]]
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=64), st.text(max_size=64))
+def test_sniff_total_and_hash_stable(payload, text):
+    route = sniff_route(payload)
+    assert route in ("html", "doc", "image", "text", "binary")
+    assert content_hash(payload, text) == content_hash(payload, text)
+    if not payload:
+        assert route == "text"
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(0, 10_000_000), st.integers(0, 99))
+def test_parse_amount_roundtrip_us(dollars, cents):
+    value = dollars + cents / 100.0
+    us = f"${dollars:,}.{cents:02d}"
+    assert parse_amount(us) == value
+    eu = "€" + f"{dollars:,}.{cents:02d}".replace(",", "\x00").replace(".", ",").replace("\x00", ".")
+    assert parse_amount(eu) == value
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(1990, 2035), st.integers(1, 12), st.integers(1, 28))
+def test_normalize_date_formats(y, m, d):
+    iso = f"{y:04d}-{m:02d}-{d:02d}"
+    assert normalize_date(iso) == iso
+    assert normalize_date(f"{d:02d}/{m:02d}/{y}") == iso
+    assert normalize_date(f"{y}{m:02d}{d:02d}") == iso
