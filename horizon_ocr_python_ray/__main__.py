@@ -33,6 +33,8 @@ def main(argv: list[str] | None = None) -> int:
                      choices=["combined", "registry", "grouped", "staged"])
     run.add_argument("--no-resume", action="store_true",
                      help="delete any existing manifest/output first")
+    run.add_argument("--concurrent-fragments", type=int, default=4,
+                     help="fragments executed concurrently (hides per-job ramp)")
     args = ap.parse_args(argv)
 
     import ray
@@ -54,11 +56,31 @@ def main(argv: list[str] | None = None) -> int:
 
     n_parts = args.partitions
 
+    # Fragment assignment: when the input has at least as many parquet
+    # files as fragments, a fragment IS a slice of the file list — each
+    # fragment reads ONLY its files (no re-scan). With fewer files than
+    # fragments (e.g. one big file), fall back to row-hash filtering,
+    # which re-scans the input per fragment (correct, but O(P) reads —
+    # lay out big corpora as many files).
+    import glob as _glob
+
+    pages_root = args.input
+    if os.path.isdir(os.path.join(pages_root, "pages")):
+        pages_root = os.path.join(pages_root, "pages")
+    files = sorted(_glob.glob(os.path.join(pages_root, "*.parquet"))) \
+        if os.path.isdir(pages_root) else []
+    file_mode = len(files) >= n_parts
+
     def fragment(pid: int):
-        pages = read_pages(args.input).map_batches(
-            lambda t, pid=pid: filter_to_partition(t, pid, n_parts),
-            batch_format="pyarrow",
-        )
+        if file_mode:
+            import ray.data
+
+            pages = ray.data.read_parquet(files[pid::n_parts])
+        else:
+            pages = read_pages(args.input).map_batches(
+                lambda t, pid=pid: filter_to_partition(t, pid, n_parts),
+                batch_format="pyarrow",
+            )
         # Fragment pipelines skip global dedup (each sees only its rows);
         # extraction is deterministic, so cross-fragment duplicates still
         # produce identical bytes.
@@ -66,7 +88,8 @@ def main(argv: list[str] | None = None) -> int:
 
     t0 = time.monotonic()
     done_before = set(read_manifest(args.output))
-    committed = run_partitioned(fragment, args.output, n_parts)
+    committed = run_partitioned(fragment, args.output, n_parts,
+                                max_concurrent=args.concurrent_fragments)
     manifest = read_manifest(args.output)
     summary = {
         "output": args.output,

@@ -83,11 +83,51 @@ def _rows_checksum(result_table: pa.Table, key_col: str = "url") -> str:
     return f"{acc:032x}"
 
 
+def _run_one_partition(pipeline_for_partition, out_dir: str, pid: int) -> dict:
+    """Execute one fragment: run its pipeline, publish atomically, return
+    the lineage record (NOT yet committed to the manifest)."""
+    t0 = time.monotonic()
+    result = pipeline_for_partition(pid)
+    if hasattr(result, "to_arrow_refs"):  # ray.data.Dataset
+        import ray
+
+        tables = [t for t in ray.get(result.to_arrow_refs()) if t.num_rows]
+        table = pa.concat_tables(tables) if tables else None
+    else:
+        table = result
+    part_dir = os.path.join(out_dir, f"part={pid}")
+    tmp_dir = part_dir + ".tmp"
+    if os.path.exists(tmp_dir):
+        shutil.rmtree(tmp_dir)
+    os.makedirs(tmp_dir)
+    import pyarrow.parquet as pq
+
+    n_rows = 0
+    checksum = "0" * 32
+    if table is not None and table.num_rows:
+        pq.write_table(table, os.path.join(tmp_dir, "data.parquet"))
+        n_rows = table.num_rows
+        checksum = _rows_checksum(table)
+    else:
+        with open(os.path.join(tmp_dir, "_EMPTY"), "w") as f:
+            f.write("")
+    if os.path.exists(part_dir):
+        shutil.rmtree(part_dir)
+    os.replace(tmp_dir, part_dir)  # atomic publish; caller commits after
+    return {
+        "partition_id": pid,
+        "rows": n_rows,
+        "checksum": checksum,
+        "wall_s": round(time.monotonic() - t0, 3),
+    }
+
+
 def run_partitioned(
     pipeline_for_partition: Callable[[int], "pa.Table | object"],
     out_dir: str,
     num_partitions: int,
     max_partitions: int | None = None,
+    max_concurrent: int = 1,
 ) -> list[int]:
     """Run each unfinished partition's pipeline and commit it.
 
@@ -95,54 +135,43 @@ def run_partitioned(
     ``pa.Table``) holding ONLY that fragment's output rows. Returns the
     partition ids committed in this invocation. ``max_partitions`` limits
     how many fragments run (used by the kill/resume test).
+
+    ``max_concurrent > 1`` overlaps fragments (each fragment is its own
+    Dataset job; per-job ramp/tail would otherwise serialize between
+    fragments). Safe because each fragment publishes to its own
+    directory and the manifest append is lock-guarded; write-then-commit
+    ordering per fragment is preserved.
     """
     os.makedirs(out_dir, exist_ok=True)
     done = read_manifest(out_dir)
+    todo = [pid for pid in range(num_partitions) if pid not in done]
+    if max_partitions is not None:
+        todo = todo[:max_partitions]
+
     committed: list[int] = []
-    for pid in range(num_partitions):
-        if pid in done:
-            continue
-        if max_partitions is not None and len(committed) >= max_partitions:
-            break
-        t0 = time.monotonic()
-        result = pipeline_for_partition(pid)
-        if hasattr(result, "to_arrow_refs"):  # ray.data.Dataset
-            import ray
+    if max_concurrent <= 1:
+        for pid in todo:
+            rec = _run_one_partition(pipeline_for_partition, out_dir, pid)
+            _append_manifest(out_dir, rec)
+            committed.append(pid)
+        return committed
 
-            tables = [t for t in ray.get(result.to_arrow_refs()) if t.num_rows]
-            table = pa.concat_tables(tables) if tables else None
-        else:
-            table = result
-        part_dir = os.path.join(out_dir, f"part={pid}")
-        tmp_dir = part_dir + ".tmp"
-        if os.path.exists(tmp_dir):
-            shutil.rmtree(tmp_dir)
-        os.makedirs(tmp_dir)
-        import pyarrow.parquet as pq
+    import threading
+    from concurrent.futures import ThreadPoolExecutor, as_completed
 
-        n_rows = 0
-        checksum = "0" * 32
-        if table is not None and table.num_rows:
-            pq.write_table(table, os.path.join(tmp_dir, "data.parquet"))
-            n_rows = table.num_rows
-            checksum = _rows_checksum(table)
-        else:
-            with open(os.path.join(tmp_dir, "_EMPTY"), "w") as f:
-                f.write("")
-        if os.path.exists(part_dir):
-            shutil.rmtree(part_dir)
-        os.replace(tmp_dir, part_dir)  # atomic publish, then commit:
-        _append_manifest(
-            out_dir,
-            {
-                "partition_id": pid,
-                "rows": n_rows,
-                "checksum": checksum,
-                "wall_s": round(time.monotonic() - t0, 3),
-            },
-        )
-        committed.append(pid)
-    return committed
+    _stub_fsspec_http()
+    manifest_lock = threading.Lock()
+    with ThreadPoolExecutor(max_workers=max_concurrent) as pool:
+        futures = {
+            pool.submit(_run_one_partition, pipeline_for_partition, out_dir, pid): pid
+            for pid in todo
+        }
+        for fut in as_completed(futures):
+            rec = fut.result()
+            with manifest_lock:
+                _append_manifest(out_dir, rec)
+            committed.append(rec["partition_id"])
+    return sorted(committed)
 
 
 def read_all_output(out_dir: str) -> pa.Table:
@@ -165,3 +194,33 @@ def filter_to_partition(batch: pa.Table, pid: int, num_partitions: int) -> pa.Ta
         pa.int32(),
     )
     return batch.filter(pc.equal(pids, pa.scalar(pid, pa.int32())))
+
+
+def _stub_fsspec_http() -> None:
+    """Make ``fsspec.implementations.http`` importable when aiohttp is
+    absent. Ray's ``path_util._is_http_filesystem`` retries this import on
+    EVERY read (failed imports aren't cached by Python) and catches only
+    ``ModuleNotFoundError`` — under concurrent Dataset executions two
+    threads can race the partial import and see a bare ``ImportError``
+    that Ray doesn't catch. Registering a stub module with a sentinel
+    ``HTTPFileSystem`` class makes the import succeed, race-free;
+    ``isinstance`` checks against the sentinel are always False, which is
+    the correct answer in an aiohttp-less sandbox."""
+    import sys
+    import types
+
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+
+        return
+    except ImportError:
+        pass
+    mod = sys.modules.get("fsspec.implementations.http")
+    if mod is None:
+        mod = types.ModuleType("fsspec.implementations.http")
+        sys.modules["fsspec.implementations.http"] = mod
+    if not hasattr(mod, "HTTPFileSystem"):
+        class _NoHTTPFileSystem:  # sentinel — never instantiated
+            pass
+
+        mod.HTTPFileSystem = _NoHTTPFileSystem
