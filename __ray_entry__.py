@@ -289,6 +289,17 @@ def _pages_markdown(sf_dir: str):
     return md.map_batches(digest, batch_format="pyarrow")
 
 
+def _doc_lang_unique(sf_dir: str):
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    # Dataset.unique returns a python list; wrap as a one-column table.
+    import pyarrow as pa
+
+    vals = sorted(v for v in docs.unique("lang"))
+    return pa.Table.from_arrays([pa.array(vals, pa.string())], names=["lang"])
+
+
 def _media_features(sf_dir: str):
     import ray.data
     from horizon_ocr_python_ray import sf_from_dir
@@ -365,6 +376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _media_features,
         "pages_host_stats": _pages_host_stats,
         "pages_metrics": _pages_metrics,
+        "doc_lang_unique": _doc_lang_unique,
         "pages_markdown": _pages_markdown,
         "lineitem_filtered_revenue": _q6,
         "minhash_dup_clusters": _minhash_dup_clusters,
@@ -487,6 +499,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1000000) AS BIGINT) AS sim_e6
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        """,
+        "doc_lang_unique": """
+            SELECT DISTINCT lang FROM documents
         """,
         "lineitem_filtered_revenue": """
             SELECT CAST(round(sum(l_extendedprice * l_discount) * 100) AS BIGINT) AS revenue_e2,

@@ -16,20 +16,49 @@ Public API::
 This package never calls ``ray.init`` — the caller owns the session.
 """
 
-from .config import DEFAULT_CONFIG, DocConfig, ExtractConfig, FuseConfig, HtmlConfig
+from .config import (
+    DEFAULT_CONFIG,
+    DedupConfig,
+    DocConfig,
+    ExtractConfig,
+    FuseConfig,
+    HtmlConfig,
+    RuntimeConfig,
+)
 from .pipelines.extract import build_extract_pipeline, read_pages
 from .sources.synth import ensure_corpus, gen_corpus, sf_from_dir, sf_to_rows
 
 __all__ = [
     "DEFAULT_CONFIG",
+    "DedupConfig",
     "DocConfig",
     "ExtractConfig",
     "FuseConfig",
     "HtmlConfig",
+    "RuntimeConfig",
     "build_extract_pipeline",
+    "build_fields_pipeline",
     "ensure_corpus",
     "gen_corpus",
+    "job_metrics",
     "read_pages",
+    "run_partitioned",
     "sf_from_dir",
     "sf_to_rows",
 ]
+
+
+def __getattr__(name):  # lazy re-exports (avoid importing ray.data at package import)
+    if name == "build_fields_pipeline":
+        from .stages.fields_stage import build_fields_pipeline
+
+        return build_fields_pipeline
+    if name == "job_metrics":
+        from .stages.metrics import job_metrics
+
+        return job_metrics
+    if name == "run_partitioned":
+        from .state.checkpoint import run_partitioned
+
+        return run_partitioned
+    raise AttributeError(name)

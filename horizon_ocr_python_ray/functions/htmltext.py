@@ -175,6 +175,14 @@ _TAG_RE = re.compile(
 
 _RAW_END_RES = {t: re.compile(f"</{t}[^>]*>", re.IGNORECASE) for t in _RAWTEXT_TAGS}
 
+# stdlib's tolerant start-tag scanner (html.parser.locatestarttagend_tolerant)
+# — the fallback for malformed attribute soup (doubled quotes, bare junk)
+# that the strict _TAG_RE rejects; using the same regex keeps the fast
+# tokenizer byte-for-byte consistent with the stdlib oracle on such input.
+from html.parser import locatestarttagend_tolerant as _TOLERANT_START  # noqa: E402
+
+_TAG_NAME_RE = re.compile(r"<([a-zA-Z][^\t\n\r\f />\x00]*)")
+
 
 def _parse_fast(text: str, sink: _BlockSink) -> None:
     pos = 0
@@ -189,39 +197,55 @@ def _parse_fast(text: str, sink: _BlockSink) -> None:
         if lt > pos:
             chunk = text[pos:lt]
             sink.data(unescape(chunk) if "&" in chunk else chunk)
+        start_tag = None
+        self_closing = False
         m = _TAG_RE.match(text, lt)
-        if m is None:
-            sink.data("<")  # stray '<' — treat as text, resync
-            pos = lt + 1
-            continue
-        pos = m.end()
-        tag = m.group("start")
-        if tag is not None:
-            tag = tag.lower()
-            attrs = m.group("attrs") or ""
-            self_closing = attrs.rstrip().endswith("/")
-            if self_closing:
-                # parity with HTMLParser.handle_startendtag: ignored
+        if m is not None:
+            pos = m.end()
+            start_tag = m.group("start")
+            if start_tag is not None:
+                start_tag = start_tag.lower()
+                attrs = m.group("attrs") or ""
+                self_closing = attrs.rstrip().endswith("/")
+            else:
+                end_tag = m.group("end")
+                if end_tag is not None:
+                    sink.end(end_tag.lower())
+                # comments/CDATA/decl/PI: skipped
                 continue
-            sink.start(tag)
-            if tag in _RAWTEXT_TAGS:
-                # Raw body: scan to the real close tag; content may hold '<'.
-                em = _RAW_END_RES[tag].search(text, pos)
-                if em is None:
-                    body = text[pos:]
-                    pos = n
-                else:
-                    body = text[pos:em.start()]
-                    pos = em.end()
-                if tag in ("title", "textarea") and "&" in body:
-                    body = unescape(body)  # RCDATA: charrefs convert
-                sink.data(body)
-                sink.end(tag)
+        else:
+            # Tolerant fallback (stdlib check_for_whole_start_tag shape)
+            m2 = _TOLERANT_START.match(text, lt) if text[lt + 1:lt + 2].isalpha() else None
+            if m2 is not None and text[m2.end():m2.end() + 1] == ">":
+                start_tag = _TAG_NAME_RE.match(text, lt).group(1).lower()
+                pos = m2.end() + 1
+            elif m2 is not None and text[m2.end():m2.end() + 2] == "/>":
+                start_tag = None  # startendtag: ignored (parity)
+                pos = m2.end() + 2
+                continue
+            else:
+                sink.data("<")  # stray '<' — treat as text, resync
+                pos = lt + 1
+                continue
+        if start_tag is None:
             continue
-        tag = m.group("end")
-        if tag is not None:
-            sink.end(tag.lower())
-        # comments/CDATA/decl/PI: skipped
+        if self_closing:
+            # parity with HTMLParser.handle_startendtag: ignored
+            continue
+        sink.start(start_tag)
+        if start_tag in _RAWTEXT_TAGS:
+            # Raw body: scan to the real close tag; content may hold '<'.
+            em = _RAW_END_RES[start_tag].search(text, pos)
+            if em is None:
+                body = text[pos:]
+                pos = n
+            else:
+                body = text[pos:em.start()]
+                pos = em.end()
+            if start_tag in ("title", "textarea") and "&" in body:
+                body = unescape(body)  # RCDATA: charrefs convert
+            sink.data(body)
+            sink.end(start_tag)
 
 
 def extract_blocks(html_bytes: bytes, cfg: HtmlConfig, engine: str = "fast") -> list[Block]:

@@ -98,7 +98,8 @@ def test_sniff_total_and_hash_stable(payload, text):
 @settings(max_examples=100, deadline=None)
 @given(st.integers(0, 10_000_000), st.integers(0, 99))
 def test_parse_amount_roundtrip_us(dollars, cents):
-    value = dollars + cents / 100.0
+    # float() of the decimal string, not dollars + cents/100 (1-ulp apart)
+    value = float(f"{dollars}.{cents:02d}")
     us = f"${dollars:,}.{cents:02d}"
     assert parse_amount(us) == value
     eu = "€" + f"{dollars:,}.{cents:02d}".replace(",", "\x00").replace(".", ",").replace("\x00", ".")
