@@ -78,7 +78,7 @@ def run_bench() -> dict:
     entry = importlib.import_module("__ray_entry__")
     q = entry.queries()
     for name in ("lineitem_pricing_summary", "doc_exact_dedup", "events_hourly",
-                 "ann_topk", "minhash_near_dup"):
+                 "events_sessions", "emb_near_dup", "ann_topk", "minhash_near_dup"):
         t0 = time.monotonic()
         res = q[name](sf_dir)
         if hasattr(res, "count"):

@@ -36,20 +36,23 @@ def add_text_md5(batch: pa.Table) -> pa.Table:
 
 def exact_dedup_docs(docs_ds):
     """documents → one representative (min doc_id) per distinct text,
-    with the duplicate multiplicity. One shuffle on the hash key."""
+    with the duplicate multiplicity. One shuffle on the hash key; fully
+    vectorized aggregates (Min/Count), no per-group Python."""
+    from ray.data.aggregate import Count, Min
+
     ds = docs_ds.map_batches(add_text_md5, batch_format="pyarrow")
-
-    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id")
-        return pd.DataFrame(
-            {
-                "text_hash": [g["text_hash"].iloc[0]],
-                "rep_doc_id": [g["doc_id"].iloc[0]],
-                "n_dups": [len(g)],
-            }
-        )
-
-    return ds.groupby("text_hash").map_groups(first_per_group, batch_format="pandas")
+    out = ds.groupby("text_hash").aggregate(
+        Min("doc_id", alias_name="rep_doc_id"),
+        Count(alias_name="n_dups"),
+    )
+    return out.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t.column("text_hash"), t.column("rep_doc_id").cast(pa.int64()),
+             t.column("n_dups").cast(pa.int64())],
+            names=["text_hash", "rep_doc_id", "n_dups"],
+        ),
+        batch_format="pyarrow",
+    )
 
 
 # -- MinHash + LSH near-dup --------------------------------------------------
