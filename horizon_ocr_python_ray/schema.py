@@ -47,5 +47,11 @@ FIELDS_SCHEMA = pa.schema(
         ("status", pa.string()),
         ("confidence", pa.float64()),
         ("n_candidates", pa.int32()),
+        # Anchor of the winning value inside extracted_text — the
+        # field↔text anchoring join of the reference
+        # (``pipeline/orchestrator.py:1180-1302`` exact-substring strategy),
+        # expressed as half-open character offsets; (-1, -1) = unanchored.
+        ("value_start", pa.int64()),
+        ("value_end", pa.int64()),
     ]
 )

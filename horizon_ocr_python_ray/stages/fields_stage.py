@@ -48,6 +48,19 @@ def candidates_from_text(text: str) -> list[Candidate]:
     return out
 
 
+def anchor_value(text: str, value: str) -> tuple[int, int]:
+    """Anchor a fused value back into the extracted text — the exact-
+    substring strategy of the reference's field↔text anchoring cascade
+    (``pipeline/orchestrator.py:1241-1286``; strategies word/line/cell
+    collapse to substring search in a flat-text model). First occurrence
+    wins (deterministic); (-1, -1) when the value is not present
+    verbatim (e.g. normalized away)."""
+    if not value:
+        return -1, -1
+    i = text.find(value)
+    return (i, i + len(value)) if i >= 0 else (-1, -1)
+
+
 def fields_batch(batch: pa.Table, cfg: ExtractConfig) -> pa.Table:
     urls = batch.column("url").to_pylist()
     texts = batch.column("extracted_text").to_pylist()
@@ -57,6 +70,7 @@ def fields_batch(batch: pa.Table, cfg: ExtractConfig) -> pa.Table:
         if not cands:
             continue
         for f in fuse_fields(cands, cfg.fuse):
+            start, end = anchor_value(text or "", f.value)
             rows["url"].append(url)
             rows["name"].append(f.name)
             rows["value"].append(f.value)
@@ -65,6 +79,8 @@ def fields_batch(batch: pa.Table, cfg: ExtractConfig) -> pa.Table:
             rows["status"].append(f.status)
             rows["confidence"].append(f.confidence)
             rows["n_candidates"].append(f.n_candidates)
+            rows["value_start"].append(start)
+            rows["value_end"].append(end)
     return pa.Table.from_arrays(
         [pa.array(rows[n], FIELDS_SCHEMA.field(n).type) for n in FIELDS_SCHEMA.names],
         schema=FIELDS_SCHEMA,

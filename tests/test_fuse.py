@@ -141,3 +141,20 @@ class TestWindows:
         u1 = out[out.user_id == 1].sort_values("session_idx")
         assert list(u1["n_events"]) == [2, 1]
         assert list(out[out.user_id == 2]["n_events"]) == [2]
+
+
+class TestFieldAnchoring:
+    def test_anchor_offsets_point_at_value(self, corpus_dir):
+        from horizon_ocr_python_ray import build_extract_pipeline, read_pages
+        from horizon_ocr_python_ray.stages.fields_stage import build_fields_pipeline
+
+        out = build_extract_pipeline(read_pages(corpus_dir))
+        texts = {r["url"]: r["extracted_text"] for r in
+                 out.select_columns(["url", "extracted_text"]).take_all()}
+        fields = build_fields_pipeline(out).to_pandas()
+        assert len(fields) > 0
+        anchored = fields[fields.value_start >= 0]
+        # doc-route invoices embed Key: Value lines verbatim → anchored
+        assert len(anchored) > 0
+        for row in anchored.head(50).itertuples():
+            assert texts[row.url][row.value_start:row.value_end] == row.value
