@@ -54,3 +54,16 @@ def test_poison_payload_yields_error_row_not_raise():
 def test_unknown_route():
     text, _, err = extract_payload("binary", b"\x00\x01", None, DEFAULT_CONFIG)
     assert err.startswith("unsupported_route")
+
+
+def test_glyph_roundtrip_fuzz():
+    from hypothesis import given, settings, strategies as st
+
+    from horizon_ocr_python_ray.functions.docformat import decode_glyphs, encode_glyphs
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=120))
+    def check(s):
+        assert decode_glyphs(encode_glyphs(s)) == s
+
+    check()
