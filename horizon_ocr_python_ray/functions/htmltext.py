@@ -33,16 +33,6 @@ from html.parser import HTMLParser
 
 from ..config import TEXT_JOIN_SEPARATOR, HtmlConfig
 
-_WS_RE = re.compile(r"\s+")
-
-# Inline tags never flush the current block buffer.
-_INLINE_TAGS = frozenset(
-    "a abbr b bdi bdo br cite code data dfn em i kbd mark q rp rt ruby s samp "
-    "small span strong sub sup time u var wbr img picture source".split()
-)
-
-_VOID_TAGS = frozenset("br hr img input meta link area base col embed source track wbr".split())
-
 #: Elements whose raw bodies may contain ``<`` without opening a tag.
 _RAWTEXT_TAGS = frozenset("script style textarea title".split())
 

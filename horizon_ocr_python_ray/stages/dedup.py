@@ -199,7 +199,6 @@ def build_dup_registry(sniffed_ds, approx_rows: int | None = None):
 
 def drop_dup_members_stage(ds, registry_ref):
     """Filter out non-representative duplicate rows before extraction."""
-    import pyarrow.compute as pc
 
     class DropDups:
         def __init__(self, ref):
