@@ -310,30 +310,36 @@ def _media_features(sf_dir: str):
     return build_media_pipeline(media)
 
 
-def _q1(sf_dir: str):
+def _money_e2(t, cols):
+    """Fixed-point projection for money sums: CAST(round(x*100) AS BIGINT)
+    on BOTH sides — raw rounded doubles differ from DuckDB's by 1 ulp
+    depending on partial-sum order (the repr-compare trap). Rounding mode
+    half_towards_infinity matches DuckDB ``round``."""
+    import pyarrow as pa
     import pyarrow.compute as pc
+
+    for c in cols:
+        e2 = pc.cast(
+            pc.round(pc.multiply(t.column(c), 100.0), round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        t = t.set_column(t.column_names.index(c), f"{c}_e2", e2)
+    return t
+
+
+def _q1(sf_dir: str):
     from horizon_ocr_python_ray.pipelines.analytics import q1_pricing_summary
 
     out = q1_pricing_summary(sf_dir)
-
-    def r(t):
-        for c in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"):
-            t = t.set_column(t.column_names.index(c), c, pc.round(t.column(c), 2))
-        return t
-
-    return out.map_batches(r, batch_format="pyarrow")
+    cols = ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge")
+    return out.map_batches(lambda t: _money_e2(t, cols), batch_format="pyarrow")
 
 
 def _revenue_by_nation(sf_dir: str):
-    import pyarrow.compute as pc
     from horizon_ocr_python_ray.pipelines.analytics import revenue_by_nation
 
     out = revenue_by_nation(sf_dir)
-    return out.map_batches(
-        lambda t: t.set_column(t.column_names.index("total_revenue"), "total_revenue",
-                               pc.round(t.column("total_revenue"), 2)),
-        batch_format="pyarrow",
-    )
+    return out.map_batches(lambda t: _money_e2(t, ("total_revenue",)), batch_format="pyarrow")
 
 
 def _top_orders(sf_dir: str):
@@ -343,15 +349,10 @@ def _top_orders(sf_dir: str):
 
 
 def _orders_by_mktsegment(sf_dir: str):
-    import pyarrow.compute as pc
     from horizon_ocr_python_ray.pipelines.analytics import orders_per_customer_join
 
     out = orders_per_customer_join(sf_dir)
-    return out.map_batches(
-        lambda t: t.set_column(t.column_names.index("total_revenue"), "total_revenue",
-                               pc.round(t.column("total_revenue"), 2)),
-        batch_format="pyarrow",
-    )
+    return out.map_batches(lambda t: _money_e2(t, ("total_revenue",)), batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -514,16 +515,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lineitem_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_e2,
+                   CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sum_base_price_e2,
+                   CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS sum_disc_price_e2,
+                   CAST(round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100) AS BIGINT) AS sum_charge_e2,
                    count(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
         "revenue_by_nation": """
             SELECT n.n_name,
-                   round(sum(o.o_totalprice), 2) AS total_revenue,
+                   CAST(round(sum(o.o_totalprice) * 100) AS BIGINT) AS total_revenue_e2,
                    count(*) AS n_orders
             FROM orders o
             JOIN customer c ON o.o_custkey = c.c_custkey
@@ -539,7 +540,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "orders_by_mktsegment": """
             SELECT c.c_mktsegment,
-                   round(sum(o.o_totalprice), 2) AS total_revenue,
+                   CAST(round(sum(o.o_totalprice) * 100) AS BIGINT) AS total_revenue_e2,
                    count(*) AS n_orders
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_mktsegment

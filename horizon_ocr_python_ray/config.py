@@ -42,6 +42,10 @@ READING_ORDER_VERTICAL_OVERLAP = 0.5
 #: (reference quality filter, ``kie/fuse.py:135``).
 FUSE_MIN_SINGLE_SOURCE_CONFIDENCE = 0.15
 
+#: A multi-source-agreed winner is only CONFIDENT at or above this
+#: confidence (reference ``_determine_status``, ``kie/fuse.py:398``).
+CONFIDENT_MIN_CONFIDENCE = 0.7
+
 #: Cross-field consistency: |total - (subtotal + tax)| tolerance
 #: (reference ``config.py:172``, ``kie/validators.py:495-558``).
 CONSISTENCY_AMOUNT_TOLERANCE = 0.01

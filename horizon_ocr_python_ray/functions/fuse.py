@@ -11,6 +11,13 @@ determination from matching-source + validation counts (``:375-408``).
 
 All functions are pure; the grouped reduce runs per document inside a
 batch function — fields of one document never cross workers.
+
+Intentional deviations from the reference (everything else follows its
+branch structure): winner/value ties are broken deterministically by
+(confidence, source, value) instead of dict insertion order, and
+``_select_highest_confidence`` keeps all candidates rather than applying
+the reference's ``min_confidence`` pre-filter (our quality filter already
+dropped implausible candidates).
 """
 
 from __future__ import annotations
@@ -18,7 +25,11 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-from ..config import FUSE_MIN_SINGLE_SOURCE_CONFIDENCE, FuseConfig
+from ..config import (
+    CONFIDENT_MIN_CONFIDENCE,
+    FUSE_MIN_SINGLE_SOURCE_CONFIDENCE,
+    FuseConfig,
+)
 from .validators import (
     check_document_consistency,
     infer_data_type,
@@ -105,14 +116,19 @@ def _select_weighted_vote(cands: list[Candidate], weights: dict[str, float]) -> 
 
 
 def _select_consensus(cands: list[Candidate], weights: dict[str, float]) -> Candidate:
-    groups: dict[str, set[str]] = {}
+    """Reference ``_select_consensus`` (``kie/fuse.py:342-373``): any value
+    appearing more than once wins (count-based, no strict-majority gate);
+    winner is the highest-confidence candidate of the most-repeated value.
+    Deterministic tie-break across equally-repeated values replaces the
+    reference's dict-insertion-order walk."""
+    groups: dict[str, list[Candidate]] = {}
     for c in cands:
-        groups.setdefault(_value_key(c.value), set()).add(c.source)
-    best = max(sorted(groups), key=lambda k: len(groups[k]))
-    n_sources_total = len({c.source for c in cands})
-    if len(groups[best]) * 2 > n_sources_total:  # strict majority
-        winner_cands = [c for c in cands if _value_key(c.value) == best]
-        return max(winner_cands, key=lambda c: (c.confidence, c.source))
+        groups.setdefault(_value_key(c.value), []).append(c)
+    max_count = max(len(g) for g in groups.values())
+    if max_count > 1:
+        tied = [k for k in sorted(groups) if len(groups[k]) == max_count]
+        best_key = max(tied, key=lambda k: (max((c.confidence, c.source) for c in groups[k]), k))
+        return max(groups[best_key], key=lambda c: (c.confidence, c.source))
     return _select_weighted_vote(cands, weights)
 
 
@@ -120,26 +136,52 @@ def _select_highest_confidence(cands: list[Candidate], _w: dict[str, float]) -> 
     return max(cands, key=lambda c: (c.confidence, c.source, _value_key(c.value)))
 
 
+def _validation_ratio(c: Candidate) -> float:
+    """Pass-ratio of the candidate's own validators (the analog of the
+    reference's per-candidate ``validation_passed``/``validation_total``
+    metadata, ``kie/fuse.py:325-340``)."""
+    vres = validate_field(c.name, c.value, infer_data_type(c.name, c.value))
+    if not vres:
+        return 0.0
+    return sum(1 for v in vres if v["passed"]) / len(vres)
+
+
+def _select_validator_priority(cands: list[Candidate], _w: dict[str, float]) -> Candidate:
+    """Reference ``_select_validator_priority`` (``kie/fuse.py:325-340``):
+    lexicographic max on (validation pass-ratio, confidence), with a
+    deterministic (source, value) tie-break."""
+    return max(cands, key=lambda c: (_validation_ratio(c), c.confidence, c.source,
+                                     _value_key(c.value)))
+
+
 _STRATEGIES = {
     "weighted_vote": _select_weighted_vote,
     "consensus": _select_consensus,
     "highest_confidence": _select_highest_confidence,
+    "validator_priority": _select_validator_priority,
 }
 
 
 def _determine_status(winner: Candidate, cands: list[Candidate], validators: list[dict]) -> str:
-    if validators and any(not v["passed"] for v in validators):
-        return "validation_failed"
-    if validators and all(v["passed"] for v in validators):
+    """Reference ``_determine_status`` branch order (``kie/fuse.py:375-408``):
+    validated → validation_failed → confident (≥2 sources AND confidence ≥
+    0.7) → single_source → uncertain (<0.5) → confident."""
+    total = len(validators)
+    passed = sum(1 for v in validators if v["passed"])
+    if total > 0 and passed == total:
         return "validated"
+    if total > 0:
+        return "validation_failed"
     matching_sources = {
         c.source for c in cands if _value_key(c.value) == _value_key(winner.value)
     }
-    if len(matching_sources) >= 2:
+    if len(matching_sources) >= 2 and winner.confidence >= CONFIDENT_MIN_CONFIDENCE:
         return "confident"
+    if len(matching_sources) == 1:
+        return "single_source"
     if winner.confidence < 0.5:
         return "uncertain"
-    return "single_source"
+    return "confident"
 
 
 def fuse_fields(
@@ -158,12 +200,19 @@ def fuse_fields(
     for c in cands:
         by_name.setdefault(c.name, []).append(c)
 
-    select = _STRATEGIES.get(cfg.strategy, _select_weighted_vote)
+    try:
+        select = _STRATEGIES[cfg.strategy]
+    except KeyError:
+        raise ValueError(
+            f"unknown fuse strategy {cfg.strategy!r}; expected one of {sorted(_STRATEGIES)}"
+        ) from None
     fused: list[FusedField] = []
     winners: dict[str, str] = {}
+    winner_by_name: dict[str, Candidate] = {}
     for name in sorted(by_name):
         group = by_name[name]
         winner = select(group, weights)
+        winner_by_name[name] = winner
         data_type = infer_data_type(name, winner.value)
         norm = normalize_value(data_type, winner.value)
         winners[name] = norm if norm is not None else winner.value
@@ -193,7 +242,5 @@ def fuse_fields(
         for f in fused:
             f.validators = f.validators + cons_by_field.get(f.name, [])
     for f in fused:
-        group = by_name[f.name]
-        winner = next(c for c in group if _value_key(c.value) == _value_key(f.value))
-        f.status = _determine_status(winner, group, f.validators)
+        f.status = _determine_status(winner_by_name[f.name], by_name[f.name], f.validators)
     return fused

@@ -2,7 +2,7 @@
 
 Deterministic hashing throughout (no Python ``hash``); numpy-vectorized
 per document. These feed the LSH-bucketed dedup pipelines in
-``stages/neardup.py``.
+``stages/dedup_docs.py``.
 """
 
 from __future__ import annotations
@@ -56,10 +56,10 @@ def shingle_hashes(text: str, k: int = 5, cache: dict[str, int] | None = None) -
     k_eff = min(k, len(toks))
     n = len(toks) - k_eff + 1
     acc = np.zeros(n, dtype=np.uint64)
-    c = np.uint64(1)
-    for j in range(k_eff):
-        acc += th[j:j + n] * c
-        c = c * _POLY_C
+    c = 1  # multiplier chain in Python ints masked to 64 bits — wraparound
+    for j in range(k_eff):  # is intended; a np.uint64 scalar multiply warns
+        acc += th[j:j + n] * np.uint64(c)
+        c = (c * int(_POLY_C)) & _MASK64
     return np.unique(acc)
 
 

@@ -65,34 +65,42 @@ def q1_pricing_summary(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
-def revenue_by_nation(sf_dir: str):
-    """Revenue per customer nation: the two small dimension sides
-    (customer key→nationkey, nation key→name) are broadcast via
-    ``ray.put`` and applied as in-batch lookups — no shuffle join for
-    dimension tables (ray_guide 'Joins and lookups')."""
-    cust = _tbl(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+def revenue_by_nation(sf_dir: str, num_partitions: int = 8):
+    """Revenue per customer nation. Customer is a FACT-scale side (grows
+    with the corpus), so orders⋈customer goes through the partitioned
+    hash join; only nation (a bounded 25-row dimension) is broadcast via
+    ``ray.put`` and applied as a vectorized ``np.searchsorted`` lookup
+    inside the partial-aggregate batch fn (ray_guide 'Joins and
+    lookups')."""
     nation = _tbl(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    cust_map = dict(zip(cust["c_custkey"].to_numpy(), cust["c_nationkey"].to_numpy()))
-    nation_map = dict(zip(nation["n_nationkey"].to_numpy(), nation["n_name"].tolist()))
-    ref = ray.put((cust_map, nation_map))
+    nation = nation.sort_values("n_nationkey")
+    nref = ray.put((nation["n_nationkey"].to_numpy(np.int64),
+                    np.array(nation["n_name"].tolist(), dtype=object)))
 
-    class Lookup:
-        def __init__(self, ref):
-            self.cust_map, self.nation_map = ray.get(ref)
+    orders = _tbl(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _tbl(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    joined = orders.join(
+        cust, join_type="inner", num_partitions=num_partitions,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+
+    class NationLookup:
+        def __init__(self, nref):
+            self.keys, self.names = ray.get(nref)  # fetched once per actor
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            keys = t.column("o_custkey").to_numpy()
-            nk = np.array([self.cust_map.get(k, -1) for k in keys])
-            names = [self.nation_map.get(int(k), "UNKNOWN") for k in nk]
+            nk = t.column("c_nationkey").to_numpy().astype(np.int64)
+            idx = np.searchsorted(self.keys, nk)
+            idx = np.clip(idx, 0, len(self.keys) - 1)
+            names = np.where(self.keys[idx] == nk, self.names[idx], "UNKNOWN")
             t2 = pa.Table.from_arrays(
-                [pa.array(names, pa.string()), t.column("o_totalprice")],
+                [pa.array(names.tolist(), pa.string()), t.column("o_totalprice")],
                 names=["n_name", "o_totalprice"],
             )
             agg = pa.TableGroupBy(t2, ["n_name"]).aggregate([("o_totalprice", "sum"), ("o_totalprice", "count")])
             return agg.rename_columns(["n_name", "p_rev", "p_n"])
 
-    orders = _tbl(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    partials = orders.map_batches(Lookup, fn_constructor_kwargs={"ref": ref},
+    partials = joined.map_batches(NationLookup, fn_constructor_kwargs={"nref": nref},
                                   batch_format="pyarrow", batch_size=65536, concurrency=2)
     out = partials.groupby("n_name").aggregate(
         Sum("p_rev", alias_name="total_revenue"),

@@ -104,8 +104,13 @@ def hot_hosts(pages_ds, top_k: int = 10, num_salts: int = 16):
 
 def salted_repartition(pages_ds, num_buckets: int = 64, num_salts: int = 16):
     """Redistribute rows on ``hash(host) ⊕ salt`` so a hot host's pages
-    spread across ``num_salts`` of the ``num_buckets`` partitions —
-    the pre-actor-pool skew break for key-affine stages."""
+    spread across exactly ``num_salts`` of the ``num_buckets`` partitions —
+    the pre-actor-pool skew break for key-affine stages.
+
+    The redistribution is a real key-based hash shuffle
+    (``groupby(bucket)`` with an identity group fn — rows of one bucket
+    land together), NOT ``Dataset.repartition``, which redistributes rows
+    randomly and would not honor the salt-count guarantee."""
 
     def bucket(t: pa.Table) -> pa.Table:
         urls = t.column("url").to_pylist()
@@ -117,4 +122,4 @@ def salted_repartition(pages_ds, num_buckets: int = 64, num_salts: int = 16):
         return t.append_column("bucket", pa.array(b, pa.int32()))
 
     with_bucket = pages_ds.map_batches(bucket, batch_format="pyarrow")
-    return with_bucket.repartition(num_buckets, shuffle=True)
+    return with_bucket.groupby("bucket").map_groups(lambda t: t, batch_format="pyarrow")

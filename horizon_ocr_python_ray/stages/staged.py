@@ -95,6 +95,11 @@ def fan_out_pages(batch: pa.Table) -> pa.Table:
                 page_list = [(0, decode_image_payload(payload)["lines"])]
         except Exception:
             page_list = [(0, None)]  # poison page → error surfaces downstream
+        if not page_list:
+            # Sentinel page for a payload that decodes to zero pages, so the
+            # document still reassembles to one (empty-text) row — keeps the
+            # staged variant byte-identical to the combined one.
+            page_list = [(0, [])]
         for page_no, lines in page_list:
             for c in _ID_COLS:
                 rows[c].append(ids[c][i])

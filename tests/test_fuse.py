@@ -53,6 +53,55 @@ def test_consensus_majority():
     assert out[0].value == "B"  # 2 of 3 sources
 
 
+def test_consensus_max_count_without_majority():
+    # Reference accepts any value with max_count > 1 (kie/fuse.py:342-373)
+    # — no strict-majority gate.
+    cfg = FuseConfig(strategy="consensus")
+    cands = [
+        Candidate("f", "A", 0.99, "regex"),
+        Candidate("f", "B", 0.5, "layout"),
+        Candidate("f", "B", 0.5, "fallback"),
+        Candidate("f", "C", 0.9, "alt1"),
+    ]
+    out = fuse_fields(cands, cfg, run_validators=False)
+    assert out[0].value == "B"  # 2 of 4 sources — max count wins
+
+
+def test_validator_priority_prefers_passing_candidate():
+    cfg = FuseConfig(strategy="validator_priority")
+    cands = [
+        Candidate("balance", "oops", 0.95, "regex"),     # fails amount parse
+        Candidate("balance", "$50.00", 0.4, "layout"),   # passes validators
+    ]
+    out = fuse_fields(cands, cfg, run_validators=False)
+    assert out[0].value == "$50.00"
+
+
+def test_unknown_strategy_raises():
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown fuse strategy"):
+        fuse_fields([Candidate("f", "x", 0.9, "regex")], FuseConfig(strategy="bogus"))
+
+
+def test_status_confidence_gate():
+    # Two sources agree but confidence < 0.5 → uncertain, not confident
+    # (reference _determine_status order, kie/fuse.py:375-408).
+    cands = [
+        Candidate("f", "A", 0.45, "regex"),
+        Candidate("f", "A", 0.40, "layout"),
+    ]
+    out = fuse_fields(cands, CFG, run_validators=False)
+    assert out[0].status == "uncertain"
+    # ≥0.7 with two sources → confident via the gated branch
+    cands2 = [
+        Candidate("f", "A", 0.75, "regex"),
+        Candidate("f", "A", 0.72, "layout"),
+    ]
+    out2 = fuse_fields(cands2, CFG, run_validators=False)
+    assert out2[0].status == "confident"
+
+
 def test_highest_confidence():
     cfg = FuseConfig(strategy="highest_confidence")
     cands = [
