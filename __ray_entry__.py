@@ -151,7 +151,17 @@ def _ann_topk_lsh(sf_dir: str):
 
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     q = np.array(emb.sort("vec_id").take(1)[0]["embedding"], dtype=np.float64)
-    return lsh_bucketed_topk(emb, q, k=10, dim=len(q))
+    out = lsh_bucketed_topk(emb, q, k=10, dim=len(q))
+
+    def project(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        return pa.Table.from_arrays(
+            [t.column("vec_id"), pc.round(t.column("score"), 6), t.column("rank")],
+            names=["vec_id", "score", "rank"],
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
 
 
 def _events_hourly(sf_dir: str):
@@ -223,6 +233,8 @@ def _emb_near_dup_lsh(sf_dir: str):
 
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     q = emb.take(1)[0]["embedding"]
+    # 32 tables × 2 planes: miss ≈ 1e-7 per true pair at cosine 0.4 →
+    # output equals the exact variant (same DuckDB oracle).
     return embedding_near_dup_pairs_lsh(emb, threshold=0.4, dim=len(q))
 
 
@@ -448,6 +460,21 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'fr' END AS pred_lang
             FROM s
         """,
+        # ann_topk_lsh shares ann_topk's oracle: multi-table multi-probe
+        # LSH with (32 tables × 2 planes, Hamming-1 probing) has miss
+        # probability ~1e-28 per true neighbor, so its top-k equals the
+        # brute-force top-k.
+        "ann_topk_lsh": """
+            WITH q AS (SELECT embedding FROM embeddings ORDER BY vec_id LIMIT 1)
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS score,
+                   row_number() OVER (
+                     ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                              e.vec_id
+                   ) AS rank
+            FROM embeddings e, q
+            ORDER BY rank LIMIT 10
+        """,
         "ann_topk": """
             WITH q AS (SELECT embedding FROM embeddings ORDER BY vec_id LIMIT 1)
             SELECT e.vec_id,
@@ -496,6 +523,15 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY user_id, session_idx
         """,
         "emb_near_dup": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   CAST(round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1000000) AS BIGINT) AS sim_e6
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        """,
+        # emb_near_dup_lsh shares emb_near_dup's oracle: banded LSH
+        # (32 tables × 2 planes) + exact-cosine verify has per-pair miss
+        # ~1e-7 at the 0.4 threshold → identical pair set.
+        "emb_near_dup_lsh": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    CAST(round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1000000) AS BIGINT) AS sim_e6
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

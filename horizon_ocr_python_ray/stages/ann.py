@@ -2,9 +2,32 @@
 
 Baseline: brute-force cosine top-k — numpy matmul per batch against a
 broadcast query matrix (``ray.put`` once, read per actor), per-batch
-partial top-k, tiny global merge. The scale path is the LSH-bucketed
-variant: random-hyperplane signatures bucket vectors so each query only
-scans its bucket (an IVF-style restriction).
+partial top-k, tiny global merge.
+
+Scale paths:
+
+- :func:`embedding_near_dup_pairs` (exact) sweeps the corpus as a
+  block-matmul join: the right side is the dataset's own materialized
+  Arrow blocks (object-store refs — never concatenated on the driver),
+  each batch multiplies against one shard at a time with a per-worker
+  shard cache. O(n²) flops, but distributed, memory-bounded and
+  driver-free.
+- :func:`embedding_near_dup_pairs_lsh` / :func:`lsh_bucketed_topk` use
+  **banded multi-table hyperplane LSH** (``b`` tables × ``r`` planes,
+  candidates = union over tables, exact-cosine verify) — the same
+  OR-amplification banding as the MinHash pipeline
+  (``stages/dedup_docs.py``). For a pair at cosine ``s`` the per-plane
+  agreement is ``p = 1 − arccos(s)/π`` and the miss probability is
+  ``(1 − p^r)^b``; parameters are chosen per threshold so recall is
+  effectively 1 (defaults below give miss ≈ 1e-7 at s = 0.4).  Note the
+  engineering trade: at low thresholds (0.4) banding needs few planes
+  per table, so bucket pruning is weak and the verify stage dominates;
+  at realistic near-dup thresholds (0.8+) more planes per table prune
+  sharply. The machinery is identical — only (b, r) move.
+
+Reference semantics: D5/D6 near-dup merges
+(``/root/reference/docvision/detect/layout_doclaynet.py:253-325``,
+``detect/text_craft.py:219-273``) lifted to corpus scale.
 """
 
 from __future__ import annotations
@@ -27,6 +50,8 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     norms[norms == 0] = 1.0
     return m / norms
 
+
+# -- brute-force top-k -------------------------------------------------------
 
 class BruteForceTopK:
     """Per-batch partial top-k against the broadcast query matrix."""
@@ -65,7 +90,7 @@ def brute_force_topk(emb_ds, query: np.ndarray, k: int = 10):
     ref = ray.put(query)
     partials = emb_ds.map_batches(
         BruteForceTopK, fn_constructor_kwargs={"query_ref": ref, "k": k},
-        batch_format="pyarrow", concurrency=2, batch_size=4096,
+        batch_format="pyarrow", concurrency=(1, 2), batch_size=4096,
     )
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
@@ -77,103 +102,101 @@ def brute_force_topk(emb_ds, query: np.ndarray, k: int = 10):
     return partials.groupby("query_idx").map_groups(merge, batch_format="pandas")
 
 
-class HyperplaneLSH:
-    """Random-hyperplane signature stage: adds a ``bucket`` column.
+# -- banded multi-table hyperplane LSH ---------------------------------------
 
-    Vectors sharing a bucket are cosine-close with high probability; a
-    query is answered by scanning only its bucket (plus optionally the
-    Hamming-1 neighbor buckets). Deterministic planes from a fixed seed.
+class BandedLSH:
+    """``n_tables`` independent hyperplane tables of ``n_planes`` planes.
+
+    ``bucket_keys`` maps vectors to one int64 key per table; the table
+    index is folded into the key (``(bucket << table_bits) | table``) so a
+    single equality groups within-table collisions and keys never collide
+    across tables. Deterministic planes from a fixed seed.
     """
 
-    def __init__(self, dim: int, n_planes: int = 8, seed: int = 11) -> None:
+    def __init__(self, dim: int, n_tables: int, n_planes: int, seed: int = 11) -> None:
         rng = np.random.RandomState(seed)
-        self.planes = rng.standard_normal((dim, n_planes))
+        self.planes = rng.standard_normal((dim, n_tables * n_planes))
+        self.n_tables = n_tables
+        self.n_planes = n_planes
+        self.table_bits = max(1, int(n_tables - 1).bit_length())
 
-    def bucket_of(self, vecs: np.ndarray) -> np.ndarray:
-        bits = (vecs @ self.planes) > 0
-        return (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1).astype(np.int64)
+    def bucket_matrix(self, vecs: np.ndarray) -> np.ndarray:
+        """(n, dim) → (n, n_tables) per-table bucket ids (un-folded)."""
+        bits = (vecs @ self.planes) > 0  # (n, T*P)
+        b = bits.reshape(len(vecs), self.n_tables, self.n_planes)
+        return (b * (1 << np.arange(self.n_planes, dtype=np.int64))).sum(axis=2)
+
+    def fold(self, buckets: np.ndarray) -> np.ndarray:
+        """(n, n_tables) bucket ids → folded int64 keys."""
+        tables = np.arange(self.n_tables, dtype=np.int64)[None, :]
+        return (buckets.astype(np.int64) << self.table_bits) | tables
+
+    def bucket_keys(self, vecs: np.ndarray) -> np.ndarray:
+        return self.fold(self.bucket_matrix(vecs))
+
+    def probe_keys(self, vec: np.ndarray, n_probes: int = 0) -> np.ndarray:
+        """Folded keys probed for one query vector: its own bucket per
+        table, plus (``n_probes ≥ 1``) every Hamming-1 neighbor bucket —
+        the multi-probe trick that recovers near-miss candidates without
+        more tables."""
+        base = self.bucket_matrix(vec[None, :])[0]  # (T,)
+        keys = [self.fold(base[None, :])[0]]
+        if n_probes >= 1:
+            for p in range(self.n_planes):
+                keys.append(self.fold((base ^ (1 << p))[None, :])[0])
+        return np.unique(np.concatenate(keys))
+
+
+class _BucketRows:
+    """Stage: one output row per (table, vector): (bucket_key, vec_id,
+    embedding). The T× row duplication is the price of OR-amplification;
+    production picks ``n_tables`` by threshold (see module docstring)."""
+
+    def __init__(self, dim: int, n_tables: int, n_planes: int, seed: int = 11) -> None:
+        self.lsh = BandedLSH(dim, n_tables, n_planes, seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        _, emb = _batch_matrix(batch)
-        return batch.append_column("bucket", pa.array(self.bucket_of(emb), pa.int64()))
-
-
-def lsh_bucketed_topk(emb_ds, query: np.ndarray, k: int = 10, dim: int = 64,
-                      n_planes: int = 8):
-    """Scale path: restrict the scan to the query's LSH bucket. Recall is
-    approximate (tested against brute force for overlap, not equality)."""
-    query = np.atleast_2d(np.asarray(query, dtype=np.float64))
-    lsh = HyperplaneLSH(dim, n_planes)
-    qbuckets = set(lsh.bucket_of(query).tolist())
-    bucketed = emb_ds.map_batches(
-        HyperplaneLSH, fn_constructor_kwargs={"dim": dim, "n_planes": n_planes},
-        batch_format="pyarrow", concurrency=2,
-    )
-    import pyarrow.compute as pc
-
-    candidates = bucketed.map_batches(
-        lambda t: t.filter(pc.is_in(t.column("bucket"), value_set=pa.array(sorted(qbuckets)))),
-        batch_format="pyarrow",
-    )
-    return brute_force_topk(candidates.drop_columns(["bucket"]), query, k)
-
-
-def embedding_near_dup_pairs(emb_ds, threshold: float = 0.95):
-    """Embedding-cosine near-duplicate pairs: all (a < b) with cosine ≥
-    threshold.
-
-    Exact variant: the normalized corpus matrix is broadcast once via
-    ``ray.put`` and each batch computes ``batch × corpusᵀ`` with one numpy
-    matmul — O(n²) flops but fully vectorized and embarrassingly parallel
-    across batches. The scale path replaces the broadcast matrix with LSH
-    bucketing (:class:`HyperplaneLSH` + within-bucket pairs) at the cost
-    of recall; at 100 TB you would also shard the right-hand side and
-    sweep shards per batch (block-matmul join).
-    """
-    rows = emb_ds.select_columns(["vec_id", "embedding"]).take_all()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    order = np.argsort(ids)
-    ids = ids[order]
-    mat = _normalize(np.array([rows[i]["embedding"] for i in order], dtype=np.float64))
-    ref = ray.put((ids, mat))
-
-    class PairFinder:
-        def __init__(self, ref, threshold):
-            self.ids, self.mat = ray.get(ref)  # fetched once per worker
-            self.threshold = threshold
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            bids, bemb = _batch_matrix(batch)
-            sims = _normalize(bemb) @ self.mat.T  # (batch, corpus)
-            rows_i, cols_j = np.nonzero(sims >= self.threshold)
-            keep = bids[rows_i] < self.ids[cols_j]  # a < b, drops self-pairs
-            rows_i, cols_j = rows_i[keep], cols_j[keep]
+        ids, emb = _batch_matrix(batch)
+        if not len(ids):
             return pa.Table.from_arrays(
-                [
-                    pa.array(bids[rows_i], pa.int64()),
-                    pa.array(self.ids[cols_j], pa.int64()),
-                    pa.array(np.round(sims[rows_i, cols_j] * 1e6).astype(np.int64), pa.int64()),
-                ],
-                names=["vec_a", "vec_b", "sim_e6"],
+                [pa.array([], pa.int64()), pa.array([], pa.int64()),
+                 pa.array([], pa.list_(pa.float64()))],
+                names=["bucket_key", "vec_id", "embedding"],
             )
-
-    return emb_ds.map_batches(
-        PairFinder, fn_constructor_kwargs={"ref": ref, "threshold": threshold},
-        batch_format="pyarrow", batch_size=4096, concurrency=(1, 8),
-    )
+        keys = self.lsh.bucket_keys(emb)  # (n, T)
+        t = keys.shape[1]
+        return pa.Table.from_arrays(
+            [pa.array(keys.reshape(-1), pa.int64()),
+             pa.array(np.repeat(ids, t), pa.int64()),
+             pa.array(np.repeat(emb, t, axis=0).tolist(), pa.list_(pa.float64()))],
+            names=["bucket_key", "vec_id", "embedding"],
+        )
 
 
 def embedding_near_dup_pairs_lsh(emb_ds, threshold: float = 0.95, dim: int = 64,
-                                 n_planes: int = 12):
-    """Approximate near-dup pairs: bucket by random-hyperplane signature,
-    compare only within buckets (``groupby(bucket)``). Misses pairs whose
-    members land in different buckets — recall is tested against the
-    exact variant, not equality."""
-    import pandas as pd
+                                 n_tables: int = 32, n_planes: int = 2,
+                                 seed: int = 11):
+    """Approximate near-dup pairs via banded multi-table LSH, verified
+    with exact cosine — fully distributed (no driver materialization):
+
+    1. map: (bucket_key, vec_id, embedding) rows, one per table;
+    2. ``groupby(bucket_key)`` → within-bucket exact-cosine pairs ≥
+       threshold (verification happens inside the group, so only TRUE
+       pairs survive);
+    3. ``groupby(vec_a, vec_b)`` → per-pair first (dedup across tables).
+
+    With the defaults (32 tables × 2 planes), a pair at cosine 0.4 has
+    per-plane agreement p ≈ 0.631, per-table hit p² ≈ 0.40, miss
+    (1−p²)³² ≈ 9e-8 — recall is effectively exact (tested equal to
+    :func:`embedding_near_dup_pairs`).
+    """
+    from ray.data.aggregate import Min
 
     bucketed = emb_ds.map_batches(
-        HyperplaneLSH, fn_constructor_kwargs={"dim": dim, "n_planes": n_planes},
-        batch_format="pyarrow", concurrency=2,
+        _BucketRows,
+        fn_constructor_kwargs={"dim": dim, "n_tables": n_tables,
+                               "n_planes": n_planes, "seed": seed},
+        batch_format="pyarrow", concurrency=(1, 2), batch_size=4096,
     )
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -186,9 +209,126 @@ def embedding_near_dup_pairs_lsh(emb_ds, threshold: float = 0.95, dim: int = 64,
         mat = _normalize(np.array(g["embedding"].tolist(), dtype=np.float64))
         sims = mat @ mat.T
         i, j = np.nonzero(np.triu(sims >= threshold, k=1))
+        keep = ids[i] != ids[j]  # same vector in one bucket via two tables
+        i, j = i[keep], j[keep]
         return pd.DataFrame({
             "vec_a": ids[i], "vec_b": ids[j],
             "sim_e6": np.round(sims[i, j] * 1e6).astype(np.int64),
         })
 
-    return bucketed.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pandas")
+    pairs = bucketed.groupby("bucket_key").map_groups(pairs_in_bucket, batch_format="pandas")
+    # dedup across tables — sim_e6 is identical per pair, Min is just the
+    # vectorized way to keep one row per (vec_a, vec_b)
+    out = pairs.groupby(["vec_a", "vec_b"]).aggregate(Min("sim_e6", alias_name="sim_e6"))
+    return out.map_batches(
+        lambda t: t.select(["vec_a", "vec_b", "sim_e6"]), batch_format="pyarrow"
+    )
+
+
+def lsh_bucketed_topk(emb_ds, query: np.ndarray, k: int = 10, dim: int = 64,
+                      n_tables: int = 32, n_planes: int = 2, n_probes: int = 1,
+                      seed: int = 11):
+    """Scale path for top-k: scan only rows whose bucket (in ANY table)
+    matches one of the query's probed buckets — its own bucket per table
+    plus Hamming-1 neighbors (multi-probe). The candidate filter is a
+    stateless vectorized ``np.isin`` per batch (no shuffle); candidates
+    then go through :func:`brute_force_topk`.
+
+    Default parameters mirror :func:`embedding_near_dup_pairs_lsh`: at
+    moderate similarity (s ≈ 0.4) the per-table probe-hit probability is
+    1−(1−p)² ≈ 0.86, so 32 tables give miss ≈ 1e-28 per true neighbor —
+    tested equal to the brute-force top-k.
+    """
+    query = np.asarray(query, dtype=np.float64)
+    lsh = BandedLSH(dim, n_tables, n_planes, seed)
+    probed = lsh.probe_keys(query, n_probes)
+    probed_ref = ray.put(probed)
+
+    class CandidateFilter:
+        def __init__(self, dim, n_tables, n_planes, seed, probed_ref):
+            self.lsh = BandedLSH(dim, n_tables, n_planes, seed)
+            self.probed = ray.get(probed_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if not batch.num_rows:
+                return batch
+            _, emb = _batch_matrix(batch)
+            keys = self.lsh.bucket_keys(emb)  # (n, T)
+            hit = np.isin(keys, self.probed).any(axis=1)
+            return batch.filter(pa.array(hit))
+
+    candidates = emb_ds.map_batches(
+        CandidateFilter,
+        fn_constructor_kwargs={"dim": dim, "n_tables": n_tables,
+                               "n_planes": n_planes, "seed": seed,
+                               "probed_ref": probed_ref},
+        batch_format="pyarrow", concurrency=(1, 2), batch_size=4096,
+    )
+    return brute_force_topk(candidates, query, k)
+
+
+# -- exact near-dup pairs (block-matmul sweep, driver-free) ------------------
+
+#: Per-worker-process cache of decoded right-side shards keyed by block
+#: ref hex — each worker decodes a shard once, however many batches it
+#: sweeps (task workers are reused across batches).
+_SHARD_CACHE: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _shard_matrix(ref) -> tuple[np.ndarray, np.ndarray]:
+    key = ref.hex()
+    got = _SHARD_CACHE.get(key)
+    if got is None:
+        tbl: pa.Table = ray.get(ref)  # zero-copy read from the object store
+        ids, emb = _batch_matrix(tbl)
+        got = (ids, _normalize(emb))
+        _SHARD_CACHE[key] = got
+    return got
+
+
+def embedding_near_dup_pairs(emb_ds, threshold: float = 0.95):
+    """Embedding-cosine near-duplicate pairs: all (a < b) with cosine ≥
+    threshold — EXACT, via a distributed block-matmul sweep.
+
+    The right side is the dataset's own materialized Arrow blocks: the
+    driver holds only object refs (never the data); each left batch
+    sweeps the shards one at a time — ``batch × shardᵀ`` — with a
+    per-worker shard cache, so peak worker memory is one batch + one
+    shard. O(n²) flops is inherent to exactness; the sub-quadratic path
+    is :func:`embedding_near_dup_pairs_lsh`.
+    """
+    shard_refs = emb_ds.select_columns(["vec_id", "embedding"]).to_arrow_refs()
+    refs_ref = ray.put(shard_refs)
+
+    class PairFinder:
+        def __init__(self, refs_ref, threshold):
+            self.shard_refs = ray.get(refs_ref)
+            self.threshold = threshold
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            bids, bemb = _batch_matrix(batch)
+            bn = _normalize(bemb) if len(bids) else bemb
+            out_a, out_b, out_s = [], [], []
+            for ref in self.shard_refs:
+                sids, smat = _shard_matrix(ref)
+                if not len(sids) or not len(bids):
+                    continue
+                sims = bn @ smat.T  # (batch, shard)
+                rows_i, cols_j = np.nonzero(sims >= self.threshold)
+                keep = bids[rows_i] < sids[cols_j]  # a < b, drops self-pairs
+                rows_i, cols_j = rows_i[keep], cols_j[keep]
+                out_a.append(bids[rows_i])
+                out_b.append(sids[cols_j])
+                out_s.append(np.round(sims[rows_i, cols_j] * 1e6).astype(np.int64))
+            cat = (lambda xs, d: np.concatenate(xs) if xs else np.array([], dtype=d))
+            return pa.Table.from_arrays(
+                [pa.array(cat(out_a, np.int64), pa.int64()),
+                 pa.array(cat(out_b, np.int64), pa.int64()),
+                 pa.array(cat(out_s, np.int64), pa.int64())],
+                names=["vec_a", "vec_b", "sim_e6"],
+            )
+
+    return emb_ds.map_batches(
+        PairFinder, fn_constructor_kwargs={"refs_ref": refs_ref, "threshold": threshold},
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, 8),
+    )
