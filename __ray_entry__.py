@@ -8,9 +8,12 @@ curation ops) to callables over ``sf_dir``; ``oracle_sql()`` provides the
 DuckDB-equivalent SQL for every SQL-expressible entry. Column names match
 between the two (the driver hash-compares values after sorting columns by
 name). Non-SQL-expressible ops (the extraction pipeline over the synthetic
-pages corpus, MinHash/SimHash sketches, LSH ANN) have no oracle entry →
+pages corpus, raw MinHash/SimHash sketch values) have no oracle entry →
 driver records a rows-only check; their real correctness gate is the
-byte-identity pytest suite (tests/test_pipeline_golden.py).
+byte-identity pytest suite (tests/test_pipeline_golden.py). The LSH paths
+(ann_topk_lsh, emb_near_dup_lsh) and the MinHash near-dup/cluster
+pipelines ARE oracled: their banding parameters give effectively-exact
+recall, so the SQL ground truth is the exact all-pairs computation.
 """
 
 from __future__ import annotations
@@ -116,12 +119,32 @@ def _doc_simhash(sf_dir: str):
 
 
 def _minhash_near_dup(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
     import ray.data
     from horizon_ocr_python_ray.stages.dedup_docs import minhash_lsh_pairs, ngram_jaccard_verify
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     pairs = minhash_lsh_pairs(docs, min_est_jaccard=0.5)
-    return ngram_jaccard_verify(docs, pairs, threshold=0.5)
+    verified = ngram_jaccard_verify(docs, pairs, threshold=0.5)
+
+    # Oracle-comparable projection: exact n-gram Jaccard as fixed-point e6
+    # (the MinHash est_jaccard column is signature-derived — not SQL-
+    # reproducible — so it is dropped). LSH banding recall at the verify
+    # threshold: near-dup pairs sit at j ≥ 0.87 in this corpus, where the
+    # 32×4 banding miss probability is < 1e-12 → pair set equals the
+    # all-pairs SQL.
+    def project(t: "pa.Table") -> "pa.Table":
+        e6 = pc.cast(
+            pc.round(pc.multiply(t.column("jaccard"), 1e6), round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        return pa.Table.from_arrays(
+            [t.column("doc_a"), t.column("doc_b"), e6],
+            names=["doc_a", "doc_b", "jaccard_e6"],
+        )
+
+    return verified.map_batches(project, batch_format="pyarrow")
 
 
 def _ann_topk(sf_dir: str):
@@ -475,6 +498,41 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e, q
             ORDER BY rank LIMIT 10
         """,
+        # Connected components over the verified near-dup pair graph via
+        # a recursive min-label walk — the SQL ground truth for the
+        # distributed label-propagation clustering.
+        "minhash_dup_clusters": r"""
+            WITH RECURSIVE t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+                          ELSE list_distinct(list_transform(
+                                 range(1, len(toks) - least(5, len(toks)) + 2),
+                                 i -> array_to_string(toks[i : i + least(5, len(toks)) - 1], ' ')
+                               )) END AS sh
+              FROM t
+            ), j AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     len(list_intersect(a.sh, b.sh)) AS i,
+                     len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS u
+              FROM s a JOIN s b ON a.doc_id < b.doc_id
+            ), p AS (
+              SELECT doc_a, doc_b FROM j
+              WHERE CASE WHEN u = 0 THEN 1.0 ELSE i::DOUBLE / u END >= 0.5
+            ), edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM p
+              UNION ALL SELECT doc_b, doc_a FROM p
+            ), walk(u, label) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.u, w.label FROM edges e JOIN walk w ON w.u = e.v
+            )
+            SELECT u AS doc_id, min(label) AS cluster_id FROM walk GROUP BY u
+        """,
         "ann_topk": """
             WITH q AS (SELECT embedding FROM embeddings ORDER BY vec_id LIMIT 1)
             SELECT e.vec_id,
@@ -539,6 +597,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_lang_unique": """
             SELECT DISTINCT lang FROM documents
+        """,
+        # Exact 5-token-shingle Jaccard over all pairs — the SQL ground
+        # truth for the MinHash+LSH pipeline (banding recall is
+        # effectively 1 at this corpus's near-dup similarity levels, and
+        # every surviving pair is verified with exact Jaccard).
+        "minhash_near_dup": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+                          ELSE list_distinct(list_transform(
+                                 range(1, len(toks) - least(5, len(toks)) + 2),
+                                 i -> array_to_string(toks[i : i + least(5, len(toks)) - 1], ' ')
+                               )) END AS sh
+              FROM t
+            ), j AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     len(list_intersect(a.sh, b.sh)) AS i,
+                     len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS u
+              FROM s a JOIN s b ON a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   CASE WHEN u = 0 THEN 1000000
+                        ELSE CAST(round(i::DOUBLE / u * 1000000) AS BIGINT) END AS jaccard_e6
+            FROM j
+            WHERE CASE WHEN u = 0 THEN 1.0 ELSE i::DOUBLE / u END >= 0.5
         """,
         "lineitem_filtered_revenue": """
             SELECT CAST(round(sum(l_extendedprice * l_discount) * 100) AS BIGINT) AS revenue_e2,

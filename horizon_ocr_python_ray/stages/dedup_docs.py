@@ -114,52 +114,20 @@ class MinHashStage:
         )
 
 
-def minhash_lsh_pairs(docs_ds, num_hashes: int = 128, num_bands: int = 32,
-                      k_shingle: int = 5, min_est_jaccard: float = 0.5):
-    """documents → near-duplicate candidate pairs (doc_a, doc_b,
-    est_jaccard), deduped across bands, est ≥ ``min_est_jaccard``.
+#: Band-row count (docs × bands) above which pair discovery switches from
+#: the driver-side vectorized pass to the fully distributed plan.
+DRIVER_MAX_BAND_ROWS = 50_000_000
 
-    Physical plan (combiner + broadcast, no giant tiny-group shuffle):
 
-    1. map: shingle → minhash → band keys (one narrow int64 row per band);
-    2. ``groupby(band_key).aggregate(Count)`` — vectorized narrow shuffle —
-       keeps only keys with ≥2 members (collisions are rare, so this is a
-       tiny set);
-    3. members of colliding keys are collected and paired on the driver
-       (pair multiplicity ~ duplicate rate, not corpus size);
-    4. estimated Jaccard is computed distributed over the pair list from
-       re-derived signatures of ONLY the candidate documents (their texts
-       are broadcast once via ``ray.put``).
-
-    Banding defaults (128 hashes, 32 bands × 4 rows) put the s-curve
-    collision threshold at (1/32)^(1/4) ≈ 0.42, matched to the default
-    ``min_est_jaccard=0.5`` (16×8 would miss half of 0.5–0.7 near-dups).
-    """
-    import pyarrow.compute as pc
+def _discover_pairs_driver(bands) -> list[tuple[int, int]]:
+    """Collect the narrow (doc_id, band_key) table and pair hot keys on
+    the driver — one vectorized pass, no extra Ray job barriers. Only
+    valid below :data:`DRIVER_MAX_BAND_ROWS`."""
     import ray
-    import ray.data
 
-    pairs_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
-                              ("est_jaccard", pa.float64())])
-
-    # Task-based stage (worker-global warm MinHashStage — no actor spawn),
-    # materialized once: the band table is two int64 columns, and three
-    # consumers (counts, members, est) would otherwise re-run the sketch.
-    bands = docs_ds.map_batches(
-        minhash_band_task,
-        fn_kwargs={"num_hashes": num_hashes, "num_bands": num_bands,
-                   "k_shingle": k_shingle},
-        batch_format="pyarrow",
-    )
     band_tables = [t for t in ray.get(bands.to_arrow_refs()) if t.num_rows]
-    # The band table is two int64 columns (docs × bands rows). Below
-    # ~50M rows, one driver-side vectorized pass beats three extra Ray
-    # job barriers; above it, switch to the distributed plan:
-    # groupby(band_key).aggregate(Count) → filter n>1 → broadcast hot
-    # keys → member filter (same shape as stages/dedup.build_dup_registry
-    # distributed path).
     if not band_tables:
-        return ray.data.from_arrow(pairs_schema.empty_table())
+        return []
     tbl = pa.concat_tables(band_tables).combine_chunks()
     keys_np = tbl.column("band_key").to_numpy()
     docs_np = tbl.column("doc_id").to_numpy()
@@ -174,9 +142,109 @@ def minhash_lsh_pairs(docs_ds, num_hashes: int = 128, num_bands: int = 32,
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 pair_set.add((ids[i], ids[j]))
-    if not pair_set:
+    return sorted(pair_set)
+
+
+def _discover_pairs_distributed(bands) -> list[tuple[int, int]]:
+    """Distributed candidate discovery — the band table never lands on
+    the driver:
+
+    1. ``groupby(band_key).aggregate(Count)`` (narrow int64 shuffle) →
+       filter count > 1: collisions are rare, so the HOT-KEY set is tiny
+       and is the only thing collected/broadcast;
+    2. member filter (``is_in`` over the broadcast hot keys — stateless
+       vectorized map, no shuffle);
+    3. ``groupby(band_key).map_groups`` emits within-key pairs;
+    4. ``groupby(doc_a, doc_b).aggregate(Count)`` dedups across bands.
+
+    Only the final DEDUPED pair list (multiplicity ~ duplicate rate, not
+    corpus size) is collected — the same driver bound the downstream
+    candidate-text broadcast already requires.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    bands_m = bands.materialize()  # two consumers: counts + member filter
+    hot = bands_m.groupby("band_key").aggregate(Count(alias_name="n")).map_batches(
+        lambda t: t.filter(pc.greater(t.column("n"), pa.scalar(1))).select(["band_key"]),
+        batch_format="pyarrow",
+    )
+    hot_keys = pa.array([r["band_key"] for r in hot.take_all()], pa.int64())
+    if not len(hot_keys):
+        return []
+    members = bands_m.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("band_key"), value_set=hot_keys)),
+        batch_format="pyarrow",
+    )
+
+    def pairs_in_group(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(g["doc_id"].tolist()))
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                                 "doc_b": pd.Series(dtype="int64")})
+        a, b = zip(*((ids[i], ids[j]) for i in range(len(ids))
+                     for j in range(i + 1, len(ids))))
+        return pd.DataFrame({"doc_a": list(a), "doc_b": list(b)})
+
+    pairs = members.groupby("band_key").map_groups(pairs_in_group, batch_format="pandas")
+    deduped = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_n"))
+    return sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in deduped.select_columns(["doc_a", "doc_b"]).take_all()
+    )
+
+
+def minhash_lsh_pairs(docs_ds, num_hashes: int = 128, num_bands: int = 32,
+                      k_shingle: int = 5, min_est_jaccard: float = 0.5,
+                      plan: str = "auto"):
+    """documents → near-duplicate candidate pairs (doc_a, doc_b,
+    est_jaccard), deduped across bands, est ≥ ``min_est_jaccard``.
+
+    Physical plan (combiner + broadcast, no giant tiny-group shuffle):
+
+    1. map: shingle → minhash → band keys (one narrow int64 row per band);
+    2. candidate discovery — ``plan="driver"`` (one vectorized pass over
+       the collected two-int64-column band table) below
+       :data:`DRIVER_MAX_BAND_ROWS` band rows, else ``plan="distributed"``
+       (:func:`_discover_pairs_distributed`: groupby-Count → hot-key
+       broadcast → member filter → within-key pairing → pair dedup, with
+       only the tiny hot-key set and final pair list ever on the driver).
+       Both produce the identical pair list (tested byte-equal);
+       ``plan="auto"`` switches on the actual row count.
+    3. estimated Jaccard is computed distributed over the pair list from
+       re-derived signatures of ONLY the candidate documents (their texts
+       are broadcast once via ``ray.put``).
+
+    Banding defaults (128 hashes, 32 bands × 4 rows) put the s-curve
+    collision threshold at (1/32)^(1/4) ≈ 0.42, matched to the default
+    ``min_est_jaccard=0.5`` (16×8 would miss half of 0.5–0.7 near-dups).
+    """
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    pairs_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                              ("est_jaccard", pa.float64())])
+
+    # Task-based stage (worker-global warm MinHashStage — no actor spawn).
+    bands = docs_ds.map_batches(
+        minhash_band_task,
+        fn_kwargs={"num_hashes": num_hashes, "num_bands": num_bands,
+                   "k_shingle": k_shingle},
+        batch_format="pyarrow",
+    )
+    if plan == "auto":
+        plan = ("driver" if docs_ds.count() * num_bands <= DRIVER_MAX_BAND_ROWS
+                else "distributed")
+    if plan == "driver":
+        pairs_sorted = _discover_pairs_driver(bands)
+    elif plan == "distributed":
+        pairs_sorted = _discover_pairs_distributed(bands)
+    else:
+        raise ValueError(f"unknown plan {plan!r}; expected auto|driver|distributed")
+    if not pairs_sorted:
         return ray.data.from_arrow(pairs_schema.empty_table())
-    pairs_sorted = sorted(pair_set)
     cand_ids = sorted({d for p in pairs_sorted for d in p})
 
     # texts of ONLY the candidate docs, broadcast once

@@ -97,6 +97,33 @@ def test_lsh_pipeline_no_dups_is_empty():
     assert pairs.count() == 0
 
 
+def test_discovery_plans_byte_equal():
+    # the distributed candidate plan must produce exactly the driver
+    # plan's output — checked on the constructed corpus and on the
+    # driver's sf0.001 documents table
+    docs = ray.data.from_arrow(_docs_table())
+    a = minhash_lsh_pairs(docs, min_est_jaccard=0.5, plan="driver").to_pandas()
+    b = minhash_lsh_pairs(docs, min_est_jaccard=0.5, plan="distributed").to_pandas()
+    assert a.equals(b)
+
+    real = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                                 columns=["doc_id", "text"])
+    ra = minhash_lsh_pairs(real, min_est_jaccard=0.5, plan="driver").to_pandas()
+    rb = minhash_lsh_pairs(real, min_est_jaccard=0.5, plan="distributed").to_pandas()
+    key = ["doc_a", "doc_b"]
+    assert ra.sort_values(key).reset_index(drop=True).equals(
+        rb.sort_values(key).reset_index(drop=True))
+    assert len(ra) > 0
+
+
+def test_unknown_plan_raises():
+    import pytest
+
+    docs = ray.data.from_arrow(_docs_table())
+    with pytest.raises(ValueError, match="unknown plan"):
+        minhash_lsh_pairs(docs, plan="bogus")
+
+
 def test_near_dup_clusters_union_find_and_distributed():
     import pandas as pd
 
