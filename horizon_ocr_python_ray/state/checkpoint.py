@@ -83,32 +83,63 @@ def _rows_checksum(result_table: pa.Table, key_col: str = "url") -> str:
     return f"{acc:032x}"
 
 
+def _dataset_rows_checksum(ds) -> tuple[int, str]:
+    """Distributed (rows, checksum) over a Dataset: per-batch partial XOR
+    + count inside ``map_batches`` (the XOR fingerprint commutes, so
+    block order is irrelevant), then a tiny driver fold of the one-row
+    partials. The fragment's data never lands on the driver."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        acc = int(_rows_checksum(t), 16)
+        return pa.Table.from_arrays(
+            [pa.array([t.num_rows], pa.int64()),
+             pa.array([acc >> 64], pa.uint64()),
+             pa.array([acc & ((1 << 64) - 1)], pa.uint64())],
+            names=["n", "hi", "lo"],
+        )
+
+    rows, acc = 0, 0
+    for rec in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        rows += rec["n"]
+        acc ^= (int(rec["hi"]) << 64) | int(rec["lo"])
+    return rows, f"{acc:032x}"
+
+
 def _run_one_partition(pipeline_for_partition, out_dir: str, pid: int) -> dict:
     """Execute one fragment: run its pipeline, publish atomically, return
-    the lineage record (NOT yet committed to the manifest)."""
+    the lineage record (NOT yet committed to the manifest).
+
+    Dataset results are written with ``Dataset.write_parquet`` — a
+    distributed multi-file write straight from the workers into the
+    fragment's temp dir (fragment output never transits driver memory) —
+    then the rows/checksum lineage is computed by a distributed pass over
+    the WRITTEN files (which doubles as a durability read-back check)
+    before the atomic rename publishes the directory.
+    """
     t0 = time.monotonic()
     result = pipeline_for_partition(pid)
-    if hasattr(result, "to_arrow_refs"):  # ray.data.Dataset
-        import ray
-
-        tables = [t for t in ray.get(result.to_arrow_refs()) if t.num_rows]
-        table = pa.concat_tables(tables) if tables else None
-    else:
-        table = result
     part_dir = os.path.join(out_dir, f"part={pid}")
     tmp_dir = part_dir + ".tmp"
     if os.path.exists(tmp_dir):
         shutil.rmtree(tmp_dir)
     os.makedirs(tmp_dir)
-    import pyarrow.parquet as pq
-
     n_rows = 0
     checksum = "0" * 32
-    if table is not None and table.num_rows:
-        pq.write_table(table, os.path.join(tmp_dir, "data.parquet"))
-        n_rows = table.num_rows
-        checksum = _rows_checksum(table)
-    else:
+    if hasattr(result, "write_parquet"):  # ray.data.Dataset
+        import ray.data
+
+        _stub_fsspec_http()
+        result.write_parquet(tmp_dir)
+        if any(f.endswith(".parquet") for f in os.listdir(tmp_dir)):
+            n_rows, checksum = _dataset_rows_checksum(ray.data.read_parquet(tmp_dir))
+    else:  # small driver-built pa.Table results
+        import pyarrow.parquet as pq
+
+        if result is not None and result.num_rows:
+            pq.write_table(result, os.path.join(tmp_dir, "data.parquet"))
+            n_rows = result.num_rows
+            checksum = _rows_checksum(result)
+    if n_rows == 0:
         with open(os.path.join(tmp_dir, "_EMPTY"), "w") as f:
             f.write("")
     if os.path.exists(part_dir):
@@ -175,13 +206,19 @@ def run_partitioned(
 
 
 def read_all_output(out_dir: str) -> pa.Table:
+    """Concatenate every committed partition's parquet files (each
+    fragment dir holds one-or-many files — Ray's distributed write emits
+    one per block)."""
     import pyarrow.parquet as pq
 
     tables = []
     for name in sorted(os.listdir(out_dir)):
-        p = os.path.join(out_dir, name, "data.parquet")
-        if name.startswith("part=") and os.path.exists(p):
-            tables.append(pq.read_table(p))
+        d = os.path.join(out_dir, name)
+        if not (name.startswith("part=") and os.path.isdir(d)):
+            continue
+        for fname in sorted(os.listdir(d)):
+            if fname.endswith(".parquet"):
+                tables.append(pq.read_table(os.path.join(d, fname)))
     if not tables:
         raise FileNotFoundError(f"no committed partitions under {out_dir}")
     return pa.concat_tables(tables)

@@ -64,6 +64,12 @@ def test_kill_restart_resume(tmp_path, corpus_dir, golden_map):
     for url, text in zip(urls, texts):
         assert text == golden_map[url]["extracted_text"], url
 
+    # Dataset fragments are written by Ray's distributed write_parquet
+    # (worker-side multi-file output), not a driver-side single file
+    part0_files = [f for f in os.listdir(os.path.join(out_dir, "part=0"))
+                   if f.endswith(".parquet")]
+    assert part0_files and "data.parquet" not in part0_files
+
     # lineage records carry rows + checksum per partition
     manifest = read_manifest(out_dir)
     assert set(manifest) == set(range(NUM_PARTS))
