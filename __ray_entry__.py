@@ -270,6 +270,19 @@ def _pages_fields(sf_dir: str):
     return build_fields_pipeline(out)
 
 
+def _pages_tables(sf_dir: str):
+    from horizon_ocr_python_ray import ensure_corpus, read_pages, sf_from_dir
+    from horizon_ocr_python_ray.stages.tables_stage import build_tables_pipeline
+
+    corpus = ensure_corpus(sf_from_dir(sf_dir))
+    out = build_tables_pipeline(read_pages(corpus))
+    return out.map_batches(
+        lambda t: t.select(["url", "page", "table_idx", "n_rows", "n_cols",
+                            "n_cells", "cells_md5"]),
+        batch_format="pyarrow",
+    )
+
+
 def _q6(sf_dir: str):
     from horizon_ocr_python_ray.pipelines.analytics import q6_filtered_revenue
 
@@ -409,6 +422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_near_dup": _emb_near_dup,
         "emb_near_dup_lsh": _emb_near_dup_lsh,
         "pages_fields": _pages_fields,
+        "pages_tables": _pages_tables,
         "media_features": _media_features,
         "pages_host_stats": _pages_host_stats,
         "pages_metrics": _pages_metrics,
@@ -428,9 +442,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
+    # The pages_tables oracle reads the golden table fixtures of the
+    # sf0.01 synthetic corpus (the driver's compare scale) directly from
+    # disk — the pages corpus is not among the pre-registered views.
+    # Generating the corpus is Ray-free and cached, so ensure it here.
+    from horizon_ocr_python_ray import ensure_corpus
+
+    golden_sf0_01 = ensure_corpus(0.01) + "/golden.parquet"
     tok = "regexp_split_to_array(trim(lower(text)), '\\s+')"
     ntok = "CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
     return {
+        # Table-structure detection vs the generator's golden grid
+        # fixtures (cell counts + row-major cell-text hashes). The
+        # fixtures are construction knowledge, not extractor output, so
+        # this is a true independent oracle.
+        "pages_tables": f"""
+            WITH g AS (
+              SELECT url, unnest(tables) AS t
+              FROM read_parquet('{golden_sf0_01}')
+            )
+            SELECT url, t.page AS page, t.table_idx AS table_idx,
+                   t.n_rows AS n_rows, t.n_cols AS n_cols,
+                   t.n_rows * t.n_cols AS n_cells,
+                   md5(array_to_string(t.cell_texts, '|')) AS cells_md5
+            FROM g
+        """,
         "doc_exact_dedup": """
             SELECT md5(text) AS text_hash,
                    min(doc_id) AS rep_doc_id,

@@ -50,6 +50,29 @@ CONFIDENT_MIN_CONFIDENCE = 0.7
 #: (reference ``config.py:172``, ``kie/validators.py:495-558``).
 CONSISTENCY_AMOUNT_TOLERANCE = 0.01
 
+#: Table structure: a grid needs at least this many aligned columns —
+#: two-column text layouts are reading-order rows, not tables (reference
+#: alignment clustering requires ≥3 x-clusters,
+#: ``detect/table_tatr.py:334-453``).
+TABLE_MIN_COLS = 3
+
+#: Minimum consecutive grid rows for a table.
+TABLE_MIN_ROWS = 2
+
+#: Column x-alignment tolerance in pixels (cells within this of a column
+#: anchor belong to it, reference ``table_tatr.py:468-469`` ordering).
+TABLE_X_TOLERANCE = 2.0
+
+#: Over-detection filter: drop "tables" covering more than this fraction
+#: of the page (reference ``detect/table_tatr.py:107-133``).
+TABLE_MAX_PAGE_COVERAGE = 0.80
+
+#: Over-detection filter: drop tables with more than this many cells when
+#: they also cover more than :data:`TABLE_MAX_CELLS_COVERAGE` of the page
+#: (reference ``detect/table_tatr.py:107-133``).
+TABLE_MAX_CELLS = 100
+TABLE_MAX_CELLS_COVERAGE = 0.50
+
 #: HTML fast path: a text block must have at least this many characters to
 #: be retained as main content (trafilatura/readability-style heuristic).
 HTML_MIN_BLOCK_CHARS = 40
@@ -97,6 +120,18 @@ class DocConfig:
     detect_concurrency: int = 4
     recognize_concurrency: int = 4
     recognize_batch_size: int = 64
+
+
+@dataclass(frozen=True)
+class TableConfig:
+    """Table-structure detection knobs (reference ``detect/table_tatr.py``)."""
+
+    min_cols: int = TABLE_MIN_COLS
+    min_rows: int = TABLE_MIN_ROWS
+    x_tolerance: float = TABLE_X_TOLERANCE
+    max_page_coverage: float = TABLE_MAX_PAGE_COVERAGE
+    max_cells: int = TABLE_MAX_CELLS
+    max_cells_coverage: float = TABLE_MAX_CELLS_COVERAGE
 
 
 @dataclass(frozen=True)
@@ -158,6 +193,7 @@ class ExtractConfig:
 
     html: HtmlConfig = field(default_factory=HtmlConfig)
     doc: DocConfig = field(default_factory=DocConfig)
+    tables: TableConfig = field(default_factory=TableConfig)
     dedup: DedupConfig = field(default_factory=DedupConfig)
     fuse: FuseConfig = field(default_factory=FuseConfig)
     runtime: RuntimeConfig = field(default_factory=RuntimeConfig)
