@@ -95,10 +95,13 @@ def quality_filter(cands: list[Candidate], cfg: FuseConfig) -> list[Candidate]:
 
 
 def _dedup(cands: list[Candidate]) -> list[Candidate]:
-    seen: set[tuple[str, str]] = set()
+    """Drop (source, value) duplicates WITHIN a field name (the reference
+    dedups inside one field's candidate list, ``kie/fuse.py:203-206`` —
+    two different fields may legitimately share a value)."""
+    seen: set[tuple[str, str, str]] = set()
     out = []
     for c in cands:
-        key = (c.source, _value_key(c.value))
+        key = (c.name, c.source, _value_key(c.value))
         if key not in seen:
             seen.add(key)
             out.append(c)

@@ -20,28 +20,50 @@ import pyarrow as pa
 
 from ..config import DEFAULT_CONFIG, ExtractConfig
 from ..functions.fuse import Candidate, fuse_fields
+from ..functions.nested import explode_fields, parse_structured
 from ..schema import FIELDS_SCHEMA
 
 _KV_RE = re.compile(r"^([A-Za-z][A-Za-z0-9 _\-]{0,40}):\s+(.+?)\s*$")
 
-#: Confidence profile of the two pseudo-sources (analog of the reference's
+#: Confidence profile of the pseudo-sources (analog of the reference's
 #: per-engine source weights ``kie/fuse.py:44-71``).
 REGEX_SOURCE_CONF = 0.90
 LAYOUT_SOURCE_CONF = 0.80
+#: The structured head (JSON / <s_k> tag islands → dotted names) plays
+#: the Donut role (``kie/donut_runner.py``).
+NESTED_SOURCE_CONF = 0.85
+
+
+def _nested_candidates(payload: str) -> list[Candidate]:
+    data = parse_structured(payload)
+    if not data:
+        return []
+    return [Candidate(name, value, NESTED_SOURCE_CONF, "nested")
+            for name, value in explode_fields(data)]
 
 
 def candidates_from_text(text: str) -> list[Candidate]:
-    """Parse ``Key: Value`` lines into candidates from two sources.
+    """Parse candidates from three sources:
 
-    The "layout" head re-reads only value-bearing (digit-containing)
-    fields, mimicking a second model that focuses on amounts/dates.
+    - ``regex`` / ``layout``: flat ``Key: Value`` lines (the layout head
+      re-reads only value-bearing, digit-containing fields — a second
+      model focused on amounts/dates);
+    - ``nested``: JSON or ``<s_k>`` tag islands exploded to
+      dotted/indexed names ``a.b[0].c`` (reference Donut/GPT heads,
+      ``kie/donut_runner.py:261-364``, ``azure/gpt_vision_kie.py:455-541``).
     """
     out: list[Candidate] = []
     for line in (text or "").split("\n"):
+        if line.lstrip().startswith("<s_"):
+            out.extend(_nested_candidates(line))
+            continue
         m = _KV_RE.match(line)
         if not m:
             continue
         name, value = m.group(1), m.group(2)
+        if value.startswith("{") or value.startswith("<s_"):
+            out.extend(_nested_candidates(value))
+            continue
         out.append(Candidate(name, value, REGEX_SOURCE_CONF, "regex"))
         if re.search(r"\d", value):
             out.append(Candidate(name, value, LAYOUT_SOURCE_CONF, "layout"))
