@@ -36,30 +36,41 @@ def normalize_plain_text(raw: str) -> tuple[str, list[dict]]:
     return TEXT_JOIN_SEPARATOR.join(parts), spans
 
 
-def lines_to_text_spans(line_texts: list[str]) -> tuple[str, list[dict]]:
-    """Reading-ordered line texts → (joined text, per-line spans)."""
+def lines_to_text_spans(
+    line_texts: list[str], kinds: list[str] | None = None
+) -> tuple[str, list[dict]]:
+    """Reading-ordered line texts → (joined text, per-line spans). Span
+    kind is the line's layout-region role when provided (J5 region→line
+    role map, ``pipeline/orchestrator.py:1067-1092``), else ``line``."""
     parts, spans, pos = [], [], 0
-    for ln in line_texts:
-        spans.append({"start": pos, "end": pos + len(ln), "kind": "line"})
+    for idx, ln in enumerate(line_texts):
+        kind = kinds[idx] if kinds else "line"
+        spans.append({"start": pos, "end": pos + len(ln), "kind": kind})
         parts.append(ln)
         pos += len(ln) + len(TEXT_JOIN_SEPARATOR)
     return TEXT_JOIN_SEPARATOR.join(parts), spans
 
 
-def recognize_doc_pages(payload: bytes, cfg: ExtractConfig) -> list[str]:
-    """Doc payload → reading-ordered line texts across pages (page order
-    preserved — the one ordering requirement, SURVEY.md §2.7)."""
+def recognize_doc_pages(payload: bytes, cfg: ExtractConfig) -> tuple[list[str], list[str]]:
+    """Doc payload → reading-ordered (line texts, region kinds) across
+    pages (page order preserved — the one ordering requirement,
+    SURVEY.md §2.7)."""
     pages = decode_doc_payload(payload)
     pages.sort(key=lambda p: p["page"])
-    out: list[str] = []
+    texts: list[str] = []
+    kinds: list[str] = []
     for page in pages:
-        out.extend(li["text"] for li in recognize_page(page["lines"], cfg.doc))
-    return out
+        for li in recognize_page(page["lines"], cfg.doc,
+                                 page.get("w"), page.get("h")):
+            texts.append(li["text"])
+            kinds.append(li["kind"])
+    return texts, kinds
 
 
-def recognize_image(payload: bytes, cfg: ExtractConfig) -> list[str]:
+def recognize_image(payload: bytes, cfg: ExtractConfig) -> tuple[list[str], list[str]]:
     page = decode_image_payload(payload)
-    return [li["text"] for li in recognize_page(page["lines"], cfg.doc)]
+    recognized = recognize_page(page["lines"], cfg.doc, page.get("w"), page.get("h"))
+    return [li["text"] for li in recognized], [li["kind"] for li in recognized]
 
 
 def extract_payload(
@@ -74,9 +85,9 @@ def extract_payload(
             extracted, spans = extract_html(payload or b"", cfg.html)
             return extracted, spans, None
         if route == sniff_mod.ROUTE_DOC:
-            return (*lines_to_text_spans(recognize_doc_pages(payload or b"", cfg)), None)
+            return (*lines_to_text_spans(*recognize_doc_pages(payload or b"", cfg)), None)
         if route == sniff_mod.ROUTE_IMAGE:
-            return (*lines_to_text_spans(recognize_image(payload or b"", cfg)), None)
+            return (*lines_to_text_spans(*recognize_image(payload or b"", cfg)), None)
         if route == sniff_mod.ROUTE_TEXT:
             return (*normalize_plain_text(text or ""), None)
         return "", [], f"unsupported_route:{route}"

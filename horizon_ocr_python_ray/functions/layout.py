@@ -53,10 +53,19 @@ def reading_order_indices(
     return out
 
 
-def recognize_page(lines: list[dict[str, Any]], cfg: DocConfig) -> list[dict[str, Any]]:
+def recognize_page(
+    lines: list[dict[str, Any]],
+    cfg: DocConfig,
+    page_w: float | None = None,
+    page_h: float | None = None,
+) -> list[dict[str, Any]]:
     """Recognize every line record of one page, applying the targeted
     second pass, and return per-line dicts **in reading order**:
-    ``{"text", "bbox", "confidence", "repassed"}``.
+    ``{"text", "bbox", "confidence", "repassed", "kind"}``.
+
+    ``kind`` is the layout-region role (header/footer/page_number/title/
+    text — ``functions/regions.py`` heuristics) when page dimensions are
+    known, else ``"line"``.
     """
     texts: list[str] = []
     confs: list[float] = []
@@ -81,12 +90,19 @@ def recognize_page(lines: list[dict[str, Any]], cfg: DocConfig) -> list[dict[str
 
     bboxes = [rec["bbox"] for rec in lines]
     order = reading_order_indices(bboxes, cfg.reading_order_vertical_overlap)
+    if page_w and page_h:
+        from .regions import classify_line_region
+
+        kinds = [classify_line_region(b, page_w, page_h) for b in bboxes]
+    else:
+        kinds = ["line"] * len(bboxes)
     return [
         {
             "text": texts[i],
             "bbox": bboxes[i],
             "confidence": confs[i],
             "repassed": i in repassed,
+            "kind": kinds[i],
         }
         for i in order
     ]

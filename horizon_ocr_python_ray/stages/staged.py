@@ -90,21 +90,25 @@ def fan_out_pages(batch: pa.Table) -> pa.Table:
         try:
             if route == sniff_mod.ROUTE_DOC:
                 pages = sorted(decode_doc_payload(payload), key=lambda p: p["page"])
-                page_list = [(p["page"], p["lines"]) for p in pages]
+                page_list = [
+                    (p["page"], {"w": p.get("w"), "h": p.get("h"), "lines": p["lines"]})
+                    for p in pages
+                ]
             else:  # image: single page
-                page_list = [(0, decode_image_payload(payload)["lines"])]
+                p = decode_image_payload(payload)
+                page_list = [(0, {"w": p.get("w"), "h": p.get("h"), "lines": p["lines"]})]
         except Exception:
             page_list = [(0, None)]  # poison page → error surfaces downstream
         if not page_list:
             # Sentinel page for a payload that decodes to zero pages, so the
             # document still reassembles to one (empty-text) row — keeps the
             # staged variant byte-identical to the combined one.
-            page_list = [(0, [])]
-        for page_no, lines in page_list:
+            page_list = [(0, {"w": None, "h": None, "lines": []})]
+        for page_no, page in page_list:
             for c in _ID_COLS:
                 rows[c].append(ids[c][i])
             pages_no.append(page_no)
-            lines_json.append(json.dumps(lines) if lines is not None else None)
+            lines_json.append(json.dumps(page) if page is not None else None)
     arrays = [pa.array(rows["url"], pa.string()), pa.array(rows["warc_ts"], pa.timestamp("us")),
               pa.array(rows["lang"], pa.string()), pa.array(rows["route"], pa.string()),
               pa.array(rows["content_hash"], pa.string()),
@@ -120,18 +124,23 @@ class PageRecognizeActor:
         self.cfg = cfg or DEFAULT_CONFIG
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out_lines, errs = [], []
+        out_lines, out_kinds, errs = [], [], []
         for lj in batch.column("lines_json").to_pylist():
             if lj is None:
-                out_lines.append([]); errs.append("undecodable_payload")
+                out_lines.append([]); out_kinds.append([]); errs.append("undecodable_payload")
                 continue
             try:
-                ordered = recognize_page(json.loads(lj), self.cfg.doc)
-                out_lines.append([li["text"] for li in ordered]); errs.append(None)
+                page = json.loads(lj)
+                ordered = recognize_page(page["lines"], self.cfg.doc,
+                                         page.get("w"), page.get("h"))
+                out_lines.append([li["text"] for li in ordered])
+                out_kinds.append([li["kind"] for li in ordered])
+                errs.append(None)
             except Exception as exc:
-                out_lines.append([]); errs.append(f"{type(exc).__name__}: {exc}")
+                out_lines.append([]); out_kinds.append([]); errs.append(f"{type(exc).__name__}: {exc}")
         t = batch.select(_ID_COLS + ["page"])
         t = t.append_column("line_texts", pa.array(out_lines, pa.list_(pa.string())))
+        t = t.append_column("line_kinds", pa.array(out_kinds, pa.list_(pa.string())))
         t = t.append_column("page_error", pa.array(errs, pa.string()))
         return t
 
@@ -141,12 +150,15 @@ def reassemble_group(group: pa.Table) -> pa.Table:
     group (never relies on upstream order — SURVEY.md §7.4)."""
     pages = group.column("page").to_pylist()
     line_lists = group.column("line_texts").to_pylist()
+    kind_lists = group.column("line_kinds").to_pylist()
     errs = [e for e in group.column("page_error").to_pylist() if e]
     order = sorted(range(len(pages)), key=lambda i: pages[i])
     all_lines: list[str] = []
+    all_kinds: list[str] = []
     for i in order:
         all_lines.extend(line_lists[i])
-    text, spans = lines_to_text_spans(all_lines)
+        all_kinds.extend(kind_lists[i])
+    text, spans = lines_to_text_spans(all_lines, all_kinds)
     ids = group.select(_ID_COLS).slice(0, 1)
     return _result_table(ids, [text], [spans], [errs[0] if errs else None])
 

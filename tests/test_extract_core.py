@@ -35,7 +35,7 @@ def test_doc_route_page_order_preserved():
     text, spans, err = extract_payload("doc", payload, None, DEFAULT_CONFIG)
     assert err is None
     assert text == "first\nsecond"
-    assert [s["kind"] for s in spans] == ["line", "line"]
+    assert [s["kind"] for s in spans] == ["header", "header"]  # top-of-page lines → header role
 
 
 def test_image_route():
