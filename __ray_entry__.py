@@ -283,6 +283,14 @@ def _pages_tables(sf_dir: str):
     )
 
 
+def _pages_styles(sf_dir: str):
+    from horizon_ocr_python_ray import ensure_corpus, read_pages, sf_from_dir
+    from horizon_ocr_python_ray.stages.style_stage import build_styles_pipeline
+
+    corpus = ensure_corpus(sf_from_dir(sf_dir))
+    return build_styles_pipeline(read_pages(corpus))
+
+
 def _q6(sf_dir: str):
     from horizon_ocr_python_ray.pipelines.analytics import q6_filtered_revenue
 
@@ -423,6 +431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_near_dup_lsh": _emb_near_dup_lsh,
         "pages_fields": _pages_fields,
         "pages_tables": _pages_tables,
+        "pages_styles": _pages_styles,
         "media_features": _media_features,
         "pages_host_stats": _pages_host_stats,
         "pages_metrics": _pages_metrics,

@@ -51,14 +51,41 @@ def lines_to_text_spans(
     return TEXT_JOIN_SEPARATOR.join(parts), spans
 
 
+def native_page_lines(page: dict) -> tuple[list[str], list[str]]:
+    """A digital page's native text spans in document order — the cheap
+    path that skips recognition entirely (reference digital-PDF routing,
+    ``extract/pdf_style_extractor.py:67-94``)."""
+    from .regions import classify_line_region
+
+    w, h = page.get("w"), page.get("h")
+    texts, kinds = [], []
+    for span in page.get("native") or []:
+        texts.append(span["t"])
+        kinds.append(classify_line_region(span["bbox"], w, h) if w and h else "line")
+    return texts, kinds
+
+
 def recognize_doc_pages(payload: bytes, cfg: ExtractConfig) -> tuple[list[str], list[str]]:
     """Doc payload → reading-ordered (line texts, region kinds) across
     pages (page order preserved — the one ordering requirement,
-    SURVEY.md §2.7)."""
+    SURVEY.md §2.7).
+
+    Digital documents (substantial native text layer) take the native
+    path — no glyph recognition, no targeted re-pass; scanned documents
+    go through detect/recognize. The two paths are byte-identical for
+    the same content (tested)."""
+    from .style import is_scanned_doc
+
     pages = decode_doc_payload(payload)
     pages.sort(key=lambda p: p["page"])
     texts: list[str] = []
     kinds: list[str] = []
+    if not is_scanned_doc(pages):
+        for page in pages:
+            t, k = native_page_lines(page)
+            texts.extend(t)
+            kinds.extend(k)
+        return texts, kinds
     for page in pages:
         for li in recognize_page(page["lines"], cfg.doc,
                                  page.get("w"), page.get("h")):

@@ -26,10 +26,15 @@ import pyarrow.compute as pc
 
 from ..config import DEFAULT_CONFIG, ExtractConfig
 from ..functions import sniff as sniff_mod
-from ..functions.extract_core import lines_to_text_spans, normalize_plain_text
+from ..functions.extract_core import (
+    lines_to_text_spans,
+    native_page_lines,
+    normalize_plain_text,
+)
 from ..functions.docformat import decode_doc_payload, decode_image_payload
 from ..functions.htmltext import extract_html
 from ..functions.layout import recognize_page
+from ..functions.style import is_scanned_doc
 from ..schema import SPAN_TYPE
 
 _ID_COLS = ["url", "warc_ts", "lang", "route", "content_hash"]
@@ -90,8 +95,14 @@ def fan_out_pages(batch: pa.Table) -> pa.Table:
         try:
             if route == sniff_mod.ROUTE_DOC:
                 pages = sorted(decode_doc_payload(payload), key=lambda p: p["page"])
+                # The scanned-vs-digital probe is DOC-level (total native
+                # chars across pages), so decide here and ship the flag
+                # per page row — per-page decisions could diverge from
+                # the combined pipeline.
+                digital = not is_scanned_doc(pages)
                 page_list = [
-                    (p["page"], {"w": p.get("w"), "h": p.get("h"), "lines": p["lines"]})
+                    (p["page"], {"w": p.get("w"), "h": p.get("h"), "lines": p["lines"],
+                                 "native": p.get("native"), "digital": digital})
                     for p in pages
                 ]
             else:  # image: single page
@@ -131,10 +142,15 @@ class PageRecognizeActor:
                 continue
             try:
                 page = json.loads(lj)
-                ordered = recognize_page(page["lines"], self.cfg.doc,
-                                         page.get("w"), page.get("h"))
-                out_lines.append([li["text"] for li in ordered])
-                out_kinds.append([li["kind"] for li in ordered])
+                if page.get("digital"):
+                    texts, kinds = native_page_lines(page)
+                else:
+                    ordered = recognize_page(page["lines"], self.cfg.doc,
+                                             page.get("w"), page.get("h"))
+                    texts = [li["text"] for li in ordered]
+                    kinds = [li["kind"] for li in ordered]
+                out_lines.append(texts)
+                out_kinds.append(kinds)
                 errs.append(None)
             except Exception as exc:
                 out_lines.append([]); out_kinds.append([]); errs.append(f"{type(exc).__name__}: {exc}")
