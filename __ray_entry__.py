@@ -383,6 +383,19 @@ def _money_e2(t, cols):
     return t
 
 
+def _media_preprocess(sf_dir: str):
+    import ray.data
+    from horizon_ocr_python_ray import sf_from_dir
+    from horizon_ocr_python_ray.stages.multimodal import (
+        build_image_preprocess_pipeline,
+        gen_media_table,
+    )
+
+    n = max(30, int(sf_from_dir(sf_dir) * 30_000))
+    media = ray.data.from_arrow(gen_media_table(n, seed=42))
+    return build_image_preprocess_pipeline(media)
+
+
 def _q1(sf_dir: str):
     from horizon_ocr_python_ray.pipelines.analytics import q1_pricing_summary
 
@@ -433,6 +446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_tables": _pages_tables,
         "pages_styles": _pages_styles,
         "media_features": _media_features,
+        "media_preprocess": _media_preprocess,
         "pages_host_stats": _pages_host_stats,
         "pages_metrics": _pages_metrics,
         "doc_lang_unique": _doc_lang_unique,

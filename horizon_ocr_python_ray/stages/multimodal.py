@@ -187,6 +187,48 @@ class ImageFeatureStage:
         )
 
 
+class ImagePreprocessStage:
+    """Decode → fused preprocess chain (dewarp → deskew → denoise →
+    CLAHE → sharpen, ``functions/imageproc.py``) → readability/noise
+    assessment. Actor-pool stage with the kernel chain compiled once per
+    actor; the numpy kernels are REAL (only the codec decode is the
+    sandbox stub)."""
+
+    def __init__(self, deskew: bool = True, dewarp: bool = True) -> None:
+        from ..functions import imageproc
+
+        self.ip = imageproc
+        self.deskew = deskew
+        self.dewarp = dewarp
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        metas = batch.column("meta").to_pylist()
+        o_h, o_w, noise, readab, issues, errs = [], [], [], [], [], []
+        for payload, meta in zip(payloads, metas):
+            try:
+                img = _decode_image(payload, meta)
+                pre = self.ip.preprocess_for_ocr(
+                    img, deskew=self.deskew, dewarp=self.dewarp)
+                r, iss = self.ip.assess_readability(pre)
+                o_h.append(pre.shape[0]); o_w.append(pre.shape[1])
+                noise.append(self.ip.estimate_noise_level(pre))
+                readab.append(r); issues.append(",".join(iss)); errs.append(None)
+            except Exception as exc:
+                o_h.append(0); o_w.append(0); noise.append(0.0)
+                readab.append(""); issues.append("")
+                errs.append(f"{type(exc).__name__}: {exc}")
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(o_h, pa.int32()),
+             pa.array(o_w, pa.int32()), pa.array(noise, pa.float64()),
+             pa.array(readab, pa.string()), pa.array(issues, pa.string()),
+             pa.array(errs, pa.string())],
+            names=["media_id", "height", "width", "noise_level",
+                   "readability", "issues", "error"],
+        )
+
+
 class AudioFeatureStage:
     """Decode → framed RMS-energy features (one row per media object)."""
 
@@ -254,6 +296,17 @@ class VideoFrameSampleStage:
              pa.array(o_err, pa.string())],
             names=["media_id", "frame_idx", "pix_mean", "pix_sha", "error"],
         )
+
+
+def build_image_preprocess_pipeline(media_ds):
+    """image rows → preprocessed-quality table (one row per image)."""
+    import pyarrow.compute as pc
+
+    return (media_ds.map_batches(
+                lambda t: t.filter(pc.equal(t.column("kind"), "image")),
+                batch_format="pyarrow")
+            .map_batches(ImagePreprocessStage, batch_format="pyarrow",
+                         batch_size=16, concurrency=(1, 4)))
 
 
 def build_media_pipeline(media_ds, resize_to: int | None = 32,
