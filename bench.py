@@ -78,7 +78,8 @@ def run_bench() -> dict:
     entry = importlib.import_module("__ray_entry__")
     q = entry.queries()
     for name in ("lineitem_pricing_summary", "doc_exact_dedup", "events_hourly",
-                 "events_sessions", "emb_near_dup", "ann_topk", "minhash_near_dup"):
+                 "events_sessions", "emb_near_dup", "emb_near_dup_lsh", "ann_topk",
+                 "ann_topk_lsh", "minhash_near_dup", "pages_tables"):
         t0 = time.monotonic()
         res = q[name](sf_dir)
         if hasattr(res, "count"):

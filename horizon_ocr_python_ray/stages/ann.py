@@ -41,7 +41,14 @@ import ray
 
 def _batch_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-    emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+    col = batch.column("embedding")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    try:
+        # zero-copy-ish: equal-length list values flattened then reshaped
+        emb = np.asarray(col.flatten(), dtype=np.float64).reshape(len(ids), -1)
+    except (ValueError, pa.ArrowInvalid):
+        emb = np.array(col.to_pylist(), dtype=np.float64)
     return ids, emb
 
 
@@ -157,18 +164,21 @@ class _BucketRows:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, emb = _batch_matrix(batch)
+        dim = emb.shape[1] if emb.ndim == 2 and len(ids) else 1
         if not len(ids):
             return pa.Table.from_arrays(
                 [pa.array([], pa.int64()), pa.array([], pa.int64()),
-                 pa.array([], pa.list_(pa.float64()))],
+                 pa.array([], pa.list_(pa.float64(), dim))],
                 names=["bucket_key", "vec_id", "embedding"],
             )
         keys = self.lsh.bucket_keys(emb)  # (n, T)
         t = keys.shape[1]
+        flat = np.repeat(emb, t, axis=0).reshape(-1)
+        emb_col = pa.FixedSizeListArray.from_arrays(pa.array(flat, pa.float64()), dim)
         return pa.Table.from_arrays(
             [pa.array(keys.reshape(-1), pa.int64()),
              pa.array(np.repeat(ids, t), pa.int64()),
-             pa.array(np.repeat(emb, t, axis=0).tolist(), pa.list_(pa.float64()))],
+             emb_col],
             names=["bucket_key", "vec_id", "embedding"],
         )
 
@@ -199,24 +209,31 @@ def embedding_near_dup_pairs_lsh(emb_ds, threshold: float = 0.95, dim: int = 64,
         batch_format="pyarrow", concurrency=(1, 2), batch_size=4096,
     )
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
-                                 "vec_b": pd.Series(dtype="int64"),
-                                 "sim_e6": pd.Series(dtype="int64")})
-        g = g.sort_values("vec_id")
-        ids = g["vec_id"].to_numpy()
-        mat = _normalize(np.array(g["embedding"].tolist(), dtype=np.float64))
+    def pairs_in_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.int64()),
+             pa.array([], pa.int64())],
+            names=["vec_a", "vec_b", "sim_e6"],
+        )
+        if g.num_rows < 2:
+            return empty
+        ids, emb = _batch_matrix(g)
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = _normalize(emb[order])
         sims = mat @ mat.T
         i, j = np.nonzero(np.triu(sims >= threshold, k=1))
         keep = ids[i] != ids[j]  # same vector in one bucket via two tables
         i, j = i[keep], j[keep]
-        return pd.DataFrame({
-            "vec_a": ids[i], "vec_b": ids[j],
-            "sim_e6": np.round(sims[i, j] * 1e6).astype(np.int64),
-        })
+        if not len(i):
+            return empty
+        return pa.Table.from_arrays(
+            [pa.array(ids[i], pa.int64()), pa.array(ids[j], pa.int64()),
+             pa.array(np.round(sims[i, j] * 1e6).astype(np.int64), pa.int64())],
+            names=["vec_a", "vec_b", "sim_e6"],
+        )
 
-    pairs = bucketed.groupby("bucket_key").map_groups(pairs_in_bucket, batch_format="pandas")
+    pairs = bucketed.groupby("bucket_key").map_groups(pairs_in_bucket, batch_format="pyarrow")
     # dedup across tables — sim_e6 is identical per pair, Min is just the
     # vectorized way to keep one row per (vec_a, vec_b)
     out = pairs.groupby(["vec_a", "vec_b"]).aggregate(Min("sim_e6", alias_name="sim_e6"))
