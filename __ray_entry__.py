@@ -261,6 +261,22 @@ def _emb_near_dup_lsh(sf_dir: str):
     return embedding_near_dup_pairs_lsh(emb, threshold=0.4, dim=len(q))
 
 
+def _emb_dup_clusters(sf_dir: str):
+    import ray.data
+    from horizon_ocr_python_ray.stages.ann import embedding_near_dup_pairs
+    from horizon_ocr_python_ray.stages.dedup_docs import near_dup_clusters
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    pairs = embedding_near_dup_pairs(emb, threshold=0.4)
+    out = near_dup_clusters(pairs.map_batches(
+        lambda t: t.rename_columns(["doc_a", "doc_b", "sim_e6"]),
+        batch_format="pyarrow",
+    ))
+    return out.map_batches(
+        lambda t: t.rename_columns(["vec_id", "cluster_id"]), batch_format="pyarrow"
+    )
+
+
 def _pages_fields(sf_dir: str):
     from horizon_ocr_python_ray import build_extract_pipeline, ensure_corpus, read_pages, sf_from_dir
     from horizon_ocr_python_ray.stages.fields_stage import build_fields_pipeline
@@ -442,6 +458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _events_sessions,
         "emb_near_dup": _emb_near_dup,
         "emb_near_dup_lsh": _emb_near_dup_lsh,
+        "emb_dup_clusters": _emb_dup_clusters,
         "pages_fields": _pages_fields,
         "pages_tables": _pages_tables,
         "pages_styles": _pages_styles,
@@ -656,6 +673,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_lang_unique": """
             SELECT DISTINCT lang FROM documents
+        """,
+        # Connected components over the exact embedding near-dup graph.
+        "emb_dup_clusters": """
+            WITH RECURSIVE p AS (
+              SELECT a.vec_id AS va, b.vec_id AS vb
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+            ), edges AS (
+              SELECT va AS u, vb AS v FROM p UNION ALL SELECT vb, va FROM p
+            ), walk(u, label) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.u, w.label FROM edges e JOIN walk w ON w.u = e.v
+            )
+            SELECT u AS vec_id, min(label) AS cluster_id FROM walk GROUP BY u
         """,
         # Exact 5-token-shingle Jaccard over all pairs — the SQL ground
         # truth for the MinHash+LSH pipeline (banding recall is
