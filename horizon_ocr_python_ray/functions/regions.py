@@ -104,3 +104,29 @@ def merge_overlapping_regions(
                 used.add(j)
         merged.append({**ri, "bbox": bbox})
     return merged
+
+
+def boxes_overlap(a: list[float], b: list[float], threshold: float = 0.3) -> bool:
+    """Spatial-overlap predicate: intersection ≥ ``threshold`` of the
+    SMALLER box's area (the reference's OCR↔KIE merge join,
+    ``kie/fuse.py:459-476``) — J2's per-doc spatial join kernel."""
+    x1, y1 = max(a[0], b[0]), max(a[1], b[1])
+    x2, y2 = min(a[2], b[2]), min(a[3], b[3])
+    if x2 <= x1 or y2 <= y1:
+        return False
+    inter = (x2 - x1) * (y2 - y1)
+    smaller = min((a[2] - a[0]) * (a[3] - a[1]), (b[2] - b[0]) * (b[3] - b[1]))
+    return smaller > 0 and inter / smaller >= threshold
+
+
+def spatial_overlap_join(left: list[dict], right: list[dict],
+                         threshold: float = 0.3) -> list[tuple[int, int]]:
+    """All (i, j) index pairs whose bboxes overlap ≥ threshold of the
+    smaller box — the within-document spatial join (J2). Quadratic in
+    per-document region counts, which the reference bounds at tens."""
+    out = []
+    for i, a in enumerate(left):
+        for j, b in enumerate(right):
+            if boxes_overlap(a["bbox"], b["bbox"], threshold):
+                out.append((i, j))
+    return out
