@@ -299,6 +299,27 @@ def _pages_tables(sf_dir: str):
     )
 
 
+def _pages_reconstruction(sf_dir: str):
+    from horizon_ocr_python_ray import ensure_corpus, read_pages, sf_from_dir
+    from horizon_ocr_python_ray.stages.reconstruct_stage import build_reconstruction_pipeline
+
+    corpus = ensure_corpus(sf_from_dir(sf_dir))
+    out = build_reconstruction_pipeline(read_pages(corpus))
+
+    def digest(t):
+        import hashlib
+        import pyarrow as pa
+        hs = [hashlib.md5(m.encode("utf-8")).hexdigest()
+              for m in t.column("reconstruction").to_pylist()]
+        return pa.Table.from_arrays(
+            [t.column("url"), t.column("n_elements"), t.column("n_tables"),
+             t.column("n_fields"), pa.array(hs, pa.string())],
+            names=["url", "n_elements", "n_tables", "n_fields", "reconstruction_md5"],
+        )
+
+    return out.map_batches(digest, batch_format="pyarrow")
+
+
 def _pages_styles(sf_dir: str):
     from horizon_ocr_python_ray import ensure_corpus, read_pages, sf_from_dir
     from horizon_ocr_python_ray.stages.style_stage import build_styles_pipeline
@@ -462,6 +483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_fields": _pages_fields,
         "pages_tables": _pages_tables,
         "pages_styles": _pages_styles,
+        "pages_reconstruction": _pages_reconstruction,
         "media_features": _media_features,
         "media_preprocess": _media_preprocess,
         "pages_host_stats": _pages_host_stats,
