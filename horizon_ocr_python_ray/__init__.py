@@ -41,6 +41,8 @@ __all__ = [
     "ensure_corpus",
     "gen_corpus",
     "job_metrics",
+    "ProcessingOptions",
+    "process_pages",
     "read_pages",
     "run_partitioned",
     "sf_from_dir",
@@ -53,6 +55,10 @@ def __getattr__(name):  # lazy re-exports (avoid importing ray.data at package i
         from .stages.fields_stage import build_fields_pipeline
 
         return build_fields_pipeline
+    if name in ("ProcessingOptions", "process_pages"):
+        from . import api
+
+        return getattr(api, name)
     if name == "job_metrics":
         from .stages.metrics import job_metrics
 
