@@ -190,6 +190,15 @@ def _parse_fast(text: str, sink: _BlockSink) -> None:
         start_tag = None
         self_closing = False
         m = _TAG_RE.match(text, lt)
+        if (m is not None and m.group("start") is not None
+                and ">" in (m.group("attrs") or "")):
+            # A quoted attribute value crossed a '>'. Legit quoted '>'
+            # (title="a>b") parses identically either way, but an
+            # UNBALANCED quote makes the strict scanner swallow the tag's
+            # real '>' plus following markup (e.g. <h1 a='''>), where the
+            # stdlib scanner stops earlier — defer to the tolerant
+            # stdlib-parity branch for this rare shape.
+            m = None
         if m is not None:
             pos = m.end()
             start_tag = m.group("start")

@@ -113,3 +113,103 @@ def test_normalize_date_formats(y, m, d):
     assert normalize_date(iso) == iso
     assert normalize_date(f"{d:02d}/{m:02d}/{y}") == iso
     assert normalize_date(f"{y}{m:02d}{d:02d}") == iso
+
+
+# --- nested KIE explosion properties ---------------------------------------
+
+_scalar = st.one_of(st.integers(-1000, 1000), st.booleans(),
+                    st.text(alphabet="abcxyz $.", min_size=1, max_size=8))
+_nested = st.recursive(
+    _scalar,
+    lambda children: st.one_of(
+        st.lists(children, max_size=3),
+        st.dictionaries(st.text(alphabet="abcdef_", min_size=1, max_size=6),
+                        children, max_size=3),
+    ),
+    max_leaves=12,
+)
+
+
+def _count_leaves(data):
+    """Mirror of the reference explosion semantics: dict values recurse;
+    list items recurse only when they are dicts (anything else —
+    including sublists — is one stringified scalar row)."""
+    n = 0
+    for v in data.values():
+        if isinstance(v, dict):
+            n += _count_leaves(v)
+        elif isinstance(v, list):
+            for item in v:
+                n += _count_leaves(item) if isinstance(item, dict) else 1
+        else:
+            n += 1
+    return n
+
+
+@given(st.dictionaries(st.text(alphabet="abcdef_", min_size=1, max_size=6),
+                       _nested, min_size=0, max_size=4))
+@settings(max_examples=60, deadline=None)
+def test_explode_fields_one_row_per_leaf(data):
+    from horizon_ocr_python_ray.functions.nested import explode_fields
+
+    rows = explode_fields(data)
+    # one output row per scalar leaf; empty containers contribute nothing
+    assert len(rows) == _count_leaves(data)
+    # every produced name is non-empty and deterministic
+    assert rows == explode_fields(data)
+    for name, value in rows:
+        assert name and isinstance(value, str)
+
+
+# --- image kernel properties ------------------------------------------------
+
+_img = st.integers(0, 255).flatmap(
+    lambda fill: st.tuples(st.integers(8, 40), st.integers(8, 40)).map(
+        lambda hw: (hw[0], hw[1], fill))
+)
+
+
+@given(_img, st.integers(0, 2**31 - 1))
+@settings(max_examples=30, deadline=None)
+def test_image_kernels_preserve_domain(shape_fill, seed):
+    import numpy as np
+
+    from horizon_ocr_python_ray.functions.imageproc import (
+        binarize_adaptive,
+        clahe,
+        median_filter3,
+        rotate_nearest,
+        unsharp_mask,
+    )
+
+    h, w, fill = shape_fill
+    rng = np.random.RandomState(seed % 2**32)
+    img = np.clip(fill + rng.randint(-40, 41, size=(h, w)), 0, 255).astype(np.uint8)
+    for out in (median_filter3(img), clahe(img), unsharp_mask(img)):
+        assert out.shape == img.shape
+        assert out.dtype == np.uint8
+    binv = binarize_adaptive(img)
+    assert set(np.unique(binv)) <= {0, 255}
+    rot = rotate_nearest(img, float(seed % 30) - 15.0)
+    assert rot.shape == img.shape
+
+
+@given(st.lists(st.text(alphabet="abc |", min_size=0, max_size=6),
+                min_size=6, max_size=12))
+@settings(max_examples=40, deadline=None)
+def test_table_markdown_row_counts(cells):
+    from horizon_ocr_python_ray.functions.tables import table_to_markdown
+
+    n_cols = 3
+    n_rows = len(cells) // n_cols
+    table = {
+        "table_idx": 0, "n_rows": n_rows, "n_cols": n_cols, "bbox": [0, 0, 1, 1],
+        "cells": [{"row": i // n_cols, "col": i % n_cols, "text": t,
+                   "bbox": [], "confidence": 1.0}
+                  for i, t in enumerate(cells[: n_rows * n_cols])],
+    }
+    md = table_to_markdown(table)
+    lines = md.splitlines()
+    assert len(lines) == n_rows + 1  # header + separator + body
+    # escaping keeps the column count stable
+    assert all(ln.count("|") - ln.count("\\|") == n_cols + 1 for ln in lines)
