@@ -83,6 +83,14 @@ def main() -> int:
             print(f"ok   {name}: rows-only ({len(got)} rows, {dt:.1f}s)")
             n_pass += 1
             continue
+        if "hopr_corpus" in oracles[name] and "sf0.01" not in sf_dir:
+            # Oracle reads the sf0.01 synthetic-corpus golden fixtures (the
+            # driver's compare scale); at other scales it can't match —
+            # fall back to rows-only.
+            print(f"ok   {name}: rows-only at this sf (oracle pinned to sf0.01; "
+                  f"{len(got)} rows, {dt:.1f}s)")
+            n_pass += 1
+            continue
         want = con.execute(oracles[name]).fetchdf()
         ok_rows = len(got) == len(want)
         ok_schema = sorted(got.columns) == sorted(want.columns)
