@@ -711,6 +711,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT u AS vec_id, min(label) AS cluster_id FROM walk GROUP BY u
         """,
+        # SimHash is SQL-reproducible because the token hash is
+        # md5_number_lower (DuckDB-native): per-bit strict-majority vote
+        # over token hashes, re-signed into int64 domain.
+        "doc_simhash": r"""
+            WITH t AS (
+              SELECT doc_id, CASE WHEN trim(text)='' THEN []::VARCHAR[]
+                             ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, len(toks) AS n, unnest(toks) AS tk FROM t WHERE len(toks) > 0
+            ), bits AS (
+              SELECT doc_id, n, b.b AS b,
+                     sum(CAST((md5_number_lower(tk) >> CAST(b.b AS INTEGER)) & 1 AS BIGINT)) AS cnt
+              FROM tok CROSS JOIN (SELECT unnest(range(64)) AS b) b
+              GROUP BY doc_id, n, b.b
+            ), sh AS (
+              SELECT doc_id,
+                     sum(CASE WHEN cnt * 2 > n THEN CAST(1 AS HUGEINT) << CAST(b AS INTEGER)
+                              ELSE CAST(0 AS HUGEINT) END) AS u
+              FROM bits GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(sh.u, 0) - CAST(1 AS HUGEINT) * 9223372036854775808 AS BIGINT) AS simhash
+            FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
+        """,
         # Exact 5-token-shingle Jaccard over all pairs — the SQL ground
         # truth for the MinHash+LSH pipeline (banding recall is
         # effectively 1 at this corpus's near-dup similarity levels, and

@@ -139,20 +139,36 @@ def exact_jaccard(sh_a: np.ndarray, sh_b: np.ndarray) -> float:
     return inter / union if union else 0.0
 
 
-def simhash64(text: str) -> int:
-    """64-bit SimHash over token hashes (unweighted)."""
+def md5_low64(s: str) -> int:
+    """Token hash matching DuckDB's ``md5_number_lower()`` (last 8 md5
+    digest bytes, little-endian) — makes the SimHash SQL-reproducible."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[8:16], "little")
+
+
+def simhash64(text: str, cache: dict[str, int] | None = None) -> int:
+    """64-bit SimHash over md5-low64 token hashes (unweighted), fully
+    vectorized: bit matrix via ``np.unpackbits``, strict-majority per
+    bit. Deterministic and DuckDB-oracle-reproducible (see
+    ``oracle_sql()['doc_simhash']``)."""
     toks = tokens(text.lower())
     if not toks:
         return 0
-    hs = np.array([_stable_hash64(t) for t in toks], dtype=np.uint64)
-    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-    sums = bits.sum(axis=0)
-    out = 0
-    half = len(toks) / 2.0
-    for i in range(64):
-        if sums[i] > half:
-            out |= 1 << i
-    return out
+    if cache is None:
+        hs = np.fromiter((md5_low64(t) for t in toks), dtype=np.uint64, count=len(toks))
+    else:
+        out = np.empty(len(toks), dtype=np.uint64)
+        for i, t in enumerate(toks):
+            h = cache.get(t)
+            if h is None:
+                h = md5_low64(t)
+                cache[t] = h
+            out[i] = h
+        hs = out
+    bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    maj = (bits.sum(axis=0, dtype=np.int64) * 2) > len(toks)  # strict majority
+    return int.from_bytes(
+        np.packbits(maj.astype(np.uint8), bitorder="little").tobytes(), "little"
+    )
 
 
 def hamming64(a: int, b: int) -> int:

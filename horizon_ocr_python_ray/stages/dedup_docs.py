@@ -290,9 +290,16 @@ def minhash_lsh_pairs(docs_ds, num_hashes: int = 128, num_bands: int = 32,
 
 # -- SimHash -----------------------------------------------------------------
 
+#: Worker-global token-hash cache for the SimHash stage (vocabulary is
+#: tiny relative to token counts; task workers are reused).
+_SIMHASH_TOKEN_CACHE: dict[str, int] = {}
+
+
 def simhash_batch(batch: pa.Table) -> pa.Table:
+    if len(_SIMHASH_TOKEN_CACHE) > 1_000_000:
+        _SIMHASH_TOKEN_CACHE.clear()
     texts = batch.column("text").to_pylist()
-    vals = [simhash64(t or "") - (1 << 63) for t in texts]  # signed domain
+    vals = [simhash64(t or "", _SIMHASH_TOKEN_CACHE) - (1 << 63) for t in texts]  # signed domain
     return pa.Table.from_arrays(
         [batch.column("doc_id"), pa.array(vals, pa.int64())],
         names=["doc_id", "simhash"],
