@@ -711,6 +711,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT u AS vec_id, min(label) AS cluster_id FROM walk GROUP BY u
         """,
+        # Fingerprint = XOR of md5-low64 over distinct rolling 8-token
+        # grams; XOR commutes, so DuckDB's bit_xor reproduces it exactly.
+        "doc_fingerprint": r"""
+            WITH t AS (
+              SELECT doc_id, CASE WHEN trim(text)='' THEN []::VARCHAR[]
+                             ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     unnest(CASE
+                        WHEN len(toks) = 0 THEN []::VARCHAR[]
+                        WHEN len(toks) <= 8 THEN [array_to_string(toks, ' ')]
+                        ELSE list_distinct(list_transform(
+                               range(1, len(toks) - 8 + 2),
+                               i -> array_to_string(toks[i : i + 7], ' ')))
+                     END) AS gram
+              FROM t
+            ), x AS (
+              SELECT doc_id, bit_xor(md5_number_lower(gram)) AS v FROM g GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   lower(lpad(to_hex(CAST(COALESCE(x.v, 0) AS UBIGINT)), 16, '0')) AS fingerprint
+            FROM documents d LEFT JOIN x ON d.doc_id = x.doc_id
+        """,
         # SimHash is SQL-reproducible because the token hash is
         # md5_number_lower (DuckDB-native): per-bit strict-majority vote
         # over token hashes, re-signed into int64 domain.

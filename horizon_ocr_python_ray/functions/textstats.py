@@ -29,9 +29,6 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 #: language for a confident call; otherwise "unknown".
 LANG_MIN_STOPWORD_RATIO = 0.03
 
-_FNV_OFFSET = 0xCBF29CE484222325
-_FNV_PRIME = 0x100000001B3
-_MASK64 = (1 << 64) - 1
 
 
 def tokens(text: str) -> list[str]:
@@ -88,28 +85,22 @@ def lang_id(text: str) -> str:
     return best if scores[best] >= LANG_MIN_STOPWORD_RATIO else "unknown"
 
 
-def fnv1a64(data: bytes) -> int:
-    h = _FNV_OFFSET
-    for b in data:
-        h ^= b
-        h = (h * _FNV_PRIME) & _MASK64
-    return h
-
-
 def rolling_fingerprint(text: str, window: int = 8) -> int:
-    """Document fingerprint: FNV-1a over the sorted set of rolling
-    token-window hashes — stable under token reordering outside the
-    window, deterministic across processes."""
+    """Document fingerprint: XOR of md5-low64 hashes over the DISTINCT
+    rolling token-window grams — order-insensitive by construction (XOR
+    commutes), stable under token reordering outside the window, and
+    SQL-reproducible (DuckDB ``bit_xor(md5_number_lower(gram))`` — see
+    ``oracle_sql()['doc_fingerprint']``)."""
+    from .minhash import md5_low64
+
     toks = tokens(text)
     if not toks:
         return 0
     if len(toks) <= window:
-        grams = [" ".join(toks)]
+        grams = {" ".join(toks)}
     else:
-        grams = [" ".join(toks[i : i + window]) for i in range(len(toks) - window + 1)]
-    gram_hashes = sorted({fnv1a64(g.encode("utf-8")) for g in grams})
-    acc = _FNV_OFFSET
-    for gh in gram_hashes:
-        acc ^= gh
-        acc = (acc * _FNV_PRIME) & _MASK64
+        grams = {" ".join(toks[i : i + window]) for i in range(len(toks) - window + 1)}
+    acc = 0
+    for g in grams:
+        acc ^= md5_low64(g)
     return acc
