@@ -510,10 +510,33 @@ def oracle_sql() -> dict[str, str]:
     # Generating the corpus is Ray-free and cached, so ensure it here.
     from horizon_ocr_python_ray import ensure_corpus
 
-    golden_sf0_01 = ensure_corpus(0.01) + "/golden.parquet"
+    corpus_sf0_01 = ensure_corpus(0.01)
+    golden_sf0_01 = corpus_sf0_01 + "/golden.parquet"
+    pages_sf0_01 = corpus_sf0_01 + "/pages/*.parquet"
     tok = "regexp_split_to_array(trim(lower(text)), '\\s+')"
     ntok = "CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
     return {
+        # Extraction projection vs the independent golden fixtures: the
+        # driver's hash-compare doubles as a byte-identity check on
+        # text length, span counts, routing and content hashes.
+        "pages_extract": f"""
+            SELECT url, route, content_hash,
+                   length(extracted_text) AS text_len,
+                   len(spans) AS n_spans
+            FROM read_parquet('{golden_sf0_01}')
+        """,
+        "pages_route_counts": f"""
+            SELECT route, count(*) AS n_pages
+            FROM read_parquet('{golden_sf0_01}') GROUP BY route
+        """,
+        # Salted two-phase host aggregation vs a direct SQL groupby over
+        # the raw pages table.
+        "pages_host_stats": f"""
+            SELECT lower(split_part(split_part(url, '://', 2), '/', 1)) AS host,
+                   count(*) AS n_pages,
+                   CAST(sum(COALESCE(octet_length(html), 0)) AS BIGINT) AS payload_bytes
+            FROM read_parquet('{pages_sf0_01}') GROUP BY 1
+        """,
         # Table-structure detection vs the generator's golden grid
         # fixtures (cell counts + row-major cell-text hashes). The
         # fixtures are construction knowledge, not extractor output, so
