@@ -529,6 +529,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT route, count(*) AS n_pages
             FROM read_parquet('{golden_sf0_01}') GROUP BY route
         """,
+        # Per-route job counters vs the golden fixtures (the synthetic
+        # corpus contains no error rows, so n_errors must be exactly 0 —
+        # any engine-side failure breaks the hash).
+        "pages_metrics": f"""
+            SELECT route, count(*) AS n_docs,
+                   CAST(0 AS BIGINT) AS n_errors,
+                   CAST(sum(length(extracted_text)) AS BIGINT) AS text_chars,
+                   CAST(sum(len(spans)) AS BIGINT) AS n_spans
+            FROM read_parquet('{golden_sf0_01}') GROUP BY route
+        """,
         # Salted two-phase host aggregation vs a direct SQL groupby over
         # the raw pages table.
         "pages_host_stats": f"""
