@@ -562,6 +562,30 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(t.cell_texts, '|')) AS cells_md5
             FROM g
         """,
+        # Markdown sink vs a pure-SQL re-render of the golden fixtures:
+        # DuckDB rebuilds the exact render (header comment, #/## span
+        # prefixes, blank-line separators, trailing-whitespace rstrip)
+        # from golden (url, route, extracted_text, spans) and md5s it —
+        # fully independent of the engine's renderer. The corpus has no
+        # error rows, so the error branch is exercised only in pytest.
+        "pages_markdown": f"""
+            SELECT url, md5(
+              rtrim(
+                '<!-- url: ' || url || ' | route: ' || route || ' -->'
+                || chr(10) || chr(10) ||
+                array_to_string(
+                  list_transform(spans, s ->
+                    (CASE WHEN s.kind = 'title' THEN '# '
+                          WHEN s.kind = 'heading' THEN '## '
+                          ELSE '' END)
+                    || substr(extracted_text, CAST(s.start AS BIGINT) + 1,
+                              CAST(s."end" - s.start AS BIGINT))
+                  ), chr(10) || chr(10)),
+                ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)
+              ) || chr(10)
+            ) AS markdown_md5
+            FROM read_parquet('{golden_sf0_01}')
+        """,
         "doc_exact_dedup": """
             SELECT md5(text) AS text_hash,
                    min(doc_id) AS rep_doc_id,
