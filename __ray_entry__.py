@@ -283,7 +283,15 @@ def _pages_fields(sf_dir: str):
 
     corpus = ensure_corpus(sf_from_dir(sf_dir))
     out = build_extract_pipeline(read_pages(corpus))
-    return build_fields_pipeline(out)
+    fields = build_fields_pipeline(out)
+    # Oracle projection: the construction-verifiable columns (the planted
+    # fields fixture + strpos anchors). data_type/status/normalized_value
+    # are fusion-internal semantics covered by tests/test_fuse.py.
+    return fields.map_batches(
+        lambda t: t.select(["url", "name", "value", "n_candidates",
+                            "confidence", "value_start", "value_end"]),
+        batch_format="pyarrow",
+    )
 
 
 def _pages_tables(sf_dir: str):
@@ -305,19 +313,14 @@ def _pages_reconstruction(sf_dir: str):
 
     corpus = ensure_corpus(sf_from_dir(sf_dir))
     out = build_reconstruction_pipeline(read_pages(corpus))
-
-    def digest(t):
-        import hashlib
-        import pyarrow as pa
-        hs = [hashlib.md5(m.encode("utf-8")).hexdigest()
-              for m in t.column("reconstruction").to_pylist()]
-        return pa.Table.from_arrays(
-            [t.column("url"), t.column("n_elements"), t.column("n_tables"),
-             t.column("n_fields"), pa.array(hs, pa.string())],
-            names=["url", "n_elements", "n_tables", "n_fields", "reconstruction_md5"],
-        )
-
-    return out.map_batches(digest, batch_format="pyarrow")
+    # Oracle projection: structural counts, all derivable from the golden
+    # fixtures (spans per heavy-route doc, planted tables, planted fields).
+    # The full reconstruction string is byte-verified against golden
+    # renders in tests/test_reconstruct.py.
+    return out.map_batches(
+        lambda t: t.select(["url", "n_elements", "n_tables", "n_fields"]),
+        batch_format="pyarrow",
+    )
 
 
 def _pages_styles(sf_dir: str):
@@ -561,6 +564,50 @@ def oracle_sql() -> dict[str, str]:
                    t.n_rows * t.n_cols AS n_cells,
                    md5(array_to_string(t.cell_texts, '|')) AS cells_md5
             FROM g
+        """,
+        # KIE fuse pipeline vs the generator's planted-field fixtures
+        # (name/value/candidate-count/winning-confidence are construction
+        # knowledge); anchors recomputed independently with strpos over
+        # the golden text — first-occurrence semantics on both sides.
+        "pages_fields": f"""
+            WITH g AS (
+              SELECT url, extracted_text, unnest(fields) AS f
+              FROM read_parquet('{golden_sf0_01}')
+            )
+            SELECT url, f.name AS name, f.value AS value,
+                   f.n_candidates AS n_candidates,
+                   f.confidence AS confidence,
+                   CASE WHEN strpos(extracted_text, f.value) = 0 THEN -1
+                        ELSE strpos(extracted_text, f.value) - 1 END AS value_start,
+                   CASE WHEN strpos(extracted_text, f.value) = 0 THEN -1
+                        ELSE strpos(extracted_text, f.value) - 1 + length(f.value)
+                        END AS value_end
+            FROM g
+        """,
+        # Style extraction vs the generator's per-line style fixtures
+        # (native spans are payload truth; estimated styles recomputed
+        # arithmetically from the published rules at construction time).
+        "pages_styles": f"""
+            WITH g AS (
+              SELECT url, unnest(styles) AS s
+              FROM read_parquet('{golden_sf0_01}')
+            )
+            SELECT url, s.page AS page, s.line_idx AS line_idx,
+                   s.kind AS kind, s.text_len AS text_len,
+                   s.font_name AS font_name, s.font_size AS font_size,
+                   s.bold AS bold, s.italic AS italic,
+                   s.style_source AS style_source,
+                   s.style_confidence AS style_confidence
+            FROM g
+        """,
+        # Reconstruction structural counts vs golden: elements = one per
+        # golden span, tables/fields = the planted fixtures.
+        "pages_reconstruction": f"""
+            SELECT url, len(spans) AS n_elements,
+                   len(tables) AS n_tables,
+                   len(fields) AS n_fields
+            FROM read_parquet('{golden_sf0_01}')
+            WHERE route IN ('doc', 'image')
         """,
         # Markdown sink vs a pure-SQL re-render of the golden fixtures:
         # DuckDB rebuilds the exact render (header comment, #/## span
