@@ -351,6 +351,16 @@ def _minhash_dup_clusters(sf_dir: str):
     return near_dup_clusters(verified)
 
 
+def _pages_url_dedup(sf_dir: str):
+    from horizon_ocr_python_ray import ensure_corpus, read_pages, sf_from_dir
+    from horizon_ocr_python_ray.stages.urldedup import canonical_url_dedup
+
+    corpus = ensure_corpus(sf_from_dir(sf_dir))
+    # Column-pruned read: the canonical-dedup key needs url+ts only —
+    # payload bytes never leave storage.
+    return canonical_url_dedup(read_pages(corpus, columns=["url", "warc_ts"]))
+
+
 def _pages_host_stats(sf_dir: str):
     from horizon_ocr_python_ray import ensure_corpus, read_pages, sf_from_dir
     from horizon_ocr_python_ray.stages.skew import host_stats_salted
@@ -489,6 +499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_reconstruction": _pages_reconstruction,
         "media_features": _media_features,
         "media_preprocess": _media_preprocess,
+        "pages_url_dedup": _pages_url_dedup,
         "pages_host_stats": _pages_host_stats,
         "pages_metrics": _pages_metrics,
         "doc_lang_unique": _doc_lang_unique,
@@ -505,6 +516,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB; views pre-registered per table name)
 # ---------------------------------------------------------------------------
+
+def _urlnorm_sql_expr() -> str:
+    from horizon_ocr_python_ray.functions.urlnorm import oracle_sql_expr
+
+    return oracle_sql_expr("url")
+
 
 def oracle_sql() -> dict[str, str]:
     # The pages_tables oracle reads the golden table fixtures of the
@@ -541,6 +558,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(length(extracted_text)) AS BIGINT) AS text_chars,
                    CAST(sum(len(spans)) AS BIGINT) AS n_spans
             FROM read_parquet('{golden_sf0_01}') GROUP BY route
+        """,
+        # Canonical-URL dedup vs the same RE2 canonicalization rule in
+        # DuckDB (both engines run RE2 — identical regex semantics). The
+        # corpus's dup rows carry tracking-param/fragment/session-id URL
+        # variants of their source row, so the grouping is non-trivial.
+        "pages_url_dedup": f"""
+            WITH c AS (
+              SELECT {_urlnorm_sql_expr()} AS canonical_url, warc_ts
+              FROM read_parquet('{pages_sf0_01}')
+            )
+            SELECT canonical_url, count(*) AS n_pages,
+                   min(warc_ts) AS first_ts
+            FROM c GROUP BY canonical_url
         """,
         # Salted two-phase host aggregation vs a direct SQL groupby over
         # the raw pages table.
