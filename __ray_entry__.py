@@ -351,6 +351,14 @@ def _minhash_dup_clusters(sf_dir: str):
     return near_dup_clusters(verified)
 
 
+def _doc_top_terms(sf_dir: str):
+    import ray.data
+    from horizon_ocr_python_ray.stages.topterms import doc_top_terms
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return doc_top_terms(docs, k=3)
+
+
 def _pages_url_dedup(sf_dir: str):
     from horizon_ocr_python_ray import ensure_corpus, read_pages, sf_from_dir
     from horizon_ocr_python_ray.stages.urldedup import canonical_url_dedup
@@ -499,6 +507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_reconstruction": _pages_reconstruction,
         "media_features": _media_features,
         "media_preprocess": _media_preprocess,
+        "doc_top_terms": _doc_top_terms,
         "pages_url_dedup": _pages_url_dedup,
         "pages_host_stats": _pages_host_stats,
         "pages_metrics": _pages_metrics,
@@ -558,6 +567,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(length(extracted_text)) AS BIGINT) AS text_chars,
                    CAST(sum(len(spans)) AS BIGINT) AS n_spans
             FROM read_parquet('{golden_sf0_01}') GROUP BY route
+        """,
+        # Top-k distinctive terms per doc: DuckDB recomputes tf/df and the
+        # integer-exact ranking key (tf DESC, df ASC, term ASC) with a
+        # window function — no floating-point score in the compare.
+        "doc_top_terms": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest({tok}) AS term
+              FROM documents WHERE trim(text) <> ''
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+            ), df AS (
+              SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+            ), ranked AS (
+              SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                     row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf DESC, df.df ASC, tf.term ASC
+                     ) AS rank
+              FROM tf JOIN df USING (term)
+            )
+            SELECT doc_id, term, tf, df, rank FROM ranked WHERE rank <= 3
         """,
         # Canonical-URL dedup vs the same RE2 canonicalization rule in
         # DuckDB (both engines run RE2 — identical regex semantics). The

@@ -1,0 +1,119 @@
+"""Per-document top-k distinctive terms via a two-phase document-
+frequency aggregate + broadcast scoring pass.
+
+The TF-IDF-shaped curation primitive (rank a document's terms by how
+often they occur in it and how rare they are corpus-wide), with an
+integer-exact ranking key ``(tf DESC, df ASC, term ASC)`` so the result
+is bit-reproducible across engines — no ``ln()`` ulp drift in the
+comparison surface (the real-valued tf·idf score is monotone in this
+key for fixed tf, and the key is what any dedup/quality gate consumes).
+
+Scale shape (100 TB):
+- Phase 1 (DF) pre-aggregates INSIDE each batch — the shuffle carries
+  one ``(term, partial_df)`` row per distinct term per batch, not one
+  row per token occurrence; ``groupby(term).sum()`` finishes it.
+- Phase 2 re-reads the docs and scores per document entirely locally:
+  a document's terms all live in its own row, so top-k needs no second
+  shuffle — only the DF table crosses the cluster.
+- The DF table is broadcast via ``ray.put`` when it is small (bounded
+  vocabulary), else the guard raises with the shuffle-join plan named —
+  the same explicit-switch pattern as the MinHash candidate planner
+  (``stages/dedup_docs.py``), never a silent driver OOM.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pyarrow as pa
+
+from ..functions.textstats import tokens
+
+#: Above this many distinct terms the broadcast plan refuses (a real
+#: web-scale vocabulary needs the shuffle-join plan instead).
+BROADCAST_VOCAB_MAX = 5_000_000
+
+
+def _doc_terms(text: str) -> Counter:
+    return Counter(t.lower() for t in tokens(text))
+
+
+def _partial_df(batch: pa.Table) -> pa.Table:
+    """Batch-local combiner: one output row per distinct term in the
+    batch, counting how many of the batch's docs contain it."""
+    counts: Counter = Counter()
+    for text in batch.column("text").to_pylist():
+        counts.update(set(_doc_terms(text)))
+    terms = sorted(counts)
+    return pa.Table.from_arrays(
+        [pa.array(terms, pa.string()),
+         pa.array([counts[t] for t in terms], pa.int64())],
+        names=["term", "partial_df"],
+    )
+
+
+def build_df_table(docs_ds) -> "pa.Table":
+    """documents → (term, df) Arrow table (small: the reduced vocabulary)."""
+    from ray.data.aggregate import Sum
+
+    import ray
+
+    df = (docs_ds.map_batches(_partial_df, batch_format="pyarrow")
+          .groupby("term").aggregate(Sum("partial_df", alias_name="df")))
+    parts = [t for t in ray.get(df.to_arrow_refs()) if t.num_rows]
+    out = pa.concat_tables(parts) if parts else pa.table(
+        {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
+    if out.num_rows > BROADCAST_VOCAB_MAX:
+        raise ValueError(
+            f"vocabulary {out.num_rows} exceeds broadcast bound "
+            f"{BROADCAST_VOCAB_MAX}; use the shuffle-join plan "
+            "(explode (doc_id, term, tf) → join DF on term → groupby(doc_id) top-k)"
+        )
+    return out
+
+
+class TopTermsScorer:
+    """Actor-pool stage: the broadcast DF dict deserializes once per
+    actor in ``__init__``; ``__call__`` scores each doc locally."""
+
+    def __init__(self, df_ref, k: int) -> None:
+        import ray
+
+        df_tbl = ray.get(df_ref)
+        self.df = dict(zip(df_tbl.column("term").to_pylist(),
+                           df_tbl.column("df").to_pylist()))
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, terms, tfs, dfs, ranks = [], [], [], [], []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            tf = _doc_terms(text)
+            ranked = sorted(tf.items(), key=lambda kv: (-kv[1], self.df[kv[0]], kv[0]))
+            for rank, (term, cnt) in enumerate(ranked[: self.k], start=1):
+                ids.append(doc_id)
+                terms.append(term)
+                tfs.append(cnt)
+                dfs.append(self.df[term])
+                ranks.append(rank)
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(terms, pa.string()),
+             pa.array(tfs, pa.int64()), pa.array(dfs, pa.int64()),
+             pa.array(ranks, pa.int64())],
+            names=["doc_id", "term", "tf", "df", "rank"],
+        )
+
+
+def doc_top_terms(docs_ds, k: int = 3, concurrency: tuple[int, int] = (1, 4)):
+    """documents (doc_id, text) → top-k terms per doc by
+    (tf DESC, df ASC, term ASC)."""
+    import ray
+
+    df_ref = ray.put(build_df_table(docs_ds))
+    return docs_ds.map_batches(
+        TopTermsScorer,
+        fn_constructor_kwargs={"df_ref": df_ref, "k": k},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=concurrency,
+    )

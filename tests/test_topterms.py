@@ -1,0 +1,64 @@
+"""Top-k distinctive terms (two-phase DF + broadcast scoring)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from horizon_ocr_python_ray.stages.topterms import (
+    BROADCAST_VOCAB_MAX,
+    _doc_terms,
+    _partial_df,
+    build_df_table,
+    doc_top_terms,
+)
+
+
+def _docs_table():
+    return pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "apple apple banana cherry",
+            "banana banana cherry",
+            "  ",  # whitespace-only doc → no rows
+        ], pa.string()),
+    })
+
+
+def test_partial_df_counts_docs_not_occurrences():
+    out = _partial_df(_docs_table())
+    df = dict(zip(out.column("term").to_pylist(), out.column("partial_df").to_pylist()))
+    assert df == {"apple": 1, "banana": 2, "cherry": 2}
+
+
+def test_doc_terms_lowercases():
+    assert _doc_terms("Apple APPLE banana") == {"apple": 2, "banana": 1}
+
+
+def test_top_terms_ranking(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(_docs_table())
+    out = doc_top_terms(ds, k=2).to_pandas().sort_values(["doc_id", "rank"])
+    rows = list(out.itertuples(index=False, name=None))
+    # doc 0: apple tf=2 first; banana/cherry tie on tf=1 → rarer df wins
+    # (both df=2) → term asc → banana
+    assert rows[0] == (0, "apple", 2, 1, 1)
+    assert rows[1] == (0, "banana", 1, 2, 2)
+    # doc 1: banana tf=2, cherry tf=1
+    assert rows[2] == (1, "banana", 2, 2, 1)
+    assert rows[3] == (1, "cherry", 1, 2, 2)
+    # doc 2 (whitespace-only) emits nothing
+    assert len(rows) == 4
+
+
+def test_vocab_guard(ray_session, monkeypatch):
+    import ray.data
+
+    import horizon_ocr_python_ray.stages.topterms as tt
+
+    monkeypatch.setattr(tt, "BROADCAST_VOCAB_MAX", 2)
+    ds = ray.data.from_arrow(_docs_table())
+    with pytest.raises(ValueError, match="shuffle-join"):
+        build_df_table(ds)
+    assert BROADCAST_VOCAB_MAX > 2  # module default untouched
