@@ -359,6 +359,22 @@ def _doc_top_terms(sf_dir: str):
     return doc_top_terms(docs, k=3)
 
 
+def _doc_split(sf_dir: str):
+    import ray.data
+    from horizon_ocr_python_ray.stages.sampling import hash_split
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return hash_split(docs, key="doc_id")
+
+
+def _pages_host_quota(sf_dir: str):
+    from horizon_ocr_python_ray import ensure_corpus, read_pages, sf_from_dir
+    from horizon_ocr_python_ray.stages.sampling import host_quota
+
+    corpus = ensure_corpus(sf_from_dir(sf_dir))
+    return host_quota(read_pages(corpus, columns=["url", "warc_ts"]), n=3)
+
+
 def _pages_url_dedup(sf_dir: str):
     from horizon_ocr_python_ray import ensure_corpus, read_pages, sf_from_dir
     from horizon_ocr_python_ray.stages.urldedup import canonical_url_dedup
@@ -508,6 +524,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _media_features,
         "media_preprocess": _media_preprocess,
         "doc_top_terms": _doc_top_terms,
+        "doc_split": _doc_split,
+        "pages_host_quota": _pages_host_quota,
         "pages_url_dedup": _pages_url_dedup,
         "pages_host_stats": _pages_host_stats,
         "pages_metrics": _pages_metrics,
@@ -588,6 +606,30 @@ def oracle_sql() -> dict[str, str]:
               FROM tf JOIN df USING (term)
             )
             SELECT doc_id, term, tf, df, rank FROM ranked WHERE rank <= 3
+        """,
+        # Stable hash split: DuckDB recomputes the md5-low64 bucket (same
+        # construction as the SimHash oracle's token hash).
+        "doc_split": """
+            SELECT doc_id,
+                   CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000 AS BIGINT)
+                     AS split_bucket,
+                   CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000 < 10
+                        THEN 'eval' ELSE 'train' END AS split
+            FROM documents
+        """,
+        # Host quota sampling: earliest-n-per-host via a window function.
+        "pages_host_quota": f"""
+            WITH ranked AS (
+              SELECT lower(split_part(split_part(url, '://', 2), '/', 1)) AS host,
+                     url, warc_ts,
+                     row_number() OVER (
+                       PARTITION BY lower(split_part(split_part(url, '://', 2), '/', 1))
+                       ORDER BY warc_ts ASC, url ASC
+                     ) AS quota_rank
+              FROM read_parquet('{pages_sf0_01}')
+            )
+            SELECT host, url, warc_ts, CAST(quota_rank AS BIGINT) AS quota_rank
+            FROM ranked WHERE quota_rank <= 3
         """,
         # Canonical-URL dedup vs the same RE2 canonicalization rule in
         # DuckDB (both engines run RE2 — identical regex semantics). The

@@ -1,0 +1,74 @@
+"""Deterministic corpus sampling primitives for training-data curation.
+
+Two operators a 100-TB pipeline needs constantly:
+
+- ``hash_split``: stable train/eval assignment by content-independent
+  key hash (md5 low-64 of the stringified key, mod buckets) — the split
+  never moves when the corpus is re-sharded, re-read or appended, and
+  any engine (the DuckDB oracle included) recomputes it bit-identically.
+  Embarrassingly parallel: a ``map_batches`` projection, zero shuffles.
+
+- ``host_quota``: cap pages per host at ``n`` keeping the earliest
+  crawls (politeness / anti-bias sampling — a handful of giant hosts
+  must not dominate a training corpus). One hash shuffle on ``host``;
+  the per-group sort is bounded by the host's page count, and the
+  groupby key is the same host key the skew stage salts, so a hot host
+  is a known, bounded cost (quota output per group is ≤ n rows).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .skew import host_of
+
+EVAL_PERMILLE_DEFAULT = 10  # 1% eval split
+
+
+def _md5_low64(s: str) -> int:
+    """Low 8 bytes of md5, little-endian — DuckDB analog:
+    ``md5_number_lower(s)::UBIGINT`` (same construction as the SimHash
+    oracle's token hash)."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[8:], "little")
+
+
+def hash_split_batch(batch: pa.Table, key: str,
+                     eval_permille: int = EVAL_PERMILLE_DEFAULT) -> pa.Table:
+    keys = batch.column(key).to_pylist()
+    buckets = [_md5_low64(str(k)) % 1000 for k in keys]
+    split = ["eval" if b < eval_permille else "train" for b in buckets]
+    return (batch
+            .append_column("split_bucket", pa.array(buckets, pa.int64()))
+            .append_column("split", pa.array(split, pa.string())))
+
+
+def hash_split(ds, key: str = "doc_id",
+               eval_permille: int = EVAL_PERMILLE_DEFAULT):
+    """Append (split_bucket, split) columns — stable under re-sharding."""
+    return ds.map_batches(
+        lambda t: hash_split_batch(t, key, eval_permille), batch_format="pyarrow"
+    )
+
+
+def host_quota(pages_ds, n: int = 3):
+    """pages (url, warc_ts) → at most ``n`` earliest-crawled pages per
+    host, with their quota rank. Deterministic tie-break (warc_ts, url)."""
+
+    def add_host(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "host", pa.array([host_of(u) for u in t.column("url").to_pylist()],
+                             pa.string()))
+
+    def keep_first_n(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[("warc_ts", "ascending"),
+                                                  ("url", "ascending")])
+        kept = group.take(order[:n])
+        return kept.append_column(
+            "quota_rank", pa.array(range(1, kept.num_rows + 1), pa.int64()))
+
+    keyed = pages_ds.map_batches(add_host, batch_format="pyarrow")
+    keyed = keyed.select_columns(["host", "url", "warc_ts"])
+    return keyed.groupby("host").map_groups(keep_first_n, batch_format="pyarrow")

@@ -1,0 +1,64 @@
+"""Deterministic sampling primitives (hash split, host quota)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from horizon_ocr_python_ray.stages.sampling import (
+    _md5_low64,
+    hash_split,
+    hash_split_batch,
+    host_quota,
+)
+
+
+def test_hash_split_stable_and_complete():
+    t = pa.table({"doc_id": pa.array(list(range(2000)), pa.int64())})
+    out = hash_split_batch(t, "doc_id")
+    splits = out.column("split").to_pylist()
+    buckets = out.column("split_bucket").to_pylist()
+    assert all(0 <= b < 1000 for b in buckets)
+    assert all((s == "eval") == (b < 10) for s, b in zip(splits, buckets))
+    # ~1% eval at permille 10 (binomial bounds, deterministic given ids)
+    n_eval = splits.count("eval")
+    assert 5 <= n_eval <= 50
+    # re-running yields the identical assignment
+    again = hash_split_batch(t, "doc_id")
+    assert again.column("split").to_pylist() == splits
+
+
+def test_hash_split_independent_of_sharding(ray_session):
+    import ray.data
+
+    t = pa.table({"doc_id": pa.array(list(range(500)), pa.int64())})
+    one = hash_split(ray.data.from_arrow(t)).to_pandas().sort_values("doc_id")
+    many = hash_split(
+        ray.data.from_arrow(t).repartition(7)).to_pandas().sort_values("doc_id")
+    assert one["split"].tolist() == many["split"].tolist()
+
+
+def test_md5_low64_matches_duckdb():
+    import duckdb
+
+    for key in ("0", "42", "99999"):
+        assert _md5_low64(key) == duckdb.sql(
+            f"SELECT md5_number_lower('{key}')").fetchone()[0]
+
+
+def test_host_quota_keeps_earliest(ray_session):
+    import ray.data
+
+    rows = []
+    for h in ("a.com", "b.com"):
+        for k in range(5):
+            rows.append({"url": f"https://{h}/p/{k}", "warc_ts": 1000 + k})
+    t = pa.table({
+        "url": pa.array([r["url"] for r in rows], pa.string()),
+        "warc_ts": pa.array([r["warc_ts"] for r in rows], pa.timestamp("us")),
+    })
+    out = host_quota(ray.data.from_arrow(t), n=2).to_pandas()
+    assert len(out) == 4
+    by_host = out.groupby("host")["url"].apply(sorted).to_dict()
+    assert by_host["a.com"] == ["https://a.com/p/0", "https://a.com/p/1"]
+    assert by_host["b.com"] == ["https://b.com/p/0", "https://b.com/p/1"]
+    assert set(out["quota_rank"]) == {1, 2}
