@@ -187,6 +187,26 @@ def _ann_topk_lsh(sf_dir: str):
     return out.map_batches(project, batch_format="pyarrow")
 
 
+def _ann_topk_ivf(sf_dir: str):
+    import numpy as np
+    import ray.data
+    from horizon_ocr_python_ray.stages.ann import ivf_topk
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = np.array(emb.sort("vec_id").take(1)[0]["embedding"], dtype=np.float64)
+    out = ivf_topk(emb, q, k=10)
+
+    def project(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        return pa.Table.from_arrays(
+            [t.column("vec_id"), pc.round(t.column("score"), 6), t.column("rank")],
+            names=["vec_id", "score", "rank"],
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 def _events_hourly(sf_dir: str):
     import ray.data
     from horizon_ocr_python_ray.stages.window import tumbling_window
@@ -511,6 +531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dup": _minhash_near_dup,
         "ann_topk": _ann_topk,
         "ann_topk_lsh": _ann_topk_lsh,
+        "ann_topk_ivf": _ann_topk_ivf,
         "events_hourly": _events_hourly,
         "events_sliding": _events_sliding,
         "events_sessions": _events_sessions,
@@ -792,6 +813,20 @@ def oracle_sql() -> dict[str, str]:
         # probability ~1e-28 per true neighbor, so its top-k equals the
         # brute-force top-k.
         "ann_topk_lsh": """
+            WITH q AS (SELECT embedding FROM embeddings ORDER BY vec_id LIMIT 1)
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS score,
+                   row_number() OVER (
+                     ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                              e.vec_id
+                   ) AS rank
+            FROM embeddings e, q
+            ORDER BY rank LIMIT 10
+        """,
+        # ann_topk_ivf is EXACT by construction (upper-bound-pruned
+        # cluster scan: a cluster is skipped only when q·c + r_c can't
+        # beat the kth-best), so the brute-force oracle applies verbatim.
+        "ann_topk_ivf": """
             WITH q AS (SELECT embedding FROM embeddings ORDER BY vec_id LIMIT 1)
             SELECT e.vec_id,
                    round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS score,

@@ -88,6 +88,35 @@ def test_exact_pairs_match_numpy_reference():
     assert got == expected
 
 
+def test_ivf_topk_equals_brute_force():
+    from horizon_ocr_python_ray.stages.ann import ivf_topk
+
+    emb = _emb_ds()
+    q = np.array(emb.sort("vec_id").take(1)[0]["embedding"], dtype=np.float64)
+    bf = brute_force_topk(_emb_ds(), q, k=10).to_pandas()
+    ivf = ivf_topk(_emb_ds(), q, k=10, n_clusters=8).to_pandas()
+    cols = ["query_idx", "vec_id", "rank"]
+    assert ivf.sort_values("rank")[cols].values.tolist() == \
+        bf.sort_values("rank")[cols].values.tolist()
+    assert np.allclose(ivf.sort_values("rank")["score"].to_numpy(),
+                       bf.sort_values("rank")["score"].to_numpy())
+
+
+def test_ivf_bound_is_sound():
+    # the pruning invariant: for every vector, q·x ≤ q·c(x) + ‖x−c(x)‖
+    from horizon_ocr_python_ray.stages.ann import _normalize, train_centroids
+
+    tbl = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["embedding"])
+    mat = _normalize(np.array(tbl.column("embedding").to_pylist(), dtype=np.float64))
+    cents = train_centroids(_emb_ds(), n_clusters=8)
+    q = mat[0]
+    assign = (mat @ cents.T - 0.5 * (cents ** 2).sum(axis=1)[None, :]).argmax(axis=1)
+    resid = np.linalg.norm(mat - cents[assign], axis=1)
+    scores = mat @ q
+    ub = cents @ q
+    assert (scores <= ub[assign] + resid + 1e-12).all()
+
+
 def test_lsh_miss_probability_math():
     # the parameter contract: (1 - p^r)^b at the query threshold must be
     # negligible for the defaults used by the driver queries
