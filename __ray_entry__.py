@@ -395,6 +395,14 @@ def _pages_host_quota(sf_dir: str):
     return host_quota(read_pages(corpus, columns=["url", "warc_ts"]), n=3)
 
 
+def _pages_curation_funnel(sf_dir: str):
+    from horizon_ocr_python_ray import ensure_corpus, read_pages, sf_from_dir
+    from horizon_ocr_python_ray.pipelines.curation import curation_funnel
+
+    corpus = ensure_corpus(sf_from_dir(sf_dir))
+    return curation_funnel(read_pages(corpus))
+
+
 def _pages_url_dedup(sf_dir: str):
     from horizon_ocr_python_ray import ensure_corpus, read_pages, sf_from_dir
     from horizon_ocr_python_ray.stages.urldedup import canonical_url_dedup
@@ -548,6 +556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split": _doc_split,
         "pages_host_quota": _pages_host_quota,
         "pages_url_dedup": _pages_url_dedup,
+        "pages_curation_funnel": _pages_curation_funnel,
         "pages_host_stats": _pages_host_stats,
         "pages_metrics": _pages_metrics,
         "doc_lang_unique": _doc_lang_unique,
@@ -651,6 +660,64 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT host, url, warc_ts, CAST(quota_rank AS BIGINT) AS quota_rank
             FROM ranked WHERE quota_rank <= 3
+        """,
+        # The curation funnel: DuckDB re-derives every gate — window-
+        # function dedups (earliest per canonical url, min-url per content
+        # hash), the stopword language scorer, the token-count gate and
+        # the md5 split — over golden + pages, fully independent of the
+        # engine's single-pass folded-count implementation.
+        "pages_curation_funnel": f"""
+            WITH base AS (
+              SELECT g.url, p.warc_ts,
+                     {_urlnorm_sql_expr().replace("lower(url)", "lower(g.url)")} AS curl,
+                     g.content_hash, g.extracted_text
+              FROM read_parquet('{golden_sf0_01}') g
+              JOIN read_parquet('{pages_sf0_01}') p USING (url)
+            ), r1 AS (
+              SELECT *,
+                     row_number() OVER (PARTITION BY curl ORDER BY warc_ts, url) AS rn,
+                     count(*) OVER (PARTITION BY curl) AS n_in_curl
+              FROM base
+            ), reps1 AS (SELECT * FROM r1 WHERE rn = 1
+            ), r2 AS (
+              SELECT *,
+                     row_number() OVER (PARTITION BY content_hash ORDER BY url) AS rn2,
+                     count(*) OVER (PARTITION BY content_hash) AS n_url_reps,
+                     sum(n_in_curl) OVER (PARTITION BY content_hash) AS n_pages_total
+              FROM reps1
+            ), reps2 AS (SELECT * FROM r2 WHERE rn2 = 1
+            ), toks AS (
+              SELECT *, CASE WHEN trim(extracted_text) = '' THEN []::VARCHAR[]
+                             ELSE regexp_split_to_array(trim(lower(extracted_text)), '\\s+')
+                        END AS tk
+              FROM reps2
+            ), scored AS (
+              SELECT url, n_pages_total, n_url_reps,
+                     len(tk) AS n_tokens,
+                     len(list_filter(tk, x -> x IN {_EN}))::DOUBLE AS c_en,
+                     len(list_filter(tk, x -> x IN {_DE}))::DOUBLE AS c_de,
+                     len(list_filter(tk, x -> x IN {_FR}))::DOUBLE AS c_fr,
+                     len(list_filter(tk, x -> x IN {_ES}))::DOUBLE AS c_es,
+                     md5_number_lower(url) % 1000 >= 10 AS is_train
+              FROM toks
+            ), flags AS (
+              SELECT *,
+                     (CASE WHEN n_tokens = 0 THEN 'unknown'
+                           WHEN greatest(c_en, c_de, c_fr, c_es) / n_tokens < 0.03 THEN 'unknown'
+                           WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+                           WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+                           WHEN c_es >= c_fr THEN 'es'
+                           ELSE 'fr' END) = 'en' AS f_en
+              FROM scored
+            )
+            SELECT 1 AS stage_idx, 'extracted' AS stage,
+                   CAST(sum(n_pages_total) AS BIGINT) AS n_rows FROM flags
+            UNION ALL SELECT 2, 'url_dedup', CAST(sum(n_url_reps) AS BIGINT) FROM flags
+            UNION ALL SELECT 3, 'content_dedup', count(*) FROM flags
+            UNION ALL SELECT 4, 'lang_en', count(*) FILTER (WHERE f_en) FROM flags
+            UNION ALL SELECT 5, 'quality', count(*) FILTER (WHERE f_en AND n_tokens >= 30) FROM flags
+            UNION ALL SELECT 6, 'train',
+                   count(*) FILTER (WHERE f_en AND n_tokens >= 30 AND is_train) FROM flags
         """,
         # Canonical-URL dedup vs the same RE2 canonicalization rule in
         # DuckDB (both engines run RE2 — identical regex semantics). The
