@@ -49,12 +49,22 @@ def _pages_extract(sf_dir: str):
     out = build_extract_pipeline(read_pages(corpus))
 
     def project(t: pa.Table) -> pa.Table:
+        import hashlib
+
         import pyarrow.compute as pc
         n_spans = pc.list_value_length(t.column("spans")).cast(pa.int64())
         text_len = pc.utf8_length(t.column("extracted_text")).cast(pa.int64())
+        # full byte-identity surface: md5 of the extracted text, matched
+        # against DuckDB md5(extracted_text) over the golden fixtures
+        text_md5 = pa.array(
+            [hashlib.md5(s.encode("utf-8")).hexdigest()
+             for s in t.column("extracted_text").to_pylist()],
+            pa.string(),
+        )
         return pa.Table.from_arrays(
-            [t.column("url"), t.column("route"), t.column("content_hash"), text_len, n_spans],
-            names=["url", "route", "content_hash", "text_len", "n_spans"],
+            [t.column("url"), t.column("route"), t.column("content_hash"),
+             text_len, n_spans, text_md5],
+            names=["url", "route", "content_hash", "text_len", "n_spans", "text_md5"],
         )
 
     return out.map_batches(project, batch_format="pyarrow")
@@ -599,7 +609,8 @@ def oracle_sql() -> dict[str, str]:
         "pages_extract": f"""
             SELECT url, route, content_hash,
                    length(extracted_text) AS text_len,
-                   len(spans) AS n_spans
+                   len(spans) AS n_spans,
+                   md5(extracted_text) AS text_md5
             FROM read_parquet('{golden_sf0_01}')
         """,
         "pages_route_counts": f"""
