@@ -391,9 +391,25 @@ def ivf_topk(emb_ds, query: np.ndarray, k: int = 10, n_clusters: int = 16,
         return brute_force_topk(cand.select_columns(["vec_id", "embedding"]),
                                 query, k)
 
+    def merge_partials(parts: list[pd.DataFrame]) -> pd.DataFrame:
+        """Driver-side re-rank of per-round partial top-k's (≤ Q·k rows
+        per round — tiny). Same (score desc, vec_id asc) semantics as
+        :func:`brute_force_topk`'s group merge."""
+        cat = pd.concat(parts, ignore_index=True)
+        out = []
+        for qi, g in cat.groupby("query_idx"):
+            g = g.sort_values(["score", "vec_id"],
+                              ascending=[False, True]).head(k).reset_index(drop=True)
+            g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+            out.append(g)
+        return pd.concat(out, ignore_index=True)
+
+    # Round 1 scans the probe set; each later round scans ONLY the delta
+    # clusters whose bound still beats some query's kth-best, merging the
+    # tiny partial top-k's on the driver — no cluster is read twice.
+    partials = [scan(scanned).to_pandas()]
     while True:
-        result = scan(scanned)
-        res_df = result.to_pandas()  # ≤ Q·k rows
+        res_df = merge_partials(partials)
         need: set[int] = set()
         for qi in range(ub.shape[0]):
             mine = res_df[res_df["query_idx"] == qi]["score"]
@@ -405,9 +421,8 @@ def ivf_topk(emb_ds, query: np.ndarray, k: int = 10, n_clusters: int = 16,
         if not need:
             import ray.data as _rd
 
-            # the ≤ Q·k result is already on the driver — wrap it rather
-            # than re-executing the scan lineage
             return _rd.from_pandas(res_df)
+        partials.append(scan(need).to_pandas())
         scanned |= need
 
 

@@ -15,10 +15,12 @@ Scale shape (100 TB):
 - Phase 2 re-reads the docs and scores per document entirely locally:
   a document's terms all live in its own row, so top-k needs no second
   shuffle — only the DF table crosses the cluster.
-- The DF table is broadcast via ``ray.put`` when it is small (bounded
-  vocabulary), else the guard raises with the shuffle-join plan named —
-  the same explicit-switch pattern as the MinHash candidate planner
-  (``stages/dedup_docs.py``), never a silent driver OOM.
+- ``plan="auto"`` broadcasts the DF table via ``ray.put`` when it is
+  small (bounded vocabulary) and otherwise switches to the fully
+  distributed SHUFFLE-JOIN plan — explode ``(doc_id, term, tf)``, hash
+  join the DF table on ``term``, regroup by ``doc_id`` for the local
+  top-k. Same explicit-switch pattern as the MinHash candidate planner
+  (``stages/dedup_docs.py``); both plans are tested byte-equal.
 """
 
 from __future__ import annotations
@@ -52,22 +54,29 @@ def _partial_df(batch: pa.Table) -> pa.Table:
     )
 
 
-def build_df_table(docs_ds) -> "pa.Table":
-    """documents → (term, df) Arrow table (small: the reduced vocabulary)."""
+def build_df_dataset(docs_ds):
+    """documents → (term, df) dataset via the combiner + one narrow shuffle."""
     from ray.data.aggregate import Sum
 
+    return (docs_ds.map_batches(_partial_df, batch_format="pyarrow")
+            .groupby("term").aggregate(Sum("partial_df", alias_name="df")))
+
+
+def build_df_table(docs_ds) -> "pa.Table":
+    """documents → (term, df) Arrow table (small: the reduced vocabulary).
+    Raises when the vocabulary exceeds the broadcast bound — callers use
+    ``plan="join"`` (or ``"auto"``) instead."""
     import ray
 
-    df = (docs_ds.map_batches(_partial_df, batch_format="pyarrow")
-          .groupby("term").aggregate(Sum("partial_df", alias_name="df")))
+    df = build_df_dataset(docs_ds)
     parts = [t for t in ray.get(df.to_arrow_refs()) if t.num_rows]
     out = pa.concat_tables(parts) if parts else pa.table(
         {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
     if out.num_rows > BROADCAST_VOCAB_MAX:
         raise ValueError(
             f"vocabulary {out.num_rows} exceeds broadcast bound "
-            f"{BROADCAST_VOCAB_MAX}; use the shuffle-join plan "
-            "(explode (doc_id, term, tf) → join DF on term → groupby(doc_id) top-k)"
+            f"{BROADCAST_VOCAB_MAX}; use plan='join' (explode (doc_id, "
+            "term, tf) → hash join DF on term → groupby(doc_id) top-k)"
         )
     return out
 
@@ -104,16 +113,77 @@ class TopTermsScorer:
         )
 
 
-def doc_top_terms(docs_ds, k: int = 3, concurrency: tuple[int, int] = (1, 4)):
+def _explode_tf(batch: pa.Table) -> pa.Table:
+    """One row per (doc, distinct term): the join plan's left side."""
+    ids, terms, tfs = [], [], []
+    for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("text").to_pylist()):
+        for term, cnt in _doc_terms(text).items():
+            ids.append(doc_id)
+            terms.append(term)
+            tfs.append(cnt)
+    return pa.Table.from_arrays(
+        [pa.array(ids, pa.int64()), pa.array(terms, pa.string()),
+         pa.array(tfs, pa.int64())],
+        names=["doc_id", "term", "tf"],
+    )
+
+
+def _topk_in_doc(group: pa.Table, k: int) -> pa.Table:
+    import pyarrow.compute as pc
+
+    order = pc.sort_indices(group, sort_keys=[("tf", "descending"),
+                                              ("df", "ascending"),
+                                              ("term", "ascending")])
+    kept = group.take(order[:k])
+    return kept.append_column(
+        "rank", pa.array(range(1, kept.num_rows + 1), pa.int64()))
+
+
+def doc_top_terms(docs_ds, k: int = 3, concurrency: tuple[int, int] = (1, 4),
+                  plan: str = "auto", num_partitions: int = 8):
     """documents (doc_id, text) → top-k terms per doc by
-    (tf DESC, df ASC, term ASC)."""
+    (tf DESC, df ASC, term ASC).
+
+    ``plan``: ``"broadcast"`` ships the DF table to every scorer actor
+    (right for bounded vocabularies); ``"join"`` is the fully distributed
+    path for web-scale vocabularies — explode (doc_id, term, tf), hash
+    join DF on term, regroup by doc_id for the local top-k (two extra
+    shuffles, zero driver state); ``"auto"`` tries broadcast and falls
+    back to join above ``BROADCAST_VOCAB_MAX``. Both plans are tested
+    byte-equal (``tests/test_topterms.py``).
+    """
     import ray
 
-    df_ref = ray.put(build_df_table(docs_ds))
-    return docs_ds.map_batches(
-        TopTermsScorer,
-        fn_constructor_kwargs={"df_ref": df_ref, "k": k},
+    if plan == "auto":
+        try:
+            df_tbl = build_df_table(docs_ds)
+            plan = "broadcast"
+        except ValueError:
+            plan = "join"
+    elif plan == "broadcast":
+        df_tbl = build_df_table(docs_ds)
+
+    if plan == "broadcast":
+        df_ref = ray.put(df_tbl)
+        return docs_ds.map_batches(
+            TopTermsScorer,
+            fn_constructor_kwargs={"df_ref": df_ref, "k": k},
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=concurrency,
+        )
+    if plan != "join":
+        raise ValueError(f"unknown plan {plan!r}; expected auto|broadcast|join")
+
+    tf_rows = docs_ds.map_batches(_explode_tf, batch_format="pyarrow")
+    joined = tf_rows.join(
+        build_df_dataset(docs_ds), join_type="inner",
+        num_partitions=num_partitions, on=("term",),
+    )
+    out = joined.groupby("doc_id").map_groups(
+        lambda g: _topk_in_doc(g, k), batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "term", "tf", "df", "rank"]),
         batch_format="pyarrow",
-        batch_size=256,
-        concurrency=concurrency,
     )
