@@ -55,20 +55,48 @@ def hash_split(ds, key: str = "doc_id",
 
 def host_quota(pages_ds, n: int = 3):
     """pages (url, warc_ts) → at most ``n`` earliest-crawled pages per
-    host, with their quota rank. Deterministic tie-break (warc_ts, url)."""
+    host, with their quota rank. Deterministic tie-break (warc_ts, url).
+
+    Skew-safe: a batch-local COMBINER keeps ≤ ``n`` rows per host per
+    batch before the shuffle (min-n is distributive: the global earliest
+    n lie within the union of per-batch earliest n), so a Zipf-hot host
+    contributes ≤ n rows per upstream batch to its reducer instead of
+    its entire page set — the same combiner-before-shuffle rule the
+    aggregation stages follow."""
 
     def add_host(t: pa.Table) -> pa.Table:
         return t.append_column(
             "host", pa.array([host_of(u) for u in t.column("url").to_pylist()],
                              pa.string()))
 
-    def keep_first_n(group: pa.Table) -> pa.Table:
+    def _first_n(group: pa.Table) -> pa.Table:
         order = pc.sort_indices(group, sort_keys=[("warc_ts", "ascending"),
                                                   ("url", "ascending")])
-        kept = group.take(order[:n])
+        return group.take(order[:n])
+
+    def local_prune(t: pa.Table) -> pa.Table:
+        if t.num_rows <= n:
+            return t
+        # group batch-locally by host via sort + run boundaries
+        order = pc.sort_indices(t, sort_keys=[("host", "ascending"),
+                                              ("warc_ts", "ascending"),
+                                              ("url", "ascending")])
+        st = t.take(order)
+        hosts = st.column("host").to_pylist()
+        keep = []
+        run_start = 0
+        for i in range(1, len(hosts) + 1):
+            if i == len(hosts) or hosts[i] != hosts[run_start]:
+                keep.extend(range(run_start, min(run_start + n, i)))
+                run_start = i
+        return st.take(pa.array(keep, pa.int64()))
+
+    def keep_first_n(group: pa.Table) -> pa.Table:
+        kept = _first_n(group)
         return kept.append_column(
             "quota_rank", pa.array(range(1, kept.num_rows + 1), pa.int64()))
 
     keyed = pages_ds.map_batches(add_host, batch_format="pyarrow")
     keyed = keyed.select_columns(["host", "url", "warc_ts"])
-    return keyed.groupby("host").map_groups(keep_first_n, batch_format="pyarrow")
+    pruned = keyed.map_batches(local_prune, batch_format="pyarrow")
+    return pruned.groupby("host").map_groups(keep_first_n, batch_format="pyarrow")

@@ -45,6 +45,23 @@ def test_md5_low64_matches_duckdb():
             f"SELECT md5_number_lower('{key}')").fetchone()[0]
 
 
+def test_host_quota_combiner_prunes_but_preserves_result(ray_session):
+    # a hot host spread over many blocks: per-batch pruning must not
+    # change the global earliest-n
+    import ray.data
+
+    rows = [{"url": f"https://hot.com/p/{k:04d}", "warc_ts": 5000 - k}
+            for k in range(50)]
+    t = pa.table({
+        "url": pa.array([r["url"] for r in rows], pa.string()),
+        "warc_ts": pa.array([r["warc_ts"] for r in rows], pa.timestamp("us")),
+    })
+    out = host_quota(ray.data.from_arrow(t).repartition(10), n=3).to_pandas()
+    # earliest ts are the LAST urls (ts decreases with k)
+    assert sorted(out["url"]) == [f"https://hot.com/p/{k:04d}" for k in (47, 48, 49)]
+    assert len(out) == 3
+
+
 def test_host_quota_keeps_earliest(ray_session):
     import ray.data
 
