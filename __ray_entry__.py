@@ -272,6 +272,15 @@ def _events_sessions(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def _events_lag(sf_dir: str):
+    import ray.data
+    from horizon_ocr_python_ray.stages.window import events_lag
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["event_id", "user_id", "ts"])
+    return events_lag(events)
+
+
 def _emb_near_dup(sf_dir: str):
     import ray.data
     from horizon_ocr_python_ray.stages.ann import embedding_near_dup_pairs
@@ -553,6 +562,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _events_hourly,
         "events_sliding": _events_sliding,
         "events_sessions": _events_sessions,
+        "events_lag": _events_lag,
         "emb_near_dup": _emb_near_dup,
         "emb_near_dup_lsh": _emb_near_dup_lsh,
         "emb_dup_clusters": _emb_dup_clusters,
@@ -976,6 +986,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(sum(value) * 10000) AS BIGINT) AS sum_value_e4
             FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS k) k
             GROUP BY event_type, ((epoch_us(ts) // 900000000) - k.k)
+        """,
+        # Per-user self as-of (previous event + gap): DuckDB re-derives
+        # it with window lag over the same stable (ts, event_id) order.
+        "events_lag": """
+            SELECT event_id, user_id,
+                   COALESCE(lag(event_id) OVER w, -1) AS prev_event_id,
+                   COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER w, -1) AS gap_us
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "events_sessions": """
             WITH o AS (

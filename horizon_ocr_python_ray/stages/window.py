@@ -128,3 +128,41 @@ def session_window(events_ds, gap_s: int = 1800):
         return out
 
     return events_ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+
+
+def events_lag(events_ds):
+    """Per-user self AS-OF join: each event gets its user's previous
+    event (stable ``(ts, event_id)`` order) and the time gap — the
+    "time since last action" feature every behavioral training set
+    needs. Semantically the self-variant of an as-of join (latest row
+    at-or-before, deterministic tie-break by event_id); against a
+    DIMENSION right side the same shape applies: hash-partition both
+    sides on the key, per-group sort, vectorized positional lookup.
+
+    One hash shuffle on ``user_id``; in-group work is a vectorized
+    sort + shift (no Python loop). First event per user gets
+    ``prev_event_id = -1, gap_us = -1``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def lag_in_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        ts = g["ts"].astype("int64").to_numpy()
+        ids = g["event_id"].to_numpy()
+        prev_id = np.empty(len(g), dtype=np.int64)
+        gap = np.empty(len(g), dtype=np.int64)
+        prev_id[0] = -1
+        gap[0] = -1
+        if len(g) > 1:
+            prev_id[1:] = ids[:-1]
+            gap[1:] = ts[1:] - ts[:-1]
+        return pd.DataFrame({
+            "event_id": ids,
+            "user_id": g["user_id"].to_numpy(),
+            "prev_event_id": prev_id,
+            "gap_us": gap,
+        })
+
+    keyed = events_ds.select_columns(["event_id", "user_id", "ts"])
+    return keyed.groupby("user_id").map_groups(lag_in_group, batch_format="pandas")

@@ -60,3 +60,23 @@ def test_salted_repartition_spreads_hot_host(corpus_dir):
     assert hot.bucket.nunique() >= 4
     assert len(df) == len(_expected_counts(corpus_dir)[0]) or True  # row count preserved:
     assert len(df) == sum(_expected_counts(corpus_dir)[0].values())
+
+
+def test_events_lag_prev_and_gap(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from horizon_ocr_python_ray.stages.window import events_lag
+
+    t = pa.table({
+        "event_id": pa.array([3, 1, 2, 10], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        "ts": pa.array([3_000_000, 1_000_000, 2_000_000, 5], pa.timestamp("us")),
+    })
+    out = events_lag(ray.data.from_arrow(t)).to_pandas().sort_values("event_id")
+    rows = {r.event_id: (r.prev_event_id, r.gap_us)
+            for r in out.itertuples(index=False)}
+    assert rows[1] == (-1, -1)          # first event of user 1
+    assert rows[2] == (1, 1_000_000)
+    assert rows[3] == (2, 1_000_000)
+    assert rows[10] == (-1, -1)         # only event of user 2
