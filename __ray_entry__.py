@@ -281,6 +281,24 @@ def _events_lag(sf_dir: str):
     return events_lag(events)
 
 
+def _events_quantiles(sf_dir: str):
+    import ray.data
+    from horizon_ocr_python_ray.stages.window import events_quantiles
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["event_type", "value"])
+    return events_quantiles(events)
+
+
+def _events_distinct_users(sf_dir: str):
+    import ray.data
+    from horizon_ocr_python_ray.stages.window import events_distinct_users
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["event_type", "user_id"])
+    return events_distinct_users(events)
+
+
 def _emb_near_dup(sf_dir: str):
     import ray.data
     from horizon_ocr_python_ray.stages.ann import embedding_near_dup_pairs
@@ -563,6 +581,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": _events_sliding,
         "events_sessions": _events_sessions,
         "events_lag": _events_lag,
+        "events_quantiles": _events_quantiles,
+        "events_distinct_users": _events_distinct_users,
         "emb_near_dup": _emb_near_dup,
         "emb_near_dup_lsh": _emb_near_dup_lsh,
         "emb_dup_clusters": _emb_dup_clusters,
@@ -986,6 +1006,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(sum(value) * 10000) AS BIGINT) AS sum_value_e4
             FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS k) k
             GROUP BY event_type, ((epoch_us(ts) // 900000000) - k.k)
+        """,
+        # Exact type-1 quantiles over the cents histogram: the oracle
+        # pins the same "smallest v with CDF >= ceil(q*n)" rule with a
+        # running-sum window (quantile_disc interpolation varies across
+        # engines, so it is NOT used).
+        "events_quantiles": """
+            WITH h AS (
+              SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS value_e2,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2
+            ), c AS (
+              SELECT event_type, value_e2,
+                     sum(n) OVER (PARTITION BY event_type ORDER BY value_e2) AS cdf,
+                     sum(n) OVER (PARTITION BY event_type) AS total
+              FROM h
+            )
+            SELECT event_type,
+                   CAST(any_value(total) AS BIGINT) AS n_events,
+                   CAST(min(CASE WHEN cdf >= CAST(ceil(0.5 * total) AS BIGINT)
+                            THEN value_e2 END) AS BIGINT) AS p50_e2,
+                   CAST(min(CASE WHEN cdf >= CAST(ceil(0.9 * total) AS BIGINT)
+                            THEN value_e2 END) AS BIGINT) AS p90_e2,
+                   CAST(min(CASE WHEN cdf >= CAST(ceil(0.99 * total) AS BIGINT)
+                            THEN value_e2 END) AS BIGINT) AS p99_e2
+            FROM c GROUP BY event_type
+        """,
+        "events_distinct_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
         """,
         # Per-user self as-of (previous event + gap): DuckDB re-derives
         # it with window lag over the same stable (ts, event_id) order.

@@ -166,3 +166,73 @@ def events_lag(events_ds):
 
     keyed = events_ds.select_columns(["event_id", "user_id", "ts"])
     return keyed.groupby("user_id").map_groups(lag_in_group, batch_format="pandas")
+
+
+def events_quantiles(events_ds, qs=(0.5, 0.9, 0.99)):
+    """Exact distributed quantiles per event_type via a VALUE HISTOGRAM:
+    batch-local (event_type, value_e2) counts (combiner) → one narrow
+    groupby-sum shuffle → per-type quantile walk over the tiny histogram.
+
+    Exactness without a full sort: event values are fixed-point (cents),
+    so the histogram cardinality is bounded by the value domain, not the
+    row count — the shuffle carries one row per distinct (type, cents)
+    per batch. Quantile definition: smallest v with CDF(v) ≥ ⌈q·n⌉
+    (type-1 / lower quantile), pinned identically in the SQL oracle via
+    a running-sum window — NOT quantile_disc, whose interpolation rules
+    differ across engines.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        e2 = pc.cast(pc.round(pc.multiply(t.column("value"), 100.0),
+                              round_mode="half_towards_infinity"), pa.int64())
+        t2 = pa.Table.from_arrays([t.column("event_type"), e2],
+                                  names=["event_type", "value_e2"])
+        return pa.TableGroupBy(t2, ["event_type", "value_e2"]).aggregate(
+            [([], "count_all")]).rename_columns(
+            ["event_type", "value_e2", "n"])
+
+    hist = (events_ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "value_e2"]).aggregate(Sum("n", alias_name="n")))
+
+    def quantiles_in_type(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("value_e2").reset_index(drop=True)
+        counts = g["n"].to_numpy(np.int64)
+        vals = g["value_e2"].to_numpy(np.int64)
+        cdf = counts.cumsum()
+        n = int(cdf[-1])
+        row = {"event_type": g["event_type"].iloc[0], "n_events": n}
+        for q in qs:
+            target = max(1, int(np.ceil(q * n)))
+            row[f"p{int(q * 100)}_e2"] = int(vals[np.searchsorted(cdf, target)])
+        return pd.DataFrame([row])
+
+    return hist.groupby("event_type").map_groups(quantiles_in_type,
+                                                 batch_format="pandas")
+
+
+def events_distinct_users(events_ds):
+    """Exact distinct-user count per event_type: batch-local (type, user)
+    dedup (combiner) → groupby-distinct pairs → per-type count. The
+    shuffle carries at most one row per (type, user) per batch — the
+    two-phase distinct pattern that replaces a full-row shuffle."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Min
+
+    def pairs(t: pa.Table) -> pa.Table:
+        t2 = t.select(["event_type", "user_id"])
+        return pa.TableGroupBy(t2, ["event_type", "user_id"]).aggregate(
+            []).rename_columns(["event_type", "user_id"])
+
+    dd = (events_ds.map_batches(pairs, batch_format="pyarrow")
+          .groupby(["event_type", "user_id"])
+          .aggregate(Count(alias_name="_c")))
+    out = dd.groupby("event_type").aggregate(Count(alias_name="n_users"))
+    return out.map_batches(
+        lambda t: t.set_column(t.column_names.index("n_users"), "n_users",
+                               t.column("n_users").cast(pa.int64())),
+        batch_format="pyarrow",
+    )

@@ -80,3 +80,34 @@ def test_events_lag_prev_and_gap(ray_session):
     assert rows[2] == (1, 1_000_000)
     assert rows[3] == (2, 1_000_000)
     assert rows[10] == (-1, -1)         # only event of user 2
+
+
+def test_events_quantiles_type1_semantics(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from horizon_ocr_python_ray.stages.window import events_quantiles
+
+    # 10 values 0.01..0.10 → p50 = 5th smallest = 0.05, p90 = 9th, p99 = 10th
+    t = pa.table({
+        "event_type": pa.array(["x"] * 10, pa.string()),
+        "value": pa.array([k / 100 for k in range(1, 11)], pa.float64()),
+    })
+    out = events_quantiles(ray.data.from_arrow(t)).to_pandas().iloc[0]
+    assert (out["n_events"], out["p50_e2"], out["p90_e2"], out["p99_e2"]) == (10, 5, 9, 10)
+
+
+def test_events_distinct_users_two_phase(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from horizon_ocr_python_ray.stages.window import events_distinct_users
+
+    t = pa.table({
+        "event_type": pa.array(["a", "a", "a", "b"], pa.string()),
+        "user_id": pa.array([1, 1, 2, 1], pa.int64()),
+    })
+    out = events_distinct_users(
+        ray.data.from_arrow(t).repartition(3)).to_pandas().set_index("event_type")
+    assert out.loc["a", "n_users"] == 2
+    assert out.loc["b", "n_users"] == 1
