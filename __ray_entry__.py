@@ -299,6 +299,24 @@ def _events_distinct_users(sf_dir: str):
     return events_distinct_users(events)
 
 
+def _events_value_bands(sf_dir: str):
+    import ray.data
+    from horizon_ocr_python_ray.stages.window import events_value_bands
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["event_type", "value"])
+    return events_value_bands(events)
+
+
+def _events_props_sum(sf_dir: str):
+    import ray.data
+    from horizon_ocr_python_ray.stages.window import events_props_sum
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["event_type", "props"])
+    return events_props_sum(events)
+
+
 def _emb_near_dup(sf_dir: str):
     import ray.data
     from horizon_ocr_python_ray.stages.ann import embedding_near_dup_pairs
@@ -583,6 +601,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag": _events_lag,
         "events_quantiles": _events_quantiles,
         "events_distinct_users": _events_distinct_users,
+        "events_value_bands": _events_value_bands,
+        "events_props_sum": _events_props_sum,
         "emb_near_dup": _emb_near_dup,
         "emb_near_dup_lsh": _emb_near_dup_lsh,
         "emb_dup_clusters": _emb_dup_clusters,
@@ -1032,6 +1052,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(CASE WHEN cdf >= CAST(ceil(0.99 * total) AS BIGINT)
                             THEN value_e2 END) AS BIGINT) AS p99_e2
             FROM c GROUP BY event_type
+        """,
+        # Range join vs an inline interval dimension (same [lo,hi) cents
+        # bands the engine broadcasts).
+        "events_value_bands": """
+            WITH bands(band, lo, hi) AS (VALUES
+              ('micro', 0, 500), ('small', 500, 2000),
+              ('medium', 2000, 5000), ('large', 5000, 1000000000000)
+            ), e AS (
+              SELECT event_type, CAST(round(value * 100) AS BIGINT) AS e2
+              FROM events
+            )
+            SELECT e.event_type, b.band,
+                   CAST(sum(e.e2) AS BIGINT) AS sum_value_e2,
+                   count(*) AS n_events
+            FROM e JOIN bands b ON e.e2 >= b.lo AND e.e2 < b.hi
+            GROUP BY 1, 2
+        """,
+        # Semi-structured sidecar extraction via DuckDB's JSON reader.
+        "events_props_sum": """
+            SELECT event_type,
+                   CAST(sum(COALESCE(json_extract(props, '$.k')::BIGINT, 0)) AS BIGINT)
+                     AS k_sum,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type
         """,
         "events_distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_users

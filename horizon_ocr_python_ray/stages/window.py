@@ -236,3 +236,97 @@ def events_distinct_users(events_ds):
                                t.column("n_users").cast(pa.int64())),
         batch_format="pyarrow",
     )
+
+
+#: Static value-band dimension for the interval join: [lo, hi) cents.
+#: A broadcast interval table is the canonical small side of a RANGE
+#: JOIN — each probe is a vectorized searchsorted, no shuffle at all.
+VALUE_BANDS_E2 = (
+    ("micro", 0, 500),
+    ("small", 500, 2000),
+    ("medium", 2000, 5000),
+    ("large", 5000, 10**12),
+)
+
+
+def events_value_bands(events_ds):
+    """RANGE JOIN of events against the static value-band dimension:
+    assign each event its [lo, hi) band via vectorized ``searchsorted``
+    over the broadcast band edges (the general pattern for joining a
+    fact table to a small interval dimension — calendar buckets, price
+    tiers, latency SLO bands), then aggregate per (event_type, band).
+
+    No shuffle for the join itself; one combiner-backed groupby for the
+    rollup."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    names = [b[0] for b in VALUE_BANDS_E2]
+    los = np.array([b[1] for b in VALUE_BANDS_E2], dtype=np.int64)
+
+    def assign(t: pa.Table) -> pa.Table:
+        e2 = pc.cast(pc.round(pc.multiply(t.column("value"), 100.0),
+                              round_mode="half_towards_infinity"),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(los, e2, side="right") - 1
+        idx = np.clip(idx, 0, len(names) - 1)
+        band = np.array(names, dtype=object)[idx]
+        t2 = pa.Table.from_arrays(
+            [t.column("event_type"), pa.array(band.tolist(), pa.string()),
+             pa.array(e2, pa.int64())],
+            names=["event_type", "band", "value_e2"],
+        )
+        return pa.TableGroupBy(t2, ["event_type", "band"]).aggregate(
+            [("value_e2", "sum"), ([], "count_all")]).rename_columns(
+            ["event_type", "band", "sum_e2", "n"])
+
+    out = (events_ds.map_batches(assign, batch_format="pyarrow")
+           .groupby(["event_type", "band"])
+           .aggregate(Sum("sum_e2", alias_name="sum_value_e2"),
+                      Sum("n", alias_name="n_events")))
+    return out.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t.column("event_type"), t.column("band"),
+             t.column("sum_value_e2").cast(pa.int64()),
+             t.column("n_events").cast(pa.int64())],
+            names=["event_type", "band", "sum_value_e2", "n_events"]),
+        batch_format="pyarrow",
+    )
+
+
+def events_props_sum(events_ds):
+    """Semi-structured extraction: parse the ``props`` JSON column
+    (per-batch, compiled parser warm per worker) and aggregate the
+    extracted field per event_type — the schema-on-read pattern every
+    crawl pipeline needs for sidecar metadata."""
+    import json
+
+    from ray.data.aggregate import Sum
+
+    def parse(t: pa.Table) -> pa.Table:
+        ks = []
+        for p in t.column("props").to_pylist():
+            try:
+                ks.append(int(json.loads(p)["k"]))
+            except Exception:
+                ks.append(0)
+        t2 = pa.Table.from_arrays(
+            [t.column("event_type"), pa.array(ks, pa.int64())],
+            names=["event_type", "k"],
+        )
+        return pa.TableGroupBy(t2, ["event_type"]).aggregate(
+            [("k", "sum"), ([], "count_all")]).rename_columns(
+            ["event_type", "k_sum", "n"])
+
+    out = (events_ds.map_batches(parse, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("k_sum", alias_name="k_sum"),
+                      Sum("n", alias_name="n_events")))
+    return out.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t.column("event_type"), t.column("k_sum").cast(pa.int64()),
+             t.column("n_events").cast(pa.int64())],
+            names=["event_type", "k_sum", "n_events"]),
+        batch_format="pyarrow",
+    )
