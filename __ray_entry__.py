@@ -561,6 +561,13 @@ def _q1(sf_dir: str):
     return out.map_batches(lambda t: _money_e2(t, cols), batch_format="pyarrow")
 
 
+def _revenue_by_region(sf_dir: str):
+    from horizon_ocr_python_ray.pipelines.analytics import revenue_by_region_q5
+
+    out = revenue_by_region_q5(sf_dir)
+    return out.map_batches(lambda t: _money_e2(t, ("revenue",)), batch_format="pyarrow")
+
+
 def _revenue_by_nation(sf_dir: str):
     from horizon_ocr_python_ray.pipelines.analytics import revenue_by_nation
 
@@ -625,6 +632,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dup_clusters": _minhash_dup_clusters,
         "lineitem_pricing_summary": _q1,
         "revenue_by_nation": _revenue_by_nation,
+        "revenue_by_region": _revenue_by_region,
         "top_orders": _top_orders,
         "orders_by_mktsegment": _orders_by_mktsegment,
     }
@@ -1239,6 +1247,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100) AS BIGINT) AS sum_charge_e2,
                    count(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        # Q5-style multi-way join (orders⋈customer, lineitem⋈supplier,
+        # fact⋈fact on orderkey, same-nation filter, region rollup).
+        "revenue_by_region": """
+            SELECT r.r_name,
+                   CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 100)
+                        AS BIGINT) AS revenue_e2,
+                   count(*) AS n_items
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE c.c_nationkey = s.s_nationkey
+            GROUP BY r.r_name
         """,
         "revenue_by_nation": """
             SELECT n.n_name,

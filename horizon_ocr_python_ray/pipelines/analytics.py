@@ -202,3 +202,83 @@ def q6_filtered_revenue(sf_dir: str):
         )
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def revenue_by_region_q5(sf_dir: str, num_partitions: int = 8):
+    """TPC-H Q5-style: revenue per REGION where customer and supplier
+    share a nation — the multi-way join demo.
+
+    Join plan (scale-shaped, smallest-state-first):
+    - nation→region is a bounded 25-row dimension chain → broadcast as a
+      numpy lookup (``ray.put`` once, ``searchsorted`` per batch);
+    - orders⋈customer and lineitem⋈supplier run as partitioned hash
+      joins on their natural keys, each projecting ONLY the columns the
+      next step needs (orderkey + nationkey; orderkey + nationkey +
+      revenue);
+    - the two fact streams meet in a third hash join on ``l_orderkey``,
+      the same-nation filter applies vectorized, and the rollup uses the
+      per-batch combiner so the final groupby sees partial sums only.
+    """
+    nation = _tbl(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _tbl(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    nation = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    nation = nation.sort_values("n_nationkey")
+    nref = ray.put((nation["n_nationkey"].to_numpy(np.int64),
+                    np.array(nation["r_name"].tolist(), dtype=object)))
+
+    orders = _tbl(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _tbl(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    ord_nat = orders.join(
+        cust, join_type="inner", num_partitions=num_partitions,
+        on=("o_custkey",), right_on=("c_custkey",),
+    ).select_columns(["o_orderkey", "c_nationkey"])
+
+    li = _tbl(sf_dir, "lineitem",
+              ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    supp = _tbl(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    li_nat = li.join(
+        supp, join_type="inner", num_partitions=num_partitions,
+        on=("l_suppkey",), right_on=("s_suppkey",),
+    ).select_columns(["l_orderkey", "s_nationkey", "l_extendedprice", "l_discount"])
+
+    both = li_nat.join(
+        ord_nat, join_type="inner", num_partitions=num_partitions,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    class RegionRollup:
+        def __init__(self, nref):
+            self.keys, self.regions = ray.get(nref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            same = pc.equal(t.column("c_nationkey"), t.column("s_nationkey"))
+            t = t.filter(same)
+            if not t.num_rows:
+                return pa.Table.from_arrays(
+                    [pa.array([], pa.string()), pa.array([], pa.float64()),
+                     pa.array([], pa.int64())],
+                    names=["r_name", "p_rev", "p_n"])
+            nk = t.column("s_nationkey").to_numpy().astype(np.int64)
+            idx = np.clip(np.searchsorted(self.keys, nk), 0, len(self.keys) - 1)
+            rname = np.where(self.keys[idx] == nk, self.regions[idx], "UNKNOWN")
+            rev = pc.multiply(t.column("l_extendedprice"),
+                              pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+            t2 = pa.Table.from_arrays(
+                [pa.array(rname.tolist(), pa.string()), rev],
+                names=["r_name", "rev"])
+            agg = pa.TableGroupBy(t2, ["r_name"]).aggregate(
+                [("rev", "sum"), ([], "count_all")])
+            return agg.rename_columns(["r_name", "p_rev", "p_n"])
+
+    partials = both.map_batches(RegionRollup, fn_constructor_kwargs={"nref": nref},
+                                batch_format="pyarrow", batch_size=65536,
+                                concurrency=2)
+    out = partials.groupby("r_name").aggregate(
+        Sum("p_rev", alias_name="revenue"),
+        Sum("p_n", alias_name="n_items"),
+    )
+    return out.map_batches(
+        lambda t: t.set_column(t.column_names.index("n_items"), "n_items",
+                               t.column("n_items").cast(pa.int64())),
+        batch_format="pyarrow",
+    )
