@@ -568,6 +568,14 @@ def _revenue_by_region(sf_dir: str):
     return out.map_batches(lambda t: _money_e2(t, ("revenue",)), batch_format="pyarrow")
 
 
+def _promo_revenue(sf_dir: str):
+    import pyarrow as pa
+    from horizon_ocr_python_ray.pipelines.analytics import promo_revenue_q14
+
+    t = promo_revenue_q14(sf_dir)
+    return _money_e2(t, ("promo_revenue", "total_revenue"))
+
+
 def _revenue_by_nation(sf_dir: str):
     from horizon_ocr_python_ray.pipelines.analytics import revenue_by_nation
 
@@ -633,6 +641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing_summary": _q1,
         "revenue_by_nation": _revenue_by_nation,
         "revenue_by_region": _revenue_by_region,
+        "promo_revenue": _promo_revenue,
         "top_orders": _top_orders,
         "orders_by_mktsegment": _orders_by_mktsegment,
     }
@@ -1250,6 +1259,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Q5-style multi-way join (orders⋈customer, lineitem⋈supplier,
         # fact⋈fact on orderkey, same-nation filter, region rollup).
+        "promo_revenue": """
+            SELECT CAST(round(sum(CASE WHEN p.p_type = 'PROMO'
+                                       THEN l.l_extendedprice * (1 - l.l_discount)
+                                       ELSE 0 END) * 100) AS BIGINT) AS promo_revenue_e2,
+                   CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 100)
+                        AS BIGINT) AS total_revenue_e2,
+                   count(*) AS n_items
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        """,
         "revenue_by_region": """
             SELECT r.r_name,
                    CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 100)

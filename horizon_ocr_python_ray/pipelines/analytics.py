@@ -282,3 +282,42 @@ def revenue_by_region_q5(sf_dir: str, num_partitions: int = 8):
                                t.column("n_items").cast(pa.int64())),
         batch_format="pyarrow",
     )
+
+
+def promo_revenue_q14(sf_dir: str, num_partitions: int = 8):
+    """TPC-H Q14-style promo-revenue share: lineitem ⋈ part with the
+    promo flag folded into the partial aggregate — the conditional-sum
+    + single-join pattern. Part grows with the corpus, so the join is a
+    partitioned hash join (NOT a broadcast); each side projects only the
+    join key plus what the rollup consumes. The output is one row, so
+    the "shuffle" after the combiner is a trivial all-to-one of partial
+    pairs."""
+    li = _tbl(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+    part = _tbl(sf_dir, "part", ["p_partkey", "p_type"])
+    joined = li.join(
+        part, join_type="inner", num_partitions=num_partitions,
+        on=("l_partkey",), right_on=("p_partkey",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        promo = pc.equal(t.column("p_type"), "PROMO")
+        promo_rev = pc.if_else(promo, rev, pa.scalar(0.0))
+        return pa.Table.from_arrays(
+            [pa.array([pc.sum(promo_rev).as_py() or 0.0], pa.float64()),
+             pa.array([pc.sum(rev).as_py() or 0.0], pa.float64()),
+             pa.array([t.num_rows], pa.int64())],
+            names=["p_promo", "p_total", "p_n"],
+        )
+
+    partials = joined.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    out = partials.sum(["p_promo", "p_total", "p_n"])
+    import pyarrow as _pa
+
+    return _pa.Table.from_arrays(
+        [_pa.array([out["sum(p_promo)"]], _pa.float64()),
+         _pa.array([out["sum(p_total)"]], _pa.float64()),
+         _pa.array([int(out["sum(p_n)"])], _pa.int64())],
+        names=["promo_revenue", "total_revenue", "n_items"],
+    )
