@@ -62,20 +62,28 @@ class _BlockSink:
         self._drop_set = frozenset(cfg.drop_tags)
         self._block_set = frozenset(cfg.block_tags)
         self._heading_set = frozenset(cfg.heading_tags)
+        #: Tags for which start()/end() are anything but a no-op — the
+        #: tokenizer skips the sink call for everything else (span/b/em/…).
+        self.interesting = self._drop_set | self._block_set | {"a"}
         self._drop_depth = 0
         self._a_depth = 0
-        self._chunks: list[tuple[str, bool]] = []  # (text, inside_link)
+        self._parts: list[str] = []
+        self._link_parts: list[str] = []  # subset of _parts emitted inside <a>
         self._kind = "block"
         self.blocks: list[Block] = []
 
     def _flush(self) -> None:
-        if not self._chunks:
+        if not self._parts:
             return
-        raw = "".join(c for c, _ in self._chunks)
+        raw = "".join(self._parts)
         # " ".join(x.split()) ≡ regex \s+ → " " then strip, at C speed.
         text = " ".join(raw.split())
-        link_chars = sum(len(" ".join(c.split())) for c, in_a in self._chunks if in_a)
-        self._chunks = []
+        if self._link_parts:
+            link_chars = sum(len(" ".join(c.split())) for c in self._link_parts)
+            self._link_parts = []
+        else:
+            link_chars = 0
+        self._parts = []
         if not text:
             return
         tag = self._kind
@@ -115,7 +123,9 @@ class _BlockSink:
     def data(self, text: str) -> None:
         if self._drop_depth or not text:
             return
-        self._chunks.append((text, self._a_depth > 0))
+        self._parts.append(text)
+        if self._a_depth:
+            self._link_parts.append(text)
 
     def close(self) -> None:
         self._flush()
@@ -150,18 +160,19 @@ class _BlockParser(HTMLParser):
 # Fast tokenizer
 # ---------------------------------------------------------------------------
 
-_TAG_RE = re.compile(
-    r"<(?:"
-    r"!--.*?(?:-->|\Z)"                                   # comment
-    r"|!\[CDATA\[.*?(?:\]\]>|\Z)"                           # CDATA
-    r"|![^>]*>"                                             # doctype/decl
-    r"|\?[^>]*>"                                            # processing instr
-    r"|/(?P<end>[a-zA-Z][a-zA-Z0-9:_-]*)[^>]*>"            # end tag
-    r"|(?P<start>[a-zA-Z][a-zA-Z0-9:_-]*)"                 # start tag
-    r"(?P<attrs>(?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>"
-    r")",
+# The tokenizer dispatches on the character after '<' (the tag classes
+# have mutually exclusive first characters: '!'=comment/CDATA/decl,
+# '?'=PI, '/'=end, letter=start), so each position tries exactly ONE
+# anchored regex instead of walking a big alternation — ~1.6× on the
+# start-tag-dominated common case.
+_START_RE = re.compile(
+    r"<([a-zA-Z][a-zA-Z0-9:_-]*)"
+    r"((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>",
     re.DOTALL,
 )
+_END_RE = re.compile(r"</([a-zA-Z][a-zA-Z0-9:_-]*)[^>]*>")
+_DECL_RE = re.compile(r"<![^>]*>")
+_PI_RE = re.compile(r"<\?[^>]*>")
 
 _RAW_END_RES = {t: re.compile(f"</{t}[^>]*>", re.IGNORECASE) for t in _RAWTEXT_TAGS}
 
@@ -178,20 +189,32 @@ def _parse_fast(text: str, sink: _BlockSink) -> None:
     pos = 0
     n = len(text)
     find = text.find
+    data = sink.data
+    interesting = sink.interesting
     while pos < n:
         lt = find("<", pos)
         if lt < 0:
             chunk = text[pos:]
-            sink.data(unescape(chunk) if "&" in chunk else chunk)
+            data(unescape(chunk) if "&" in chunk else chunk)
             break
         if lt > pos:
             chunk = text[pos:lt]
-            sink.data(unescape(chunk) if "&" in chunk else chunk)
+            data(unescape(chunk) if "&" in chunk else chunk)
+        nxt = text[lt + 1:lt + 2]
+        if nxt == "/":
+            m = _END_RE.match(text, lt)
+            if m is None:
+                data("<")  # stray '<' — treat as text, resync
+                pos = lt + 1
+                continue
+            tag = m[1].lower()
+            if tag in interesting:
+                sink.end(tag)
+            pos = m.end()
+            continue
         start_tag = None
-        self_closing = False
-        m = _TAG_RE.match(text, lt)
-        if (m is not None and m.group("start") is not None
-                and ">" in (m.group("attrs") or "")):
+        m = _START_RE.match(text, lt) if nxt and (nxt.isascii() and nxt.isalpha()) else None
+        if (m is not None and ">" in m[2]):
             # A quoted attribute value crossed a '>'. Legit quoted '>'
             # (title="a>b") parses identically either way, but an
             # UNBALANCED quote makes the strict scanner swallow the tag's
@@ -201,37 +224,49 @@ def _parse_fast(text: str, sink: _BlockSink) -> None:
             m = None
         if m is not None:
             pos = m.end()
-            start_tag = m.group("start")
-            if start_tag is not None:
-                start_tag = start_tag.lower()
-                attrs = m.group("attrs") or ""
-                self_closing = attrs.rstrip().endswith("/")
-            else:
-                end_tag = m.group("end")
-                if end_tag is not None:
-                    sink.end(end_tag.lower())
-                # comments/CDATA/decl/PI: skipped
+            start_tag = m[1].lower()
+            if m[2].rstrip().endswith("/"):
+                # parity with HTMLParser.handle_startendtag: ignored
                 continue
+        elif nxt == "!":
+            if text.startswith("!--", lt + 1):          # comment
+                idx = find("-->", lt + 4)
+                pos = n if idx < 0 else idx + 3
+                continue
+            if text.startswith("![CDATA[", lt + 1):     # CDATA
+                idx = find("]]>", lt + 9)
+                pos = n if idx < 0 else idx + 3
+                continue
+            m3 = _DECL_RE.match(text, lt)               # doctype/decl
+            if m3 is None:
+                data("<")
+                pos = lt + 1
+            else:
+                pos = m3.end()
+            continue
+        elif nxt == "?":
+            m3 = _PI_RE.match(text, lt)                 # processing instr
+            if m3 is None:
+                data("<")
+                pos = lt + 1
+            else:
+                pos = m3.end()
+            continue
         else:
             # Tolerant fallback (stdlib check_for_whole_start_tag shape)
-            m2 = _TOLERANT_START.match(text, lt) if text[lt + 1:lt + 2].isalpha() else None
+            m2 = _TOLERANT_START.match(text, lt) if nxt.isalpha() else None
             if m2 is not None and text[m2.end():m2.end() + 1] == ">":
                 start_tag = _TAG_NAME_RE.match(text, lt).group(1).lower()
                 pos = m2.end() + 1
             elif m2 is not None and text[m2.end():m2.end() + 2] == "/>":
-                start_tag = None  # startendtag: ignored (parity)
-                pos = m2.end() + 2
+                pos = m2.end() + 2  # startendtag: ignored (parity)
                 continue
             else:
-                sink.data("<")  # stray '<' — treat as text, resync
+                data("<")  # stray '<' — treat as text, resync
                 pos = lt + 1
                 continue
-        if start_tag is None:
-            continue
-        if self_closing:
-            # parity with HTMLParser.handle_startendtag: ignored
-            continue
-        sink.start(start_tag)
+        if start_tag in interesting:
+            sink.start(start_tag)
         if start_tag in _RAWTEXT_TAGS:
             # Raw body: scan to the real close tag; content may hold '<'.
             em = _RAW_END_RES[start_tag].search(text, pos)
