@@ -84,7 +84,7 @@ def extract_batch_task(batch: pa.Table, cfg: ExtractConfig) -> pa.Table:
 
 
 def add_extract_stage(ds, cfg: ExtractConfig | None = None, concurrency: int | None = None,
-                      batch_size: int = 512, stateful: bool | None = None):
+                      batch_size: int = 256, stateful: bool | None = None):
     """Attach the route-dispatched extraction stage.
 
     ``stateful=False`` (default): plain-function ``map_batches`` on Ray's
