@@ -1,7 +1,7 @@
 """Similarity search over an embedding column (``list<float>``).
 
 Baseline: brute-force cosine top-k — numpy matmul per batch against a
-broadcast query matrix (``ray.put`` once, read per actor), per-batch
+broadcast query matrix (``ray.put`` once, read once per worker), per-batch
 partial top-k, tiny global merge.
 
 Scale paths:
@@ -58,13 +58,30 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+#: Worker-process-global state cache for task-based stages (same reuse
+#: pattern as ``stages/extract_stage._WORKER_EXTRACTOR``): Ray reuses
+#: task workers, so per-stage state (broadcast query matrix, LSH planes,
+#: centroids) builds once per worker and the stage scales to every CPU —
+#: no actor-pool spawn latency, no 2-actor concurrency cap. Bounded.
+_STATE_CACHE: dict = {}
+
+
+def _cached_state(key, builder):
+    got = _STATE_CACHE.get(key)
+    if got is None:
+        if len(_STATE_CACHE) >= 32:
+            _STATE_CACHE.clear()
+        got = _STATE_CACHE[key] = builder()
+    return got
+
+
 # -- brute-force top-k -------------------------------------------------------
 
 class BruteForceTopK:
     """Per-batch partial top-k against the broadcast query matrix."""
 
     def __init__(self, query_ref, k: int) -> None:
-        q = ray.get(query_ref)  # (n_query, dim) float64 — fetched once per actor
+        q = ray.get(query_ref)  # (n_query, dim) float64 — fetched once per worker
         self.qn = _normalize(q)
         self.k = k
 
@@ -95,9 +112,15 @@ def brute_force_topk(emb_ds, query: np.ndarray, k: int = 10):
     """
     query = np.atleast_2d(np.asarray(query, dtype=np.float64))
     ref = ray.put(query)
+
+    def topk_task(batch: pa.Table, query_ref, k: int) -> pa.Table:
+        scorer = _cached_state(("bftopk", query_ref.hex(), k),
+                               lambda: BruteForceTopK(query_ref, k))
+        return scorer(batch)
+
     partials = emb_ds.map_batches(
-        BruteForceTopK, fn_constructor_kwargs={"query_ref": ref, "k": k},
-        batch_format="pyarrow", concurrency=(1, 2), batch_size=4096,
+        topk_task, fn_kwargs={"query_ref": ref, "k": k},
+        batch_format="pyarrow", batch_size=4096,
     )
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
@@ -202,11 +225,13 @@ def embedding_near_dup_pairs_lsh(emb_ds, threshold: float = 0.95, dim: int = 64,
     """
     from ray.data.aggregate import Min
 
+    def bucket_task(batch: pa.Table) -> pa.Table:
+        stage = _cached_state(("bucket_rows", dim, n_tables, n_planes, seed),
+                              lambda: _BucketRows(dim, n_tables, n_planes, seed))
+        return stage(batch)
+
     bucketed = emb_ds.map_batches(
-        _BucketRows,
-        fn_constructor_kwargs={"dim": dim, "n_tables": n_tables,
-                               "n_planes": n_planes, "seed": seed},
-        batch_format="pyarrow", concurrency=(1, 2), batch_size=4096,
+        bucket_task, batch_format="pyarrow", batch_size=4096,
     )
 
     def pairs_in_bucket(g: pa.Table) -> pa.Table:
@@ -258,28 +283,20 @@ def lsh_bucketed_topk(emb_ds, query: np.ndarray, k: int = 10, dim: int = 64,
     """
     query = np.asarray(query, dtype=np.float64)
     lsh = BandedLSH(dim, n_tables, n_planes, seed)
-    probed = lsh.probe_keys(query, n_probes)
-    probed_ref = ray.put(probed)
+    probed = lsh.probe_keys(query, n_probes)  # tiny: ≤ T·(P+1) int64 keys
 
-    class CandidateFilter:
-        def __init__(self, dim, n_tables, n_planes, seed, probed_ref):
-            self.lsh = BandedLSH(dim, n_tables, n_planes, seed)
-            self.probed = ray.get(probed_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if not batch.num_rows:
-                return batch
-            _, emb = _batch_matrix(batch)
-            keys = self.lsh.bucket_keys(emb)  # (n, T)
-            hit = np.isin(keys, self.probed).any(axis=1)
-            return batch.filter(pa.array(hit))
+    def candidate_filter(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return batch
+        stage_lsh = _cached_state(("lsh", dim, n_tables, n_planes, seed),
+                                  lambda: BandedLSH(dim, n_tables, n_planes, seed))
+        _, emb = _batch_matrix(batch)
+        keys = stage_lsh.bucket_keys(emb)  # (n, T)
+        hit = np.isin(keys, probed).any(axis=1)
+        return batch.filter(pa.array(hit))
 
     candidates = emb_ds.map_batches(
-        CandidateFilter,
-        fn_constructor_kwargs={"dim": dim, "n_tables": n_tables,
-                               "n_planes": n_planes, "seed": seed,
-                               "probed_ref": probed_ref},
-        batch_format="pyarrow", concurrency=(1, 2), batch_size=4096,
+        candidate_filter, batch_format="pyarrow", batch_size=4096,
     )
     return brute_force_topk(candidates, query, k)
 
@@ -350,17 +367,41 @@ def ivf_topk(emb_ds, query: np.ndarray, k: int = 10, n_clusters: int = 16,
     cents = train_centroids(emb_ds, n_clusters=n_clusters, seed=seed)
 
     cents_ref = ray.put(cents)
+
+    def assign_task(batch: pa.Table, cents_ref) -> pa.Table:
+        stage = _cached_state(("ivf_assign", cents_ref.hex()),
+                              lambda: _IVFAssign(cents_ref))
+        return stage(batch)
+
     assigned = emb_ds.map_batches(
-        _IVFAssign, fn_constructor_kwargs={"cents_ref": cents_ref},
-        batch_format="pyarrow", concurrency=(1, 2), batch_size=4096,
+        assign_task, fn_kwargs={"cents_ref": cents_ref},
+        batch_format="pyarrow", batch_size=4096,
     ).materialize()
 
-    from ray.data.aggregate import Max
+    # Per-cluster max residual: a per-batch combiner (≤ K rows out per
+    # batch) folded on the driver — K is the centroid count, so this is
+    # O(K) driver state; a groupby here would shuffle the embedding
+    # column for nothing.
+    def _resid_partial(t: pa.Table) -> pa.Table:
+        cl = np.asarray(t.column("cluster"), dtype=np.int64)
+        rs = np.asarray(t.column("resid"), dtype=np.float64)
+        out = np.zeros(len(cents))
+        if len(cl):
+            np.maximum.at(out, cl, rs)
+        present = np.unique(cl)
+        return pa.Table.from_arrays(
+            [pa.array(present, pa.int64()),
+             pa.array(out[present], pa.float64())],
+            names=["cluster", "r"],
+        )
 
-    stats = assigned.groupby("cluster").aggregate(
-        Max("resid", alias_name="r")).to_pandas()
     r = np.zeros(len(cents))
-    r[stats["cluster"].to_numpy()] = stats["r"].to_numpy()
+    for ref_part in assigned.map_batches(
+            _resid_partial, batch_format="pyarrow").to_arrow_refs():
+        part = ray.get(ref_part)
+        cl = np.asarray(part.column("cluster"), dtype=np.int64)
+        if len(cl):
+            np.maximum.at(r, cl, np.asarray(part.column("r"), dtype=np.float64))
     ub = qn @ cents.T + r[None, :]  # (Q, K) per-query upper bounds
 
     k_clusters = ub.shape[1]
@@ -372,21 +413,16 @@ def ivf_topk(emb_ds, query: np.ndarray, k: int = 10, n_clusters: int = 16,
         scanned.update(order[qi, :probe].tolist())
 
     def scan(clusters: set[int]):
-        cl_ref = ray.put(np.array(sorted(clusters), dtype=np.int32))
+        cl = np.array(sorted(clusters), dtype=np.int32)  # ≤ K ids: ship inline
 
-        class InClusters:
-            def __init__(self, cl_ref):
-                self.cl = ray.get(cl_ref)
-
-            def __call__(self, t: pa.Table) -> pa.Table:
-                if not t.num_rows:
-                    return t
-                hit = np.isin(np.asarray(t.column("cluster")), self.cl)
-                return t.filter(pa.array(hit))
+        def in_clusters(t: pa.Table) -> pa.Table:
+            if not t.num_rows:
+                return t
+            hit = np.isin(np.asarray(t.column("cluster")), cl)
+            return t.filter(pa.array(hit))
 
         cand = assigned.map_batches(
-            InClusters, fn_constructor_kwargs={"cl_ref": cl_ref},
-            batch_format="pyarrow", concurrency=(1, 2), batch_size=4096,
+            in_clusters, batch_format="pyarrow", batch_size=4096,
         )
         return brute_force_topk(cand.select_columns(["vec_id", "embedding"]),
                                 query, k)
@@ -487,7 +523,12 @@ def embedding_near_dup_pairs(emb_ds, threshold: float = 0.95):
                 names=["vec_a", "vec_b", "sim_e6"],
             )
 
+    def pair_finder_task(batch: pa.Table, refs_ref, threshold) -> pa.Table:
+        stage = _cached_state(("pair_finder", refs_ref.hex(), threshold),
+                              lambda: PairFinder(refs_ref, threshold))
+        return stage(batch)
+
     return emb_ds.map_batches(
-        PairFinder, fn_constructor_kwargs={"refs_ref": refs_ref, "threshold": threshold},
-        batch_format="pyarrow", batch_size=4096, concurrency=(1, 8),
+        pair_finder_task, fn_kwargs={"refs_ref": refs_ref, "threshold": threshold},
+        batch_format="pyarrow", batch_size=4096,
     )
