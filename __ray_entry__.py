@@ -132,11 +132,10 @@ def _minhash_near_dup(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data
-    from horizon_ocr_python_ray.stages.dedup_docs import minhash_lsh_pairs, ngram_jaccard_verify
+    from horizon_ocr_python_ray.stages.dedup_docs import minhash_near_dup_verified
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    pairs = minhash_lsh_pairs(docs, min_est_jaccard=0.5)
-    verified = ngram_jaccard_verify(docs, pairs, threshold=0.5)
+    verified = minhash_near_dup_verified(docs, min_est_jaccard=0.5, verify_threshold=0.5)
 
     # Oracle-comparable projection: exact n-gram Jaccard as fixed-point e6
     # (the MinHash est_jaccard column is signature-derived — not SQL-

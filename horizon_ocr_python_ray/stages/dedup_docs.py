@@ -197,7 +197,7 @@ def _discover_pairs_distributed(bands) -> list[tuple[int, int]]:
 
 def minhash_lsh_pairs(docs_ds, num_hashes: int = 128, num_bands: int = 32,
                       k_shingle: int = 5, min_est_jaccard: float = 0.5,
-                      plan: str = "auto"):
+                      plan: str = "auto", texts_sink: dict | None = None):
     """documents → near-duplicate candidate pairs (doc_a, doc_b,
     est_jaccard), deduped across bands, est ≥ ``min_est_jaccard``.
 
@@ -248,16 +248,9 @@ def minhash_lsh_pairs(docs_ds, num_hashes: int = 128, num_bands: int = 32,
     cand_ids = sorted({d for p in pairs_sorted for d in p})
 
     # texts of ONLY the candidate docs, broadcast once
-    id_set = pa.array(cand_ids, pa.int64())
-    cand_rows = [t for t in ray.get(
-        docs_ds.map_batches(
-            lambda t: t.filter(pc.is_in(t.column("doc_id"), value_set=id_set)),
-            batch_format="pyarrow",
-        ).to_arrow_refs()
-    ) if t.num_rows]
-    cand_tbl = pa.concat_tables(cand_rows)
-    texts = dict(zip(cand_tbl.column("doc_id").to_pylist(),
-                     cand_tbl.column("text").to_pylist()))
+    texts = collect_texts_for_ids(docs_ds, cand_ids)
+    if texts_sink is not None:
+        texts_sink.update(texts)
     ref = ray.put(texts)
 
     pairs_ds = ray.data.from_arrow(pa.Table.from_arrays(
@@ -288,6 +281,21 @@ def minhash_lsh_pairs(docs_ds, num_hashes: int = 128, num_bands: int = 32,
     return pairs_ds.map_batches(est_jaccard_task, batch_format="pyarrow")
 
 
+def minhash_near_dup_verified(docs_ds, num_hashes: int = 128, num_bands: int = 32,
+                              k_shingle: int = 5, min_est_jaccard: float = 0.5,
+                              verify_threshold: float = 0.5):
+    """Fused candidates + exact-Jaccard verification: the candidate-text
+    collection pass runs ONCE and its broadcast dict feeds both the
+    est-Jaccard filter and the verify stage (they cover the same doc set —
+    verification only ever shrinks the pair list)."""
+    texts: dict[int, str] = {}
+    pairs = minhash_lsh_pairs(docs_ds, num_hashes=num_hashes, num_bands=num_bands,
+                              k_shingle=k_shingle, min_est_jaccard=min_est_jaccard,
+                              texts_sink=texts)
+    return ngram_jaccard_verify(docs_ds, pairs, k_shingle=k_shingle,
+                                threshold=verify_threshold, texts=texts)
+
+
 # -- SimHash -----------------------------------------------------------------
 
 #: Worker-global token-hash cache for the SimHash stage (vocabulary is
@@ -308,54 +316,87 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
 
 # -- n-gram Jaccard verification --------------------------------------------
 
-def ngram_jaccard_verify(docs_ds, pairs_ds, k_shingle: int = 5, threshold: float = 0.5):
-    """Verify candidate pairs with EXACT n-gram Jaccard. Only the texts of
-    documents that actually appear in a candidate pair are collected and
-    broadcast once via ``ray.put`` (candidate multiplicity ~ duplicate
-    rate, not corpus size) — never re-shipped per batch."""
+def collect_texts_for_ids(docs_ds, ids) -> dict[int, str]:
+    """Collect the texts of ONLY the given doc ids (candidate multiplicity
+    ~ duplicate rate, not corpus size) — a distributed filter pass, never
+    a full-table driver materialization."""
     import pyarrow.compute as pc
     import ray
-    import ray.data
 
-    pair_rows = pairs_ds.select_columns(["doc_a", "doc_b"]).take_all()
-    cand = sorted({d for r in pair_rows for d in (r["doc_a"], r["doc_b"])})
-    if not cand:
-        texts: dict[int, str] = {}
-    else:
-        id_set = pa.array(cand, pa.int64())
-        got = [t for t in ray.get(
-            docs_ds.select_columns(["doc_id", "text"]).map_batches(
-                lambda t: t.filter(pc.is_in(t.column("doc_id"), value_set=id_set)),
-                batch_format="pyarrow",
-            ).to_arrow_refs()
-        ) if t.num_rows]
-        tbl = pa.concat_tables(got)
-        texts = dict(zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()))
+    if not ids:
+        return {}
+    id_set = pa.array(sorted(ids), pa.int64())
+    got = [t for t in ray.get(
+        docs_ds.select_columns(["doc_id", "text"]).map_batches(
+            lambda t: t.filter(pc.is_in(t.column("doc_id"), value_set=id_set)),
+            batch_format="pyarrow",
+        ).to_arrow_refs()
+    ) if t.num_rows]
+    if not got:
+        return {}
+    tbl = pa.concat_tables(got)
+    return dict(zip(tbl.column("doc_id").to_pylist(),
+                    tbl.column("text").to_pylist()))
+
+
+class _JaccardVerify:
+    """Per-worker verify state: broadcast candidate texts + shingle cache."""
+
+    def __init__(self, ref, k, threshold):
+        import ray
+
+        self.texts = ray.get(ref)
+        self.k = k
+        self.threshold = threshold
+        self.cache: dict[int, np.ndarray] = {}
+
+    def _sh(self, did: int) -> np.ndarray:
+        if did not in self.cache:
+            self.cache[did] = shingle_hashes(self.texts.get(did, "") or "", self.k)
+        return self.cache[did]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        da = batch.column("doc_a").to_pylist()
+        db = batch.column("doc_b").to_pylist()
+        jac = [exact_jaccard(self._sh(a), self._sh(b)) for a, b in zip(da, db)]
+        t = batch.append_column("jaccard", pa.array(jac, pa.float64()))
+        return t.filter(pc.greater_equal(t.column("jaccard"), pa.scalar(self.threshold)))
+
+
+#: Worker-global verify stages keyed by broadcast-ref hex (task workers
+#: are reused — the texts dict deserializes once per worker).
+_WORKER_VERIFY: dict[tuple, _JaccardVerify] = {}
+
+
+def _verify_task(batch: pa.Table, ref, k: int, threshold: float) -> pa.Table:
+    key = (ref.hex(), k, threshold)
+    st = _WORKER_VERIFY.get(key)
+    if st is None:
+        if len(_WORKER_VERIFY) >= 8:
+            _WORKER_VERIFY.clear()
+        st = _WORKER_VERIFY[key] = _JaccardVerify(ref, k, threshold)
+    return st(batch)
+
+
+def ngram_jaccard_verify(docs_ds, pairs_ds, k_shingle: int = 5, threshold: float = 0.5,
+                         texts: dict[int, str] | None = None):
+    """Verify candidate pairs with EXACT n-gram Jaccard. Only the texts of
+    documents that actually appear in a candidate pair are collected and
+    broadcast once via ``ray.put`` — never re-shipped per batch. Pass
+    ``texts`` to reuse an already-collected candidate-text dict (e.g. the
+    one :func:`minhash_lsh_pairs` gathered) and skip the collection pass."""
+    import ray
+
+    if texts is None:
+        pair_rows = pairs_ds.select_columns(["doc_a", "doc_b"]).take_all()
+        cand = {d for r in pair_rows for d in (r["doc_a"], r["doc_b"])}
+        texts = collect_texts_for_ids(docs_ds, cand)
     ref = ray.put(texts)
-
-    class Verify:
-        def __init__(self, ref, k, threshold):
-            self.texts = ray.get(ref)
-            self.k = k
-            self.threshold = threshold
-            self.cache: dict[int, np.ndarray] = {}
-
-        def _sh(self, did: int) -> np.ndarray:
-            if did not in self.cache:
-                self.cache[did] = shingle_hashes(self.texts.get(did, "") or "", self.k)
-            return self.cache[did]
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            da = batch.column("doc_a").to_pylist()
-            db = batch.column("doc_b").to_pylist()
-            jac = [exact_jaccard(self._sh(a), self._sh(b)) for a, b in zip(da, db)]
-            t = batch.append_column("jaccard", pa.array(jac, pa.float64()))
-            import pyarrow.compute as pc
-            return t.filter(pc.greater_equal(t.column("jaccard"), pa.scalar(self.threshold)))
-
     return pairs_ds.map_batches(
-        Verify, fn_constructor_kwargs={"ref": ref, "k": k_shingle, "threshold": threshold},
-        batch_format="pyarrow", concurrency=2,
+        _verify_task, fn_kwargs={"ref": ref, "k": k_shingle, "threshold": threshold},
+        batch_format="pyarrow",
     )
 
 
