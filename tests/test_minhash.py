@@ -145,3 +145,34 @@ def test_near_dup_clusters_union_find_and_distributed():
     got_d = {r["doc_id"]: r["cluster_id"]
              for r in near_dup_clusters_distributed(ray.data.from_arrow(pairs)).take_all()}
     assert got_d == expect
+
+
+def test_batched_signatures_equal_per_doc():
+    """minhash_signatures_batch must be value-identical to the per-doc
+    kernel for every shape: empty docs, singleton shingles, segments that
+    straddle the chunk boundary."""
+    import horizon_ocr_python_ray.functions.minhash as mh
+    from horizon_ocr_python_ray.functions.minhash import (
+        minhash_params, minhash_signature, minhash_signatures_batch)
+
+    a, b = minhash_params(128)
+    rng = np.random.RandomState(3)
+    arrays = [
+        np.empty(0, dtype=np.uint64),
+        rng.randint(0, 1 << 63, size=1, dtype=np.uint64),
+        rng.randint(0, 1 << 63, size=57, dtype=np.uint64),
+        np.empty(0, dtype=np.uint64),
+        rng.randint(0, 1 << 63, size=2048, dtype=np.uint64),
+    ]
+    batch = minhash_signatures_batch(arrays, a, b)
+    for i, arr in enumerate(arrays):
+        np.testing.assert_array_equal(batch[i], minhash_signature(arr, a, b))
+
+    # chunk-straddling segments: force a tiny chunk so one doc spans many
+    old = mh._SIG_CHUNK
+    mh._SIG_CHUNK = 64
+    try:
+        batch2 = minhash_signatures_batch(arrays, a, b)
+    finally:
+        mh._SIG_CHUNK = old
+    np.testing.assert_array_equal(batch, batch2)
