@@ -33,8 +33,11 @@ from html.parser import HTMLParser
 
 from ..config import TEXT_JOIN_SEPARATOR, HtmlConfig
 
-#: Elements whose raw bodies may contain ``<`` without opening a tag.
-_RAWTEXT_TAGS = frozenset("script style textarea title".split())
+#: stdlib ``HTMLParser.CDATA_CONTENT_ELEMENTS`` — elements whose raw bodies
+#: may contain ``<`` without opening a tag. Parity note: HTML5 also treats
+#: title/textarea as raw/RCDATA, but the stdlib oracle does not, so neither
+#: do we.
+_RAWTEXT_TAGS = frozenset(("script", "style"))
 
 
 @dataclass
@@ -164,25 +167,50 @@ class _BlockParser(HTMLParser):
 # have mutually exclusive first characters: '!'=comment/CDATA/decl,
 # '?'=PI, '/'=end, letter=start), so each position tries exactly ONE
 # anchored regex instead of walking a big alternation — ~1.6× on the
-# start-tag-dominated common case.
+# start-tag-dominated common case. Each branch mirrors the matching
+# stdlib ``HTMLParser.goahead``/``parse_*`` path exactly (the parity
+# oracle); the strict ``_START_RE`` is a fast path that defers rare
+# shapes (quoted '>', possible self-close) to the literal stdlib mirror.
 _START_RE = re.compile(
     r"<([a-zA-Z][a-zA-Z0-9:_-]*)"
     r"((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>",
     re.DOTALL,
 )
-_END_RE = re.compile(r"</([a-zA-Z][a-zA-Z0-9:_-]*)[^>]*>")
-_DECL_RE = re.compile(r"<![^>]*>")
-_PI_RE = re.compile(r"<\?[^>]*>")
 
-_RAW_END_RES = {t: re.compile(f"</{t}[^>]*>", re.IGNORECASE) for t in _RAWTEXT_TAGS}
+# stdlib html.parser's own tolerant scanners — importing them (rather than
+# re-typing the patterns) keeps the fast tokenizer byte-for-byte consistent
+# with the stdlib oracle on malformed markup.
+from html.parser import (  # noqa: E402
+    attrfind_tolerant as _ATTRFIND_TOLERANT,
+    endtagfind as _ENDTAG_FIND,
+    locatestarttagend_tolerant as _TOLERANT_START,
+    tagfind_tolerant as _TAGFIND_TOLERANT,
+)
 
-# stdlib's tolerant start-tag scanner (html.parser.locatestarttagend_tolerant)
-# — the fallback for malformed attribute soup (doubled quotes, bare junk)
-# that the strict _TAG_RE rejects; using the same regex keeps the fast
-# tokenizer byte-for-byte consistent with the stdlib oracle on such input.
-from html.parser import locatestarttagend_tolerant as _TOLERANT_START  # noqa: E402
+_COMMENTCLOSE = re.compile(r"--\s*>")          # _markupbase._commentclose
+_MARKEDCLOSE = re.compile(r"]\s*]\s*>")        # _markupbase._markedsectionclose
+_MSMARKEDCLOSE = re.compile(r"]\s*>")          # _markupbase._msmarkedsectionclose
+_DECLNAME = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*\s*")  # _markupbase._declname
 
-_TAG_NAME_RE = re.compile(r"<([a-zA-Z][^\t\n\r\f />\x00]*)")
+# set_cdata_mode's close scanner: '</' + ws + name + ws + '>' only; an
+# end tag with attributes does NOT leave cdata mode (stdlib parity).
+_RAW_END_RES = {t: re.compile(rf"</\s*{t}\s*>", re.IGNORECASE) for t in _RAWTEXT_TAGS}
+
+
+def _whole_start_tag_end(text: str, i: int) -> int:
+    """Mirror of ``HTMLParser.check_for_whole_start_tag`` (-1 = incomplete)."""
+    m = _TOLERANT_START.match(text, i)
+    j = m.end()
+    nxt = text[j:j + 1]
+    if nxt == ">":
+        return j + 1
+    if nxt == "/":
+        return j + 2 if text.startswith("/>", j) else -1
+    if nxt == "":
+        return -1  # end of input
+    if nxt in "abcdefghijklmnopqrstuvwxyz=/ABCDEFGHIJKLMNOPQRSTUVWXYZ":
+        return -1  # end of input in or before attribute value
+    return j if j > i else i + 1  # bogus input: emit prefix as data
 
 
 def _parse_fast(text: str, sink: _BlockSink) -> None:
@@ -191,6 +219,22 @@ def _parse_fast(text: str, sink: _BlockSink) -> None:
     find = text.find
     data = sink.data
     interesting = sink.interesting
+
+    def recover(lt: int) -> int:
+        # goahead's end-of-input recovery for an unterminated construct:
+        # emit raw bytes through the next '>' (or up to the next '<') as
+        # literal data, charref-converted like any other data run.
+        k = find(">", lt + 1)
+        if k >= 0:
+            k += 1
+        else:
+            k = find("<", lt + 1)
+            if k < 0:
+                k = lt + 1
+        chunk = text[lt:k]
+        data(unescape(chunk) if "&" in chunk else chunk)
+        return k
+
     while pos < n:
         lt = find("<", pos)
         if lt < 0:
@@ -201,85 +245,123 @@ def _parse_fast(text: str, sink: _BlockSink) -> None:
             chunk = text[pos:lt]
             data(unescape(chunk) if "&" in chunk else chunk)
         nxt = text[lt + 1:lt + 2]
+        if nxt and nxt.isascii() and nxt.isalpha():
+            # ---- start tag (parse_starttag) ----
+            start_tag = None
+            m = _START_RE.match(text, lt)
+            if m is not None and (">" in m[2] or m[2].rstrip().endswith("/")):
+                # Rare shapes the strict scanner can misjudge: a quoted or
+                # unbalanced-quote '>' inside attributes (<h1 a='''>), or a
+                # trailing '/' that may or may not be a self-close (stdlib
+                # parses <a href=x/> as a START tag with value "x/", but
+                # <a href='x'/> as a self-close) — defer to the mirror.
+                m = None
+            if m is not None:
+                pos = m.end()
+                start_tag = m[1].lower()
+            else:
+                endpos = _whole_start_tag_end(text, lt)
+                if endpos < 0:
+                    pos = recover(lt)
+                    continue
+                nm = _TAGFIND_TOLERANT.match(text, lt + 1)
+                k = nm.end()
+                while k < endpos:
+                    am = _ATTRFIND_TOLERANT.match(text, k)
+                    if am is None:
+                        break
+                    k = am.end()
+                endbit = text[k:endpos].strip()
+                if endbit == ">":
+                    pos = endpos
+                    start_tag = nm[1].lower()
+                elif endbit == "/>":
+                    # parity with HTMLParser.handle_startendtag: ignored
+                    pos = endpos
+                    continue
+                else:
+                    data(text[lt:endpos])  # bogus start tag → raw data
+                    pos = endpos
+                    continue
+            if start_tag in interesting:
+                sink.start(start_tag)
+            if start_tag in _RAWTEXT_TAGS:
+                # cdata mode: raw body up to a bare close tag; charrefs do
+                # NOT convert. An unterminated body is DISCARDED with no
+                # end event (stdlib goahead breaks without the final flush
+                # when cdata_elem is set).
+                em = _RAW_END_RES[start_tag].search(text, pos)
+                if em is None:
+                    pos = n
+                else:
+                    sink.data(text[pos:em.start()])
+                    sink.end(start_tag)
+                    pos = em.end()
+            continue
         if nxt == "/":
-            m = _END_RE.match(text, lt)
-            if m is None:
-                data("<")  # stray '<' — treat as text, resync
-                pos = lt + 1
+            # ---- end tag (parse_endtag) ----
+            gt = find(">", lt + 1)
+            if gt < 0:
+                pos = recover(lt)
                 continue
-            tag = m[1].lower()
-            if tag in interesting:
+            m = _ENDTAG_FIND.match(text, lt)
+            if m is not None:
+                tag = m[1].lower()
+            else:
+                nm = _TAGFIND_TOLERANT.match(text, lt + 2)
+                # no name: '</>' is skipped, anything else is a bogus
+                # comment — both consume to the first '>' with no event.
+                tag = nm[1].lower() if nm is not None else None
+            if tag is not None and tag in interesting:
                 sink.end(tag)
-            pos = m.end()
+            pos = gt + 1
             continue
-        start_tag = None
-        m = _START_RE.match(text, lt) if nxt and (nxt.isascii() and nxt.isalpha()) else None
-        if (m is not None and ">" in m[2]):
-            # A quoted attribute value crossed a '>'. Legit quoted '>'
-            # (title="a>b") parses identically either way, but an
-            # UNBALANCED quote makes the strict scanner swallow the tag's
-            # real '>' plus following markup (e.g. <h1 a='''>), where the
-            # stdlib scanner stops earlier — defer to the tolerant
-            # stdlib-parity branch for this rare shape.
-            m = None
-        if m is not None:
-            pos = m.end()
-            start_tag = m[1].lower()
-            if m[2].rstrip().endswith("/"):
-                # parity with HTMLParser.handle_startendtag: ignored
+        if nxt == "!":
+            if text.startswith("!--", lt + 1):
+                # ---- comment (parse_comment): closes on --\s*> ----
+                cm = _COMMENTCLOSE.search(text, lt + 4)
+                pos = recover(lt) if cm is None else cm.end()
                 continue
-        elif nxt == "!":
-            if text.startswith("!--", lt + 1):          # comment
-                idx = find("-->", lt + 4)
-                pos = n if idx < 0 else idx + 3
+            if text.startswith("![", lt + 1):
+                # ---- marked section (parse_marked_section) ----
+                nm = _DECLNAME.match(text, lt + 3)
+                if nm is not None and nm.end() < n:
+                    name = nm.group().strip().lower()
+                    if name in ("temp", "cdata", "ignore", "include", "rcdata"):
+                        cm = _MARKEDCLOSE.search(text, lt + 3)
+                    elif name in ("if", "else", "endif"):
+                        cm = _MSMARKEDCLOSE.search(text, lt + 3)
+                    else:
+                        # stdlib raises AssertionError here; the production
+                        # path must not — consume as a bogus comment.
+                        gt = find(">", lt + 2)
+                        pos = recover(lt) if gt < 0 else gt + 1
+                        continue
+                    pos = recover(lt) if cm is None else cm.end()
+                    continue
+                if nm is not None:
+                    pos = recover(lt)  # name runs to end of buffer
+                    continue
+                # no name token: stdlib raises; consume as bogus comment
+                gt = find(">", lt + 2)
+                pos = recover(lt) if gt < 0 else gt + 1
                 continue
-            if text.startswith("![CDATA[", lt + 1):     # CDATA
-                idx = find("]]>", lt + 9)
-                pos = n if idx < 0 else idx + 3
+            if text[lt:lt + 9].lower() == "<!doctype":
+                gt = find(">", lt + 9)
+                pos = recover(lt) if gt < 0 else gt + 1
                 continue
-            m3 = _DECL_RE.match(text, lt)               # doctype/decl
-            if m3 is None:
-                data("<")
-                pos = lt + 1
-            else:
-                pos = m3.end()
+            # ---- bogus comment (parse_bogus_comment) ----
+            gt = find(">", lt + 2)
+            pos = recover(lt) if gt < 0 else gt + 1
             continue
-        elif nxt == "?":
-            m3 = _PI_RE.match(text, lt)                 # processing instr
-            if m3 is None:
-                data("<")
-                pos = lt + 1
-            else:
-                pos = m3.end()
+        if nxt == "?":
+            # ---- processing instruction (parse_pi): first '>' ends it ----
+            gt = find(">", lt + 2)
+            pos = recover(lt) if gt < 0 else gt + 1
             continue
-        else:
-            # Tolerant fallback (stdlib check_for_whole_start_tag shape)
-            m2 = _TOLERANT_START.match(text, lt) if nxt.isalpha() else None
-            if m2 is not None and text[m2.end():m2.end() + 1] == ">":
-                start_tag = _TAG_NAME_RE.match(text, lt).group(1).lower()
-                pos = m2.end() + 1
-            elif m2 is not None and text[m2.end():m2.end() + 2] == "/>":
-                pos = m2.end() + 2  # startendtag: ignored (parity)
-                continue
-            else:
-                data("<")  # stray '<' — treat as text, resync
-                pos = lt + 1
-                continue
-        if start_tag in interesting:
-            sink.start(start_tag)
-        if start_tag in _RAWTEXT_TAGS:
-            # Raw body: scan to the real close tag; content may hold '<'.
-            em = _RAW_END_RES[start_tag].search(text, pos)
-            if em is None:
-                body = text[pos:]
-                pos = n
-            else:
-                body = text[pos:em.start()]
-                pos = em.end()
-            if start_tag in ("title", "textarea") and "&" in body:
-                body = unescape(body)  # RCDATA: charrefs convert
-            sink.data(body)
-            sink.end(start_tag)
+        # stray '<' (incl. '<' + non-ASCII/digit/EOF) — literal data
+        data("<")
+        pos = lt + 1
 
 
 def extract_blocks(html_bytes: bytes, cfg: HtmlConfig, engine: str = "fast") -> list[Block]:

@@ -112,6 +112,16 @@ class TestFastTokenizerParity:
             b"<!DOCTYPE html><?xml version='1.0'?><![CDATA[ <p>not real</p> ]]><p>document with prolog noise and a sufficiently long paragraph</p>",
             b"<p>unterminated tag at end of doc long enough to retain <a href=",
             b"",
+            # first-char-dispatch tokenizer edges: truncated/degenerate
+            # comment, CDATA, decl, PI, end-tag and non-ASCII shapes
+            b"<p>truncated comment opener keeps this long paragraph intact<!-",
+            b"<p>empty comment <!----> and overlap comment <!---> in one long paragraph here</p>",
+            b"<p>bare decl <!> and unterminated decl at the very end of input <!doctype",
+            b"<p>processing instruction <?php echo 1 ?> and unterminated one at end <?xml",
+            b"<p>weird end tags </ > </3> </p and this text is long enough to be retained ok",
+            b"<p>non-ascii tag opener <\xc3\xa9tag> is text not markup in this long paragraph</p>",
+            b"<title>unterminated rawtext body swallows the rest <p>gone",
+            b"<p>numeric opener <3 hearts and <input type=checkbox checked> in long text</p>",
         ]
         for c in cases:
             self._assert_parity(c)
