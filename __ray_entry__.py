@@ -381,6 +381,42 @@ def _pages_tables(sf_dir: str):
     )
 
 
+def _pages_overlays(sf_dir: str):
+    """Layout-overlay draw-records (S11 analog, ``io/artifacts.py:175-256``):
+    every rect's kind, color, label and anchored line text verified
+    against the golden spans by the oracle."""
+    import pyarrow.compute as pc
+
+    from horizon_ocr_python_ray import ensure_corpus, read_pages, sf_from_dir
+    from horizon_ocr_python_ray.stages.artifacts import build_overlay_pipeline
+
+    corpus = ensure_corpus(sf_from_dir(sf_dir))
+    out = build_overlay_pipeline(read_pages(corpus))
+    return out.map_batches(
+        lambda t: t.filter(pc.equal(t.column("layer"), "layout"))
+                   .select(["url", "idx", "kind", "color", "label", "line_text"]),
+        batch_format="pyarrow",
+    )
+
+
+def _pages_table_overlays(sf_dir: str):
+    """Table-structure overlay cells (S11 analog, ``io/artifacts.py:
+    309-390``): header/body coloring + row-major cell labels vs the
+    golden grid fixtures."""
+    import pyarrow.compute as pc
+
+    from horizon_ocr_python_ray import ensure_corpus, read_pages, sf_from_dir
+    from horizon_ocr_python_ray.stages.artifacts import build_overlay_pipeline
+
+    corpus = ensure_corpus(sf_from_dir(sf_dir))
+    out = build_overlay_pipeline(read_pages(corpus))
+    return out.map_batches(
+        lambda t: t.filter(pc.equal(t.column("layer"), "table"))
+                   .select(["url", "page", "kind", "idx", "color", "label"]),
+        batch_format="pyarrow",
+    )
+
+
 def _pages_reconstruction(sf_dir: str):
     from horizon_ocr_python_ray import ensure_corpus, read_pages, sf_from_dir
     from horizon_ocr_python_ray.stages.reconstruct_stage import build_reconstruction_pipeline
@@ -622,6 +658,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_dup_clusters": _emb_dup_clusters,
         "pages_fields": _pages_fields,
         "pages_tables": _pages_tables,
+        "pages_overlays": _pages_overlays,
+        "pages_table_overlays": _pages_table_overlays,
         "pages_styles": _pages_styles,
         "pages_reconstruction": _pages_reconstruction,
         "media_features": _media_features,
@@ -831,6 +869,48 @@ def oracle_sql() -> dict[str, str]:
                    t.n_rows * t.n_cols AS n_cells,
                    md5(array_to_string(t.cell_texts, '|')) AS cells_md5
             FROM g
+        """,
+        # Layout overlays (S11 analog): DuckDB re-derives every drawn
+        # rect — span ordinal, region kind, the reference's BGR→hex
+        # color map, and the anchored line text sliced from the golden
+        # extracted_text by the span offsets.
+        "pages_overlays": f"""
+            WITH s AS (
+              SELECT url, extracted_text, unnest(spans) AS sp,
+                     generate_subscripts(spans, 1) - 1 AS idx
+              FROM read_parquet('{golden_sf0_01}')
+              WHERE route IN ('doc', 'image')
+            )
+            SELECT url, idx, sp.kind AS kind,
+                   CASE sp.kind
+                     WHEN 'header' THEN '#6464ff' WHEN 'footer' THEN '#ff6464'
+                     WHEN 'text' THEN '#64ff64' WHEN 'table' THEN '#64ffff'
+                     WHEN 'title' THEN '#64c8c8'
+                     WHEN 'page_number' THEN '#969696'
+                     ELSE '#808080' END AS color,
+                   sp.kind AS label,
+                   substr(extracted_text, sp.start + 1, sp."end" - sp.start)
+                     AS line_text
+            FROM s
+        """,
+        # Table-structure overlays: header row yellow / body green over
+        # the golden grid fixtures, row-major cell ordinals.
+        "pages_table_overlays": f"""
+            WITH t AS (
+              SELECT url, unnest(tables) AS tb
+              FROM read_parquet('{golden_sf0_01}')
+            ), c AS (
+              SELECT url, tb.page AS page, tb.table_idx AS table_idx,
+                     tb.n_cols AS n_cols,
+                     unnest(tb.cell_texts) AS cell_text,
+                     generate_subscripts(tb.cell_texts, 1) - 1 AS idx
+              FROM t
+            )
+            SELECT url, page, 't' || table_idx AS kind, idx,
+                   CASE WHEN idx < n_cols THEN '#ffff00'
+                        ELSE '#00c800' END AS color,
+                   cell_text AS label
+            FROM c
         """,
         # KIE fuse pipeline vs the generator's planted-field fixtures
         # (name/value/candidate-count/winning-confidence are construction
