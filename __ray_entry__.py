@@ -477,6 +477,27 @@ def _doc_split(sf_dir: str):
     return hash_split(docs, key="doc_id")
 
 
+def _doc_stratified_sample(sf_dir: str):
+    """Exact k-per-language subsample by smallest doc_id hash
+    (``stages/sampling.py:stratified_sample``)."""
+    import ray.data
+    from horizon_ocr_python_ray.stages.sampling import stratified_sample
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "lang"])
+    return stratified_sample(docs, stratum="lang", key="doc_id", k=20)
+
+
+def _corpus_top_terms(sf_dir: str):
+    """Exact corpus-level heavy-hitter terms
+    (``stages/heavyterms.py:corpus_top_terms``, shuffle plan)."""
+    import ray.data
+    from horizon_ocr_python_ray.stages.heavyterms import corpus_top_terms
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return corpus_top_terms(docs, k=50)
+
+
 def _pages_host_quota(sf_dir: str):
     from horizon_ocr_python_ray import ensure_corpus, read_pages, sf_from_dir
     from horizon_ocr_python_ray.stages.sampling import host_quota
@@ -666,6 +687,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_preprocess": _media_preprocess,
         "doc_top_terms": _doc_top_terms,
         "doc_split": _doc_split,
+        "doc_stratified_sample": _doc_stratified_sample,
+        "corpus_top_terms": _corpus_top_terms,
         "pages_host_quota": _pages_host_quota,
         "pages_url_dedup": _pages_url_dedup,
         "pages_curation_funnel": _pages_curation_funnel,
@@ -775,6 +798,40 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT host, url, warc_ts, CAST(quota_rank AS BIGINT) AS quota_rank
             FROM ranked WHERE quota_rank <= 3
+        """,
+        # Stratified sample: DuckDB recomputes the md5-low64 hash order
+        # per language stratum with a window function.
+        "doc_stratified_sample": """
+            WITH h AS (
+              SELECT lang, doc_id,
+                     md5_number_lower(CAST(doc_id AS VARCHAR)) AS sample_hash
+              FROM documents
+            ), r AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY lang ORDER BY sample_hash, doc_id
+                     ) AS sample_rank
+              FROM h
+            )
+            SELECT lang, doc_id, sample_hash,
+                   CAST(sample_rank AS BIGINT) AS sample_rank
+            FROM r WHERE sample_rank <= 20
+        """,
+        # Corpus heavy hitters: exact global term counts + integer rank
+        # key (n DESC, term ASC) — same tokenizer as doc_top_terms.
+        "corpus_top_terms": """
+            WITH tok AS (
+              SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                       AS term
+              FROM documents WHERE trim(text) <> ''
+            ), c AS (
+              SELECT term, count(*) AS n FROM tok GROUP BY term
+            ), r AS (
+              SELECT term, n,
+                     row_number() OVER (ORDER BY n DESC, term ASC) AS rank
+              FROM c
+            )
+            SELECT term, CAST(n AS BIGINT) AS n, CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 50
         """,
         # The curation funnel: DuckDB re-derives every gate — window-
         # function dedups (earliest per canonical url, min-url per content

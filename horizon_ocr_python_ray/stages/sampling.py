@@ -1,6 +1,6 @@
 """Deterministic corpus sampling primitives for training-data curation.
 
-Two operators a 100-TB pipeline needs constantly:
+Three operators a 100-TB pipeline needs constantly:
 
 - ``hash_split``: stable train/eval assignment by content-independent
   key hash (md5 low-64 of the stringified key, mod buckets) — the split
@@ -14,6 +14,14 @@ Two operators a 100-TB pipeline needs constantly:
   the per-group sort is bounded by the host's page count, and the
   groupby key is the same host key the skew stage salts, so a hot host
   is a known, bounded cost (quota output per group is ≤ n rows).
+
+- ``stratified_sample``: exactly ``k`` rows per stratum (e.g. per
+  language), selected by smallest key hash — the deterministic
+  equal-allocation subsample behind balanced training mixes. Same
+  min-k-is-distributive combiner as ``host_quota``: each batch forwards
+  at most ``k`` rows per stratum to the (tiny — one group per stratum)
+  shuffle, so the exchange carries ≤ k × #batches × #strata rows no
+  matter how big the corpus is.
 """
 
 from __future__ import annotations
@@ -100,3 +108,49 @@ def host_quota(pages_ds, n: int = 3):
     keyed = keyed.select_columns(["host", "url", "warc_ts"])
     pruned = keyed.map_batches(local_prune, batch_format="pyarrow")
     return pruned.groupby("host").map_groups(keep_first_n, batch_format="pyarrow")
+
+
+def stratified_sample(ds, stratum: str = "lang", key: str = "doc_id",
+                      k: int = 50):
+    """Exactly ``k`` rows per stratum, chosen by smallest
+    ``md5_low64(key)`` with a total ``(hash, key)`` tie-break — a
+    re-shard-stable equal-allocation subsample (``sample_rank`` 1..k per
+    stratum). Output columns: (stratum, key, sample_hash, sample_rank).
+
+    Scale shape: batch-local keep-k-smallest combiner per stratum (min-k
+    is distributive, as in :func:`host_quota`), then one tiny shuffle
+    with one group per stratum. Strata counts are assumed small
+    (languages, routes, source shards); a high-cardinality stratum key
+    would need the quota operator's host-style treatment instead."""
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        hashes = [_md5_low64(str(v)) for v in t.column(key).to_pylist()]
+        return (t.select([stratum, key])
+                 .append_column("sample_hash", pa.array(hashes, pa.uint64())))
+
+    def local_prune(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        order = pc.sort_indices(t, sort_keys=[(stratum, "ascending"),
+                                              ("sample_hash", "ascending"),
+                                              (key, "ascending")])
+        st = t.take(order)
+        strata = st.column(stratum).to_pylist()
+        keep: list[int] = []
+        run_start = 0
+        for i in range(1, len(strata) + 1):
+            if i == len(strata) or strata[i] != strata[run_start]:
+                keep.extend(range(run_start, min(run_start + k, i)))
+                run_start = i
+        return st.take(pa.array(keep, pa.int64()))
+
+    def take_k(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[("sample_hash", "ascending"),
+                                                  (key, "ascending")])
+        kept = group.take(order[:k])
+        return kept.append_column(
+            "sample_rank", pa.array(range(1, kept.num_rows + 1), pa.int64()))
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    pruned = hashed.map_batches(local_prune, batch_format="pyarrow")
+    return pruned.groupby(stratum).map_groups(take_k, batch_format="pyarrow")

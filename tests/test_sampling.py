@@ -79,3 +79,38 @@ def test_host_quota_keeps_earliest(ray_session):
     assert by_host["a.com"] == ["https://a.com/p/0", "https://a.com/p/1"]
     assert by_host["b.com"] == ["https://b.com/p/0", "https://b.com/p/1"]
     assert set(out["quota_rank"]) == {1, 2}
+
+
+def test_stratified_sample_exact_k_per_stratum(ray_session):
+    import ray.data
+
+    from horizon_ocr_python_ray.stages.sampling import _md5_low64, stratified_sample
+
+    t = pa.table({
+        "doc_id": pa.array(list(range(100)), pa.int64()),
+        "lang": pa.array([("en", "de", "fr")[i % 3] for i in range(100)], pa.string()),
+    })
+    out = stratified_sample(ray.data.from_arrow(t).repartition(8),
+                            stratum="lang", key="doc_id", k=5).to_pandas()
+    assert len(out) == 15
+    for lang, grp in out.groupby("lang"):
+        # the k smallest hashes of that stratum, ranked 1..k
+        ids = [i for i in range(100) if ("en", "de", "fr")[i % 3] == lang]
+        want = sorted(ids, key=lambda i: (_md5_low64(str(i)), i))[:5]
+        got = grp.sort_values("sample_rank")
+        assert list(got["doc_id"]) == want
+        assert list(got["sample_rank"]) == [1, 2, 3, 4, 5]
+        assert all(got["sample_hash"] == [_md5_low64(str(i)) for i in want])
+
+
+def test_stratified_sample_small_stratum_keeps_all(ray_session):
+    import ray.data
+
+    from horizon_ocr_python_ray.stages.sampling import stratified_sample
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "lang": pa.array(["en", "en", "rare"], pa.string()),
+    })
+    out = stratified_sample(ray.data.from_arrow(t), k=10).to_pandas()
+    assert len(out) == 3  # strata smaller than k keep every row
