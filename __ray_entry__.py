@@ -477,6 +477,18 @@ def _doc_split(sf_dir: str):
     return hash_split(docs, key="doc_id")
 
 
+def _emb_centroids(sf_dir: str):
+    """Per-label embedding centroid sums, integer fixed-point per
+    element so partial-sum order can't shift the compare
+    (``stages/vecagg.py``)."""
+    import ray.data
+    from horizon_ocr_python_ray.stages.vecagg import emb_centroids
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["label", "embedding"])
+    return emb_centroids(emb)
+
+
 def _doc_stratified_sample(sf_dir: str):
     """Exact k-per-language subsample by smallest doc_id hash
     (``stages/sampling.py:stratified_sample``)."""
@@ -688,6 +700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_terms": _doc_top_terms,
         "doc_split": _doc_split,
         "doc_stratified_sample": _doc_stratified_sample,
+        "emb_centroids": _emb_centroids,
         "corpus_top_terms": _corpus_top_terms,
         "pages_host_quota": _pages_host_quota,
         "pages_url_dedup": _pages_url_dedup,
@@ -798,6 +811,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT host, url, warc_ts, CAST(quota_rank AS BIGINT) AS quota_rank
             FROM ranked WHERE quota_rank <= 3
+        """,
+        # Embedding centroids: each element fixed-pointed BEFORE summing
+        # (round half away from zero, e6) so integer addition makes the
+        # group sums order-independent — no float in the compare.
+        "emb_centroids": """
+            WITH e AS (
+              SELECT CAST(label AS BIGINT) AS label,
+                     unnest(embedding::DOUBLE[]) AS x,
+                     CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT)
+                       AS dim
+              FROM embeddings
+            )
+            SELECT label, dim,
+                   CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS BIGINT)
+                     AS sum_e6,
+                   count(*) AS n_vecs
+            FROM e GROUP BY label, dim
         """,
         # Stratified sample: DuckDB recomputes the md5-low64 hash order
         # per language stratum with a window function.

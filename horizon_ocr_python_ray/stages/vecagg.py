@@ -1,0 +1,86 @@
+"""Group-wise vector aggregates over an embedding column.
+
+``emb_centroids``: per-group centroid of a ``list<float>`` embedding
+column as (group, dim, sum, count) in long format — the building block
+behind cluster summaries, per-language embedding means, IVF coarse
+centroid refresh and drift monitoring.
+
+Exactness across engines: floating-point sums are order-dependent, so
+instead of comparing rounded float means (the 1-ulp repr trap the money
+queries hit), each ELEMENT is fixed-pointed first — ``round(x * 1e6)``
+as int64, half away from zero to match DuckDB/SQL ``round`` — and the
+integer sums are what cross the wire and the compare. Integer addition
+is associative: any partial-sum order gives bit-equal results.
+
+Scale shape: the combiner reduces each batch to ``#labels × dim`` rows
+(vectorized sort + ``reduceat`` segment sums — no Python loop over
+rows), so the one narrow ``groupby(label, dim).sum`` shuffle carries
+group cardinality × dim rows per batch, independent of corpus size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+EMB_SCALE = 1_000_000  # 1e-6 fixed point
+
+
+def _round_half_away(x: np.ndarray) -> np.ndarray:
+    """SQL ``round`` semantics (half away from zero) — ``np.rint`` is
+    half-to-even and would diverge on exact .5 products."""
+    return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
+
+
+def _batch_matrix(batch: pa.Table, emb_col: str) -> np.ndarray:
+    col = batch.column(emb_col)
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0))
+    dim = len(flat) // n
+    offsets = arr.offsets.to_numpy(zero_copy_only=False)
+    if not np.all(np.diff(offsets) == dim):
+        raise ValueError("emb_centroids requires fixed-dimension embeddings")
+    return flat.reshape(n, dim)
+
+
+def _partial_centroid(batch: pa.Table, group_col: str, emb_col: str) -> pa.Table:
+    labels = np.asarray(batch.column(group_col).to_pylist(), dtype=np.int64)
+    mat = _batch_matrix(batch, emb_col)
+    if mat.size == 0:
+        return pa.table({
+            group_col: pa.array([], pa.int64()),
+            "dim": pa.array([], pa.int64()),
+            "partial_sum": pa.array([], pa.int64()),
+            "partial_n": pa.array([], pa.int64()),
+        })
+    scaled = _round_half_away(mat.astype(np.float64) * EMB_SCALE).astype(np.int64)
+    order = np.argsort(labels, kind="stable")
+    sl = labels[order]
+    starts = np.flatnonzero(np.r_[True, sl[1:] != sl[:-1]])
+    seg_sums = np.add.reduceat(scaled[order], starts, axis=0)
+    seg_ns = np.diff(np.r_[starts, len(sl)])
+    uniq = sl[starts]
+    dim = scaled.shape[1]
+    return pa.table({
+        group_col: pa.array(np.repeat(uniq, dim), pa.int64()),
+        "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), len(uniq)), pa.int64()),
+        "partial_sum": pa.array(seg_sums.ravel(), pa.int64()),
+        "partial_n": pa.array(np.repeat(seg_ns.astype(np.int64), dim), pa.int64()),
+    })
+
+
+def emb_centroids(emb_ds, group_col: str = "label", emb_col: str = "embedding"):
+    """embeddings → (group, dim, sum_e6, n_vecs) long-format centroid
+    sums; the float centroid is ``sum_e6 / (n_vecs * 1e6)`` when a
+    consumer wants it (kept integer here for the exact compare)."""
+    from ray.data.aggregate import Sum
+
+    partials = emb_ds.map_batches(
+        lambda t: _partial_centroid(t, group_col, emb_col),
+        batch_format="pyarrow")
+    return (partials.groupby([group_col, "dim"])
+            .aggregate(Sum("partial_sum", alias_name="sum_e6"),
+                       Sum("partial_n", alias_name="n_vecs")))
