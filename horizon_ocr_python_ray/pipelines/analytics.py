@@ -23,6 +23,53 @@ def _tbl(sf_dir: str, name: str, columns: list[str] | None = None) -> ray.data.D
     return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
 
 
+# --- size-aware join planner ------------------------------------------------
+#
+# Every join pipeline below carries TWO tested-equal plans and switches on
+# the build side's ACTUAL size (parquet footer metadata — free, no scan):
+#
+# - ``broadcast``: build side ≤ BROADCAST_BUILD_MAX_ROWS → ship it once via
+#   ``ray.put`` as sorted key/value numpy arrays and probe with vectorized
+#   ``searchsorted`` inside the probe side's combiner batch fn. Zero join
+#   shuffles; the only exchange left is the tiny partial-aggregate groupby.
+# - ``partitioned``: the hash-partitioned ``Dataset.join`` — the 100-TB
+#   path, where no build side fits a worker heap.
+#
+# Same explicit-switch pattern as the MinHash candidate planner and the
+# top-terms vocab guard: the threshold is a named constant, the choice is
+# loggable, and correctness never depends on which side of it we land.
+
+#: Max build-side rows shipped as a broadcast lookup (a 2-column int64
+#: table of this size is ~32 MB — comfortable in driver + worker heaps).
+BROADCAST_BUILD_MAX_ROWS = 2_000_000
+
+
+def _parquet_num_rows(sf_dir: str, name: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(
+        os.path.join(sf_dir, f"{name}.parquet")).metadata.num_rows
+
+
+def _resolve_join_plan(plan: str, sf_dir: str, build_tables: list[str]) -> str:
+    if plan != "auto":
+        return plan
+    n = max(_parquet_num_rows(sf_dir, t) for t in build_tables)
+    return "broadcast" if n <= BROADCAST_BUILD_MAX_ROWS else "partitioned"
+
+
+def _sorted_lookup(df: pd.DataFrame, key: str, val: str):
+    df = df.sort_values(key)
+    return df[key].to_numpy(np.int64), df[val].to_numpy()
+
+
+def _probe(keys: np.ndarray, vals: np.ndarray, probe: np.ndarray):
+    """Vectorized inner-join probe: (found mask, values at probe)."""
+    idx = np.clip(np.searchsorted(keys, probe), 0, max(len(keys) - 1, 0))
+    mask = keys[idx] == probe if len(keys) else np.zeros(len(probe), bool)
+    return mask, vals[idx]
+
+
 def q1_pricing_summary(sf_dir: str):
     """TPC-H Q1-style pricing summary: partial per-batch aggregate, then a
     small groupby over the partials (combiner pattern — ray_guide
@@ -65,43 +112,70 @@ def q1_pricing_summary(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
-def revenue_by_nation(sf_dir: str, num_partitions: int = 8):
+def revenue_by_nation(sf_dir: str, num_partitions: int = 8, plan: str = "auto"):
     """Revenue per customer nation. Customer is a FACT-scale side (grows
-    with the corpus), so orders⋈customer goes through the partitioned
-    hash join; only nation (a bounded 25-row dimension) is broadcast via
-    ``ray.put`` and applied as a vectorized ``np.searchsorted`` lookup
-    inside the partial-aggregate batch fn (ray_guide 'Joins and
-    lookups')."""
+    with the corpus): the ``partitioned`` plan routes orders⋈customer
+    through the hash-partitioned join and broadcasts only nation (a
+    bounded 25-row dimension) as a vectorized ``np.searchsorted`` lookup
+    (ray_guide 'Joins and lookups'). When customer's measured size is
+    under :data:`BROADCAST_BUILD_MAX_ROWS`, the ``broadcast`` plan ships
+    a composed custkey→nation-name lookup instead — zero join shuffles,
+    one streaming pass over orders."""
+    plan = _resolve_join_plan(plan, sf_dir, ["customer"])
     nation = _tbl(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     nation = nation.sort_values("n_nationkey")
-    nref = ray.put((nation["n_nationkey"].to_numpy(np.int64),
-                    np.array(nation["n_name"].tolist(), dtype=object)))
+    nkeys = nation["n_nationkey"].to_numpy(np.int64)
+    nnames = np.array(nation["n_name"].tolist(), dtype=object)
 
     orders = _tbl(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    cust = _tbl(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    joined = orders.join(
-        cust, join_type="inner", num_partitions=num_partitions,
-        on=("o_custkey",), right_on=("c_custkey",),
-    )
 
-    class NationLookup:
-        def __init__(self, nref):
-            self.keys, self.names = ray.get(nref)  # fetched once per actor
+    def _rollup(names: np.ndarray, prices) -> pa.Table:
+        t2 = pa.Table.from_arrays(
+            [pa.array(names.tolist(), pa.string()), prices],
+            names=["n_name", "o_totalprice"],
+        )
+        agg = pa.TableGroupBy(t2, ["n_name"]).aggregate(
+            [("o_totalprice", "sum"), ("o_totalprice", "count")])
+        return agg.rename_columns(["n_name", "p_rev", "p_n"])
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            nk = t.column("c_nationkey").to_numpy().astype(np.int64)
-            idx = np.searchsorted(self.keys, nk)
-            idx = np.clip(idx, 0, len(self.keys) - 1)
-            names = np.where(self.keys[idx] == nk, self.names[idx], "UNKNOWN")
-            t2 = pa.Table.from_arrays(
-                [pa.array(names.tolist(), pa.string()), t.column("o_totalprice")],
-                names=["n_name", "o_totalprice"],
-            )
-            agg = pa.TableGroupBy(t2, ["n_name"]).aggregate([("o_totalprice", "sum"), ("o_totalprice", "count")])
-            return agg.rename_columns(["n_name", "p_rev", "p_n"])
+    if plan == "broadcast":
+        cust = _tbl(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+        cmask, cnat = _probe(nkeys, nnames,
+                             cust["c_nationkey"].to_numpy(np.int64))
+        cust["n_name"] = np.where(cmask, cnat, "UNKNOWN")
+        bref = ray.put(_sorted_lookup(cust, "c_custkey", "n_name"))
 
-    partials = joined.map_batches(NationLookup, fn_constructor_kwargs={"nref": nref},
-                                  batch_format="pyarrow", batch_size=65536, concurrency=2)
+        def bc_partial(t: pa.Table) -> pa.Table:
+            keys, names = ray.get(bref)
+            mask, nm = _probe(keys, names,
+                              t.column("o_custkey").to_numpy().astype(np.int64))
+            return _rollup(nm[mask], t.column("o_totalprice").filter(
+                pa.array(mask)))
+
+        partials = orders.map_batches(bc_partial, batch_format="pyarrow",
+                                      batch_size=65536)
+    else:
+        nref = ray.put((nkeys, nnames))
+        cust = _tbl(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        joined = orders.join(
+            cust, join_type="inner", num_partitions=num_partitions,
+            on=("o_custkey",), right_on=("c_custkey",),
+        )
+
+        class NationLookup:
+            def __init__(self, nref):
+                self.keys, self.names = ray.get(nref)  # fetched once per actor
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                nk = t.column("c_nationkey").to_numpy().astype(np.int64)
+                mask, nm = _probe(self.keys, self.names, nk)
+                names = np.where(mask, nm, "UNKNOWN")
+                return _rollup(names, t.column("o_totalprice"))
+
+        partials = joined.map_batches(NationLookup,
+                                      fn_constructor_kwargs={"nref": nref},
+                                      batch_format="pyarrow", batch_size=65536,
+                                      concurrency=2)
     out = partials.groupby("n_name").aggregate(
         Sum("p_rev", alias_name="total_revenue"),
         Sum("p_n", alias_name="n_orders"),
@@ -136,21 +210,47 @@ def top_orders(sf_dir: str, k: int = 10):
     return merged
 
 
-def orders_per_customer_join(sf_dir: str, num_partitions: int = 8):
-    """Large-side hash join demo via ``Dataset.join`` (hash-partitioned on
-    the key): orders ⋈ customer, then count + revenue per market segment."""
+def orders_per_customer_join(sf_dir: str, num_partitions: int = 8,
+                             plan: str = "auto"):
+    """orders ⋈ customer → count + revenue per market segment. Plan
+    switch per the size-aware planner: hash-partitioned ``Dataset.join``
+    when customer is fact-scale, broadcast custkey→segment lookup when
+    its measured size fits the bound."""
+    plan = _resolve_join_plan(plan, sf_dir, ["customer"])
     orders = _tbl(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    cust = _tbl(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    joined = orders.join(
-        cust, join_type="inner", num_partitions=num_partitions,
-        on=("o_custkey",), right_on=("c_custkey",),
-    )
 
-    def partial(t: pa.Table) -> pa.Table:
-        agg = pa.TableGroupBy(t.select(["c_mktsegment", "o_totalprice"]), ["c_mktsegment"]).aggregate(
-            [("o_totalprice", "sum"), ("o_totalprice", "count")]
+    if plan == "broadcast":
+        cust_df = _tbl(sf_dir, "customer",
+                       ["c_custkey", "c_mktsegment"]).to_pandas()
+        bref = ray.put(_sorted_lookup(cust_df, "c_custkey", "c_mktsegment"))
+
+        def partial(t: pa.Table) -> pa.Table:
+            keys, segs = ray.get(bref)
+            mask, sg = _probe(keys, segs,
+                              t.column("o_custkey").to_numpy().astype(np.int64))
+            t2 = pa.Table.from_arrays(
+                [pa.array(sg[mask].tolist(), pa.string()),
+                 t.column("o_totalprice").filter(pa.array(mask))],
+                names=["c_mktsegment", "o_totalprice"])
+            agg = pa.TableGroupBy(t2, ["c_mktsegment"]).aggregate(
+                [("o_totalprice", "sum"), ("o_totalprice", "count")])
+            return agg.rename_columns(["c_mktsegment", "p_rev", "p_n"])
+
+        joined = orders
+    else:
+        cust = _tbl(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        joined = orders.join(
+            cust, join_type="inner", num_partitions=num_partitions,
+            on=("o_custkey",), right_on=("c_custkey",),
         )
-        return agg.rename_columns(["c_mktsegment", "p_rev", "p_n"])
+
+        def partial(t: pa.Table) -> pa.Table:
+            agg = pa.TableGroupBy(
+                t.select(["c_mktsegment", "o_totalprice"]),
+                ["c_mktsegment"]).aggregate(
+                [("o_totalprice", "sum"), ("o_totalprice", "count")]
+            )
+            return agg.rename_columns(["c_mktsegment", "p_rev", "p_n"])
 
     out = joined.map_batches(partial, batch_format="pyarrow").groupby("c_mktsegment").aggregate(
         Sum("p_rev", alias_name="total_revenue"),
@@ -204,11 +304,68 @@ def q6_filtered_revenue(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
-def revenue_by_region_q5(sf_dir: str, num_partitions: int = 8):
+def _revenue_by_region_broadcast(sf_dir: str, nref):
+    """Q5 broadcast plan: driver-composed orderkey→customer-nation map +
+    supplier lookup, one streaming pass over lineitem, zero join
+    shuffles. Chosen by the size-aware planner only when orders /
+    customer / supplier all fit :data:`BROADCAST_BUILD_MAX_ROWS`."""
+    odf = _tbl(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
+    cdf = _tbl(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    ckeys, cnat = _sorted_lookup(cdf, "c_custkey", "c_nationkey")
+    m, nat = _probe(ckeys, cnat, odf["o_custkey"].to_numpy(np.int64))
+    odf = pd.DataFrame({"o_orderkey": odf["o_orderkey"].to_numpy(np.int64)[m],
+                        "c_nationkey": nat[m].astype(np.int64)})
+    oref = ray.put(_sorted_lookup(odf, "o_orderkey", "c_nationkey"))
+    sdf = _tbl(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    sref = ray.put(_sorted_lookup(sdf, "s_suppkey", "s_nationkey"))
+
+    li = _tbl(sf_dir, "lineitem",
+              ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        okeys, onat = ray.get(oref)
+        skeys, snat = ray.get(sref)
+        nkeys, rnames = ray.get(nref)
+        m1, cn = _probe(okeys, onat,
+                        t.column("l_orderkey").to_numpy().astype(np.int64))
+        m2, sn = _probe(skeys, snat,
+                        t.column("l_suppkey").to_numpy().astype(np.int64))
+        keep = m1 & m2 & (cn.astype(np.int64) == sn.astype(np.int64))
+        if not keep.any():
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.float64()),
+                 pa.array([], pa.int64())],
+                names=["r_name", "p_rev", "p_n"])
+        mr, rn = _probe(nkeys, rnames, sn[keep].astype(np.int64))
+        rname = np.where(mr, rn, "UNKNOWN")
+        sel = pa.array(keep)
+        rev = pc.multiply(
+            t.column("l_extendedprice").filter(sel),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount").filter(sel)))
+        t2 = pa.Table.from_arrays(
+            [pa.array(rname.tolist(), pa.string()), rev],
+            names=["r_name", "rev"])
+        agg = pa.TableGroupBy(t2, ["r_name"]).aggregate(
+            [("rev", "sum"), ([], "count_all")])
+        return agg.rename_columns(["r_name", "p_rev", "p_n"])
+
+    out = (li.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+           .groupby("r_name").aggregate(
+               Sum("p_rev", alias_name="revenue"),
+               Sum("p_n", alias_name="n_items")))
+    return out.map_batches(
+        lambda t: t.set_column(t.column_names.index("n_items"), "n_items",
+                               t.column("n_items").cast(pa.int64())),
+        batch_format="pyarrow",
+    )
+
+
+def revenue_by_region_q5(sf_dir: str, num_partitions: int = 8,
+                         plan: str = "auto"):
     """TPC-H Q5-style: revenue per REGION where customer and supplier
     share a nation — the multi-way join demo.
 
-    Join plan (scale-shaped, smallest-state-first):
+    ``partitioned`` plan (the 100-TB shape, smallest-state-first):
     - nation→region is a bounded 25-row dimension chain → broadcast as a
       numpy lookup (``ray.put`` once, ``searchsorted`` per batch);
     - orders⋈customer and lineitem⋈supplier run as partitioned hash
@@ -218,13 +375,23 @@ def revenue_by_region_q5(sf_dir: str, num_partitions: int = 8):
     - the two fact streams meet in a third hash join on ``l_orderkey``,
       the same-nation filter applies vectorized, and the rollup uses the
       per-batch combiner so the final groupby sees partial sums only.
+
+    ``broadcast`` plan (all three build sides under the bound): the
+    orderkey→customer-nation map is composed on the driver (orders ⋈
+    customer is two sorted-array probes), supplier is a second lookup,
+    and lineitem streams through ONE ``map_batches`` with zero join
+    shuffles — three hash exchanges collapse into broadcast state.
     """
+    plan = _resolve_join_plan(plan, sf_dir, ["orders", "customer", "supplier"])
     nation = _tbl(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
     region = _tbl(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
     nation = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
     nation = nation.sort_values("n_nationkey")
     nref = ray.put((nation["n_nationkey"].to_numpy(np.int64),
                     np.array(nation["r_name"].tolist(), dtype=object)))
+
+    if plan == "broadcast":
+        return _revenue_by_region_broadcast(sf_dir, nref)
 
     orders = _tbl(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     cust = _tbl(sf_dir, "customer", ["c_custkey", "c_nationkey"])
@@ -284,34 +451,54 @@ def revenue_by_region_q5(sf_dir: str, num_partitions: int = 8):
     )
 
 
-def promo_revenue_q14(sf_dir: str, num_partitions: int = 8):
+def promo_revenue_q14(sf_dir: str, num_partitions: int = 8, plan: str = "auto"):
     """TPC-H Q14-style promo-revenue share: lineitem ⋈ part with the
     promo flag folded into the partial aggregate — the conditional-sum
-    + single-join pattern. Part grows with the corpus, so the join is a
-    partitioned hash join (NOT a broadcast); each side projects only the
-    join key plus what the rollup consumes. The output is one row, so
-    the "shuffle" after the combiner is a trivial all-to-one of partial
+    + single-join pattern. Plan switch per the size-aware planner: when
+    part outgrows the bound the join is the hash-partitioned
+    ``Dataset.join``; otherwise a broadcast partkey→is-promo bool lookup
+    removes the join shuffle entirely. The output is one row, so the
+    "shuffle" after the combiner is a trivial all-to-one of partial
     pairs."""
+    plan = _resolve_join_plan(plan, sf_dir, ["part"])
     li = _tbl(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
-    part = _tbl(sf_dir, "part", ["p_partkey", "p_type"])
-    joined = li.join(
-        part, join_type="inner", num_partitions=num_partitions,
-        on=("l_partkey",), right_on=("p_partkey",),
-    )
 
-    def partial(t: pa.Table) -> pa.Table:
-        rev = pc.multiply(t.column("l_extendedprice"),
-                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
-        promo = pc.equal(t.column("p_type"), "PROMO")
-        promo_rev = pc.if_else(promo, rev, pa.scalar(0.0))
+    def _sums(rev, promo_mask, n) -> pa.Table:
+        promo_rev = pc.if_else(promo_mask, rev, pa.scalar(0.0))
         return pa.Table.from_arrays(
             [pa.array([pc.sum(promo_rev).as_py() or 0.0], pa.float64()),
              pa.array([pc.sum(rev).as_py() or 0.0], pa.float64()),
-             pa.array([t.num_rows], pa.int64())],
+             pa.array([n], pa.int64())],
             names=["p_promo", "p_total", "p_n"],
         )
 
-    partials = joined.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    if plan == "broadcast":
+        part_df = _tbl(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+        part_df["is_promo"] = part_df["p_type"].eq("PROMO")
+        bref = ray.put(_sorted_lookup(part_df, "p_partkey", "is_promo"))
+
+        def partial(t: pa.Table) -> pa.Table:
+            keys, promo = ray.get(bref)
+            mask, pr = _probe(keys, promo,
+                              t.column("l_partkey").to_numpy().astype(np.int64))
+            sel = pa.array(mask)
+            rev = pc.multiply(
+                t.column("l_extendedprice").filter(sel),
+                pc.subtract(pa.scalar(1.0), t.column("l_discount").filter(sel)))
+            return _sums(rev, pa.array(pr[mask].astype(bool)), int(mask.sum()))
+    else:
+        part = _tbl(sf_dir, "part", ["p_partkey", "p_type"])
+        li = li.join(
+            part, join_type="inner", num_partitions=num_partitions,
+            on=("l_partkey",), right_on=("p_partkey",),
+        )
+
+        def partial(t: pa.Table) -> pa.Table:
+            rev = pc.multiply(t.column("l_extendedprice"),
+                              pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+            return _sums(rev, pc.equal(t.column("p_type"), "PROMO"), t.num_rows)
+
+    partials = li.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     out = partials.sum(["p_promo", "p_total", "p_n"])
     import pyarrow as _pa
 
