@@ -109,9 +109,33 @@ def _mg_summary_batch(batch: pa.Table, m: int) -> pa.Table:
     )
 
 
-def corpus_top_terms(docs_ds, k: int = 50, plan: str = "shuffle",
-                     mg_capacity: int = MG_CAPACITY_DEFAULT):
-    """documents(text) → exact top-``k`` (term, n, rank) Arrow table."""
+def corpus_top_terms(docs_ds, k: int = 50, plan: str = "auto",
+                     mg_capacity: int = MG_CAPACITY_DEFAULT,
+                     fold_vocab_max: int = 5_000_000):
+    """documents(text) → exact top-``k`` (term, n, rank) Arrow table.
+
+    ``plan="auto"``: fold the combiner partials on the DRIVER (each is
+    one row per distinct term per batch — the same tables a reducer
+    would hold; skipping the distributed ``groupby(term)`` removes a
+    sort-shuffle round trip, the ``topterms.build_df_table`` result).
+    Guarded by ``fold_vocab_max``: past it, fall through to the shuffle
+    plan — a true web-scale vocabulary belongs in a hash exchange, not
+    driver memory."""
+    if plan == "auto":
+        import ray
+
+        folded: Counter = Counter()
+        for ref in docs_ds.map_batches(
+                _partial_tf, batch_format="pyarrow").to_arrow_refs():
+            t = ray.get(ref)
+            folded.update(dict(zip(t.column("term").to_pylist(),
+                                   t.column("partial_n").to_pylist())))
+            if len(folded) > fold_vocab_max:
+                return corpus_top_terms(docs_ds, k, "shuffle", mg_capacity)
+        terms = sorted(folded)
+        tbl = pa.table({"term": pa.array(terms, pa.string()),
+                        "n": pa.array([folded[t] for t in terms], pa.int64())})
+        return _finish_topk([tbl], k, "n")
     if plan == "shuffle":
         from ray.data.aggregate import Sum
 

@@ -58,3 +58,14 @@ def test_unknown_plan_raises(ray_session):
 
     with pytest.raises(ValueError):
         corpus_top_terms(_docs_ds(["a"]), plan="nope")
+
+
+def test_auto_fold_plan_equals_shuffle(ray_session):
+    texts = ["a a b c d", "b b e", "a f g b", "h"]
+    a = corpus_top_terms(_docs_ds(texts), k=4, plan="auto").to_pylist()
+    b = corpus_top_terms(_docs_ds(texts), k=4, plan="shuffle").to_pylist()
+    assert a == b
+    # vocab guard: a tiny bound forces the shuffle fallback, same result
+    c = corpus_top_terms(_docs_ds(texts), k=4, plan="auto",
+                         fold_vocab_max=2).to_pylist()
+    assert c == b
