@@ -20,6 +20,15 @@ hash/url/ts/flag columns, never payloads). Stage counts ride along as
 group sizes folded into the representative rows, so the funnel needs no
 re-execution per stage and no driver-side pass: the final 6-row table
 comes out of one tiny aggregation.
+
+Both dedup reductions are expressed as hash AGGREGATES, not
+``map_groups``: the representative row is argmin by (warc_ts, url)
+(then min url for the content stage), which packs into a single
+lexicographically-ordered string — zero-padded epoch-micros ++ NUL ++
+url ++ NUL ++ payload — so ``Min(packed)`` + ``Count`` computes the rep
+and the group size in one combiner-backed exchange. Per-group Python
+calls (one per distinct URL — millions at corpus scale) drop out
+entirely; pack/unpack are vectorized Arrow kernels.
 """
 
 from __future__ import annotations
@@ -50,29 +59,50 @@ def _enrich(batch: pa.Table, min_tokens: int, eval_permille: int) -> pa.Table:
             .append_column("is_train", pa.array(train, pa.bool_())))
 
 
-def _keep_earliest(group: pa.Table) -> pa.Table:
-    """URL-dedup rep: earliest (warc_ts, url); group size rides along."""
-    order = pc.sort_indices(group, sort_keys=[("warc_ts", "ascending"),
-                                              ("url", "ascending")])
-    rep = group.take(order[:1])
-    return rep.append_column("n_pages_url", pa.array([group.num_rows], pa.int64()))
+_SEP = "\x00"  # URLs/hashes/langs cannot contain NUL → prefix-safe packing
 
 
-def _keep_min_url(group: pa.Table) -> pa.Table:
-    """Content-dedup rep among url-reps: min url; fold both group sizes."""
-    order = pc.sort_indices(group, sort_keys=[("url", "ascending")])
-    rep = group.take(order[:1])
-    total = pc.sum(group.column("n_pages_url")).as_py() or 0
-    rep = rep.drop_columns(["n_pages_url"])
-    return (rep
-            .append_column("n_pages_total", pa.array([total], pa.int64()))
-            .append_column("n_url_reps", pa.array([group.num_rows], pa.int64())))
+def _pack_stage1(batch: pa.Table) -> pa.Table:
+    """(enriched row) → (canonical_url, packed) — the 2-column shuffle.
+
+    ``min(packed)`` == argmin by (warc_ts, url): epoch-micros are
+    zero-padded to fixed width, and the NUL after the url sorts below
+    any url byte, so a prefix url wins ties exactly like the tuple sort.
+    """
+    ts = pc.utf8_lpad(
+        pc.cast(pc.cast(batch.column("warc_ts"), pa.int64()), pa.string()),
+        20, padding="0")
+    packed = pc.binary_join_element_wise(
+        ts, batch.column("url"), batch.column("content_hash"),
+        batch.column("pred_lang"),
+        pc.cast(batch.column("n_tokens"), pa.string()),
+        pc.if_else(batch.column("is_train"), "1", "0"),
+        _SEP)
+    return pa.table({"canonical_url": batch.column("canonical_url"),
+                     "packed": packed})
+
+
+def _repack_stage2(batch: pa.Table) -> pa.Table:
+    """url-rep rows → (content_hash, packed2, n_pages_url): min(packed2)
+    == the min-url rep among a content group."""
+    parts = pc.split_pattern(batch.column("rep"), _SEP)
+    packed2 = pc.binary_join_element_wise(
+        pc.list_element(parts, 1),   # url
+        pc.list_element(parts, 3),   # pred_lang
+        pc.list_element(parts, 4),   # n_tokens
+        pc.list_element(parts, 5),   # is_train flag
+        _SEP)
+    return pa.table({"content_hash": pc.list_element(parts, 2),
+                     "packed2": packed2,
+                     "n_pages_url": batch.column("n_pages_url")})
 
 
 def curation_funnel(pages_ds, cfg: ExtractConfig | None = None,
                     min_tokens: int = MIN_TOKENS_DEFAULT,
                     eval_permille: int = EVAL_PERMILLE_DEFAULT):
     """pages → 6-row funnel table (stage, n_rows), single streaming pass."""
+    from ..stages.hashagg import grouped_aggregate
+
     cfg = cfg or DEFAULT_CONFIG
     out = build_extract_pipeline(pages_ds, cfg)
     enriched = out.map_batches(
@@ -80,15 +110,24 @@ def curation_funnel(pages_ds, cfg: ExtractConfig | None = None,
     ).select_columns(["url", "warc_ts", "canonical_url", "content_hash",
                       "pred_lang", "n_tokens", "is_train"])
 
-    url_reps = enriched.groupby("canonical_url").map_groups(
-        _keep_earliest, batch_format="pyarrow")
-    content_reps = url_reps.groupby("content_hash").map_groups(
-        _keep_min_url, batch_format="pyarrow")
+    url_reps = grouped_aggregate(
+        enriched.map_batches(_pack_stage1, batch_format="pyarrow"),
+        "canonical_url",
+        [("packed", "min", "rep"), ("canonical_url", "count", "n_pages_url")])
+    content_reps = grouped_aggregate(
+        url_reps.map_batches(_repack_stage2, batch_format="pyarrow"),
+        "content_hash",
+        [("packed2", "min", "rep2"), ("n_pages_url", "sum", "n_pages_total"),
+         ("content_hash", "count", "n_url_reps")])
 
     def funnel_partial(t: pa.Table) -> pa.Table:
-        en = pc.equal(t.column("pred_lang"), "en")
-        qual = pc.and_(en, pc.greater_equal(t.column("n_tokens"), min_tokens))
-        train = pc.and_(qual, t.column("is_train"))
+        parts = pc.split_pattern(t.column("rep2"), _SEP)
+        lang = pc.list_element(parts, 1)
+        ntok = pc.cast(pc.list_element(parts, 2), pa.int64())
+        is_train = pc.equal(pc.list_element(parts, 3), "1")
+        en = pc.equal(lang, "en")
+        qual = pc.and_(en, pc.greater_equal(ntok, min_tokens))
+        train = pc.and_(qual, is_train)
         vals = [
             pc.sum(t.column("n_pages_total")).as_py() or 0,
             pc.sum(t.column("n_url_reps")).as_py() or 0,
@@ -103,9 +142,9 @@ def curation_funnel(pages_ds, cfg: ExtractConfig | None = None,
             names=["stage_idx", "partial"],
         )
 
+    partials = content_reps.map_batches(funnel_partial, batch_format="pyarrow")
     from ray.data.aggregate import Sum
 
-    partials = content_reps.map_batches(funnel_partial, batch_format="pyarrow")
     agg = partials.groupby("stage_idx").aggregate(Sum("partial", alias_name="n_rows"))
 
     _STAGES = ["extracted", "url_dedup", "content_dedup", "lang_en", "quality", "train"]

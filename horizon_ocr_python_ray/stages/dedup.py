@@ -47,9 +47,41 @@ def collapse_group(group: pa.Table) -> pa.Table:
     return rep_row.append_column("members", pa.array([members], MEMBER_TYPE))
 
 
+def collapse_bucket(t: pa.Table) -> pa.Table:
+    """Many complete content-hash groups → one rep row each, vectorized:
+    sort by (hash, url), find run boundaries, slice member lists by
+    offsets — no per-group Python (the :func:`collapse_group` semantics
+    at ``stages/hashagg.grouped_reduce`` bucket granularity)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    order = pc.sort_indices(t, sort_keys=[("content_hash", "ascending"),
+                                          ("url", "ascending")])
+    st = t.take(order).combine_chunks()
+    n = st.num_rows
+    if n == 0:
+        return st.append_column("members", pa.array([], MEMBER_TYPE))
+    h = st.column("content_hash").combine_chunks()
+    neq = pc.not_equal(h.slice(1), h.slice(0, n - 1))
+    starts = np.flatnonzero(
+        np.concatenate([[True], neq.to_numpy(zero_copy_only=False)]))
+    offsets = np.append(starts, n).astype("int32")
+    member_struct = pa.StructArray.from_arrays(
+        [st.column("url").combine_chunks(),
+         st.column("warc_ts").combine_chunks(),
+         st.column("lang").combine_chunks()],
+        names=["url", "warc_ts", "lang"])
+    members = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                       member_struct)
+    reps = st.take(pa.array(starts, pa.int64()))
+    return reps.append_column("members", members.cast(MEMBER_TYPE))
+
+
 def dedup_collapse(ds):
     """sniffed dataset → one row per distinct content_hash (+ members)."""
-    return ds.groupby("content_hash").map_groups(collapse_group, batch_format="pyarrow")
+    from .hashagg import grouped_reduce
+
+    return grouped_reduce(ds, "content_hash", collapse_bucket)
 
 
 def explode_members(batch: pa.Table) -> pa.Table:
@@ -175,10 +207,12 @@ def build_dup_registry(sniffed_ds, approx_rows: int | None = None):
         return _registry_from_members(members)
 
     # -- distributed path --------------------------------------------------
-    from ray.data.aggregate import Count
+    from .hashagg import grouped_aggregate
 
     narrow = narrow.materialize()
-    counts = narrow.groupby("content_hash").aggregate(Count(alias_name="n"))
+    counts = grouped_aggregate(narrow.select_columns(["content_hash"]),
+                               "content_hash",
+                               [("content_hash", "count", "n")])
     dup_hash_tbl = counts.filter(expr="n > 1").select_columns(["content_hash"]).take_all()
     dup_hashes = pa.array([r["content_hash"] for r in dup_hash_tbl], pa.string())
     if len(dup_hashes) == 0:

@@ -37,15 +37,17 @@ def add_text_md5(batch: pa.Table) -> pa.Table:
 
 def exact_dedup_docs(docs_ds):
     """documents → one representative (min doc_id) per distinct text,
-    with the duplicate multiplicity. One shuffle on the hash key; fully
-    vectorized aggregates (Min/Count), no per-group Python."""
-    from ray.data.aggregate import Count, Min
+    with the duplicate multiplicity. Group count ~ corpus size, so the
+    reduce is the bucketed hash aggregate (``stages/hashagg.py``:
+    batch combiner → coarse bucket shuffle → Arrow C++ merge), never a
+    per-group Python call."""
+    from .hashagg import grouped_aggregate
 
     ds = docs_ds.map_batches(add_text_md5, batch_format="pyarrow")
-    out = ds.groupby("text_hash").aggregate(
-        Min("doc_id", alias_name="rep_doc_id"),
-        Count(alias_name="n_dups"),
-    )
+    ds = ds.select_columns(["text_hash", "doc_id"])
+    out = grouped_aggregate(
+        ds, "text_hash",
+        [("doc_id", "min", "rep_doc_id"), ("doc_id", "count", "n_dups")])
     return out.map_batches(
         lambda t: pa.Table.from_arrays(
             [t.column("text_hash"), t.column("rep_doc_id").cast(pa.int64()),

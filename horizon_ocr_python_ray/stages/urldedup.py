@@ -20,33 +20,50 @@ def add_canonical_url(batch: pa.Table) -> pa.Table:
 
 
 def canonical_url_dedup(pages_ds):
-    """pages (url, warc_ts) → (canonical_url, n_pages, first_ts)."""
-    from ray.data.aggregate import Count, Min
+    """pages (url, warc_ts) → (canonical_url, n_pages, first_ts).
+
+    One group per distinct URL means group count ~ corpus size, so the
+    reduce goes through ``stages/hashagg.py`` (combiner + coarse bucket
+    shuffle + Arrow C++ merge), not ``Dataset.aggregate``'s per-group
+    Python path."""
+    from .hashagg import grouped_aggregate
 
     keyed = pages_ds.map_batches(add_canonical_url, batch_format="pyarrow")
     keyed = keyed.select_columns(["canonical_url", "warc_ts"])
-    agg = keyed.groupby("canonical_url").aggregate(
-        Count(alias_name="n_pages"),
-        Min("warc_ts", alias_name="first_ts"),
-    )
-    return agg
+    return grouped_aggregate(
+        keyed, "canonical_url",
+        [("canonical_url", "count", "n_pages"), ("warc_ts", "min", "first_ts")])
 
 
 def canonical_representatives(pages_ds):
     """pages → one row per canonical url: the EARLIEST crawl (url,
-    warc_ts), i.e. the keep-set of the dedup. Implemented as the same
-    narrow aggregation joined back by (canonical_url, first_ts) — the
-    broadcast-free formulation: per-group min-ts selection inside
-    ``map_groups`` keeps everything in one shuffle."""
+    warc_ts), i.e. the keep-set of the dedup. The rep row is argmin by
+    (warc_ts, url), selected as ``min(packed)`` — zero-padded
+    epoch-micros ++ NUL ++ url packs lexicographically in that order —
+    through the bucketed hash aggregate (no per-group Python)."""
+    import pyarrow.compute as pc
+
+    from .hashagg import grouped_aggregate
+
     keyed = pages_ds.map_batches(add_canonical_url, batch_format="pyarrow")
-    keyed = keyed.select_columns(["canonical_url", "url", "warc_ts"])
 
-    def first_crawl(group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    def pack(batch: pa.Table) -> pa.Table:
+        ts = pc.utf8_lpad(
+            pc.cast(pc.cast(batch.column("warc_ts"), pa.int64()), pa.string()),
+            20, padding="0")
+        packed = pc.binary_join_element_wise(ts, batch.column("url"), "\x00")
+        return pa.table({"canonical_url": batch.column("canonical_url"),
+                         "packed": packed})
 
-        idx = pc.index(
-            pc.equal(group.column("warc_ts"), pc.min(group.column("warc_ts"))), True
-        ).as_py()
-        return group.slice(idx, 1)
+    agg = grouped_aggregate(keyed.map_batches(pack, batch_format="pyarrow"),
+                            "canonical_url", [("packed", "min", "rep")])
 
-    return keyed.groupby("canonical_url").map_groups(first_crawl, batch_format="pyarrow")
+    def unpack(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch.column("rep"), "\x00")
+        ts = pc.cast(pc.cast(pc.list_element(parts, 0), pa.int64()),
+                     pa.timestamp("us"))
+        return pa.table({"canonical_url": batch.column("canonical_url"),
+                         "url": pc.list_element(parts, 1),
+                         "warc_ts": ts})
+
+    return agg.map_batches(unpack, batch_format="pyarrow")

@@ -30,13 +30,15 @@ def _partial(batch: pa.Table, width_s: int) -> pa.Table:
 
 def tumbling_window(events_ds, width_s: int = 3600):
     """events → (event_type, window_start, n_events, sum_value)."""
+    from .hashagg import grouped_aggregate
+
     partials = events_ds.map_batches(
         lambda t: _partial(t, width_s), batch_format="pyarrow", batch_size=8192
     )
-    out = partials.groupby(["event_type", "window_start_us"]).aggregate(
-        Sum("part_sum", alias_name="sum_value"),
-        Sum("part_n", alias_name="n_events"),
-    )
+    out = grouped_aggregate(
+        partials, ["event_type", "window_start_us"],
+        [("part_sum", "sum", "sum_value"), ("part_n", "sum", "n_events")],
+        bucket_on="window_start_us")
 
     def finish(t: pa.Table) -> pa.Table:
         ws = t.column("window_start_us").cast(pa.timestamp("us"))
@@ -83,11 +85,13 @@ def sliding_window(events_ds, width_s: int = 3600, slide_s: int = 900):
         )
         return agg.rename_columns(["event_type", "window_start_us", "part_sum", "part_n"])
 
+    from .hashagg import grouped_aggregate
+
     partials = events_ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
-    out = partials.groupby(["event_type", "window_start_us"]).aggregate(
-        Sum("part_sum", alias_name="sum_value"),
-        Sum("part_n", alias_name="n_events"),
-    )
+    out = grouped_aggregate(
+        partials, ["event_type", "window_start_us"],
+        [("part_sum", "sum", "sum_value"), ("part_n", "sum", "n_events")],
+        bucket_on="window_start_us")
 
     def finish(t: pa.Table) -> pa.Table:
         ws = t.column("window_start_us").cast(pa.timestamp("us"))
@@ -102,32 +106,41 @@ def sliding_window(events_ds, width_s: int = 3600, slide_s: int = 900):
 
 def session_window(events_ds, gap_s: int = 1800):
     """Per-user session windows: a session breaks when the gap between
-    consecutive events exceeds ``gap_s``. Shuffles once on ``user_id``
-    (``groupby.map_groups``); ordering inside the group is explicit
-    ``(ts, event_id)`` — never block arrival order (SURVEY.md §7.4)."""
+    consecutive events exceeds ``gap_s``. Shuffles once on a coarse
+    bucket of ``user_id`` (``stages/hashagg.grouped_reduce`` — one
+    Python call per BUCKET, not per user); inside a bucket one global
+    sort by ``(user_id, ts, event_id)`` makes user boundaries and gap
+    breaks a single vectorized pass — ordering is explicit, never block
+    arrival order (SURVEY.md §7.4)."""
     import numpy as np
     import pandas as pd
 
+    from .hashagg import grouped_reduce
+
     gap_us = gap_s * 1_000_000
 
-    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    def sessionize_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
         e = g["ts"].astype("int64").to_numpy()
-        brk = np.zeros(len(g), dtype=np.int64)
+        uid = pd.factorize(g["user_id"])[0]
+        brk = np.ones(len(g), dtype=np.int64)
         if len(g) > 1:
-            brk[1:] = (e[1:] - e[:-1] > gap_us).astype(np.int64)
-        sess = brk.cumsum()
-        g["session_idx"] = sess
-        out = g.groupby("session_idx", sort=True).agg(
+            brk[1:] = ((uid[1:] != uid[:-1]) |
+                       (e[1:] - e[:-1] > gap_us)).astype(np.int64)
+        g["_sess"] = brk.cumsum()
+        out = g.groupby("_sess", sort=True).agg(
+            user_id=("user_id", "first"),
             session_start=("ts", "min"),
             session_end=("ts", "max"),
             n_events=("event_id", "count"),
             sum_value=("value", "sum"),
-        ).reset_index()
-        out.insert(0, "user_id", g["user_id"].iloc[0])
+        ).reset_index(drop=True)
+        # per-user session index, 0-based in (ts, event_id) order
+        out.insert(1, "session_idx", out.groupby("user_id").cumcount())
         return out
 
-    return events_ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+    return grouped_reduce(events_ds, "user_id", sessionize_bucket,
+                          batch_format="pandas")
 
 
 def events_lag(events_ds):
@@ -139,24 +152,28 @@ def events_lag(events_ds):
     DIMENSION right side the same shape applies: hash-partition both
     sides on the key, per-group sort, vectorized positional lookup.
 
-    One hash shuffle on ``user_id``; in-group work is a vectorized
-    sort + shift (no Python loop). First event per user gets
-    ``prev_event_id = -1, gap_us = -1``.
+    One hash shuffle on a coarse ``user_id`` bucket
+    (``stages/hashagg.grouped_reduce``); in-bucket work is ONE
+    vectorized sort by ``(user_id, ts, event_id)`` + shift masked at
+    user boundaries — no per-user Python call. First event per user
+    gets ``prev_event_id = -1, gap_us = -1``.
     """
     import numpy as np
     import pandas as pd
 
-    def lag_in_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    from .hashagg import grouped_reduce
+
+    def lag_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
         ts = g["ts"].astype("int64").to_numpy()
         ids = g["event_id"].to_numpy()
-        prev_id = np.empty(len(g), dtype=np.int64)
-        gap = np.empty(len(g), dtype=np.int64)
-        prev_id[0] = -1
-        gap[0] = -1
+        uid = pd.factorize(g["user_id"])[0]
+        prev_id = np.full(len(g), -1, dtype=np.int64)
+        gap = np.full(len(g), -1, dtype=np.int64)
         if len(g) > 1:
-            prev_id[1:] = ids[:-1]
-            gap[1:] = ts[1:] - ts[:-1]
+            same = uid[1:] == uid[:-1]
+            prev_id[1:] = np.where(same, ids[:-1], -1)
+            gap[1:] = np.where(same, ts[1:] - ts[:-1], -1)
         return pd.DataFrame({
             "event_id": ids,
             "user_id": g["user_id"].to_numpy(),
@@ -165,7 +182,8 @@ def events_lag(events_ds):
         })
 
     keyed = events_ds.select_columns(["event_id", "user_id", "ts"])
-    return keyed.groupby("user_id").map_groups(lag_in_group, batch_format="pandas")
+    return grouped_reduce(keyed, "user_id", lag_in_bucket,
+                          batch_format="pandas")
 
 
 def events_quantiles(events_ds, qs=(0.5, 0.9, 0.99)):
@@ -195,8 +213,12 @@ def events_quantiles(events_ds, qs=(0.5, 0.9, 0.99)):
             [([], "count_all")]).rename_columns(
             ["event_type", "value_e2", "n"])
 
-    hist = (events_ds.map_batches(partial, batch_format="pyarrow")
-            .groupby(["event_type", "value_e2"]).aggregate(Sum("n", alias_name="n")))
+    from .hashagg import grouped_aggregate
+
+    hist = grouped_aggregate(
+        events_ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "value_e2"], [("n", "sum", "n")],
+        bucket_on="value_e2")
 
     def quantiles_in_type(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("value_e2").reset_index(drop=True)
@@ -216,21 +238,29 @@ def events_quantiles(events_ds, qs=(0.5, 0.9, 0.99)):
 
 def events_distinct_users(events_ds):
     """Exact distinct-user count per event_type: batch-local (type, user)
-    dedup (combiner) → groupby-distinct pairs → per-type count. The
-    shuffle carries at most one row per (type, user) per batch — the
-    two-phase distinct pattern that replaces a full-row shuffle."""
-    import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Min
+    dedup (combiner) → bucket shuffle on ``user_id`` → in-bucket Arrow
+    distinct + per-type partial count → tiny final sum. The shuffle
+    carries at most one row per (type, user) per batch, and no stage
+    pays a per-(type,user)-group Python call: each user lands in
+    exactly one bucket, so bucket-local distinct pairs are globally
+    distinct."""
+    from ray.data.aggregate import Sum
+
+    from .hashagg import grouped_reduce
 
     def pairs(t: pa.Table) -> pa.Table:
         t2 = t.select(["event_type", "user_id"])
         return pa.TableGroupBy(t2, ["event_type", "user_id"]).aggregate(
             []).rename_columns(["event_type", "user_id"])
 
-    dd = (events_ds.map_batches(pairs, batch_format="pyarrow")
-          .groupby(["event_type", "user_id"])
-          .aggregate(Count(alias_name="_c")))
-    out = dd.groupby("event_type").aggregate(Count(alias_name="n_users"))
+    def count_bucket(t: pa.Table) -> pa.Table:
+        d = t.group_by(["event_type", "user_id"]).aggregate([])
+        c = d.group_by("event_type").aggregate([([], "count_all")])
+        return c.rename_columns(["event_type", "part"])
+
+    parts = grouped_reduce(events_ds.map_batches(pairs, batch_format="pyarrow"),
+                           "user_id", count_bucket)
+    out = parts.groupby("event_type").aggregate(Sum("part", alias_name="n_users"))
     return out.map_batches(
         lambda t: t.set_column(t.column_names.index("n_users"), "n_users",
                                t.column("n_users").cast(pa.int64())),
