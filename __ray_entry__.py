@@ -441,6 +441,37 @@ def _pages_styles(sf_dir: str):
     return build_styles_pipeline(read_pages(corpus))
 
 
+def _pages_worst_styles(sf_dir: str):
+    """Global worst-k lines by style confidence (K3's corpus-wide form;
+    reference worst-first queue ``ocr/targeted_reocr.py:150-178``)."""
+    from horizon_ocr_python_ray import ensure_corpus, read_pages, sf_from_dir
+    from horizon_ocr_python_ray.stages.style_stage import (
+        build_styles_pipeline,
+        worst_styles_topk,
+    )
+
+    corpus = ensure_corpus(sf_from_dir(sf_dir))
+    styles = build_styles_pipeline(read_pages(corpus))
+    return worst_styles_topk(styles, k=50)
+
+
+def _pages_validation(sf_dir: str):
+    """Per-document validation summary (G6) + cross-field consistency
+    (G7) over the fused-fields table."""
+    from horizon_ocr_python_ray import (
+        build_extract_pipeline,
+        ensure_corpus,
+        read_pages,
+        sf_from_dir,
+    )
+    from horizon_ocr_python_ray.stages.fields_stage import build_fields_pipeline
+    from horizon_ocr_python_ray.stages.validation_stage import build_validation_pipeline
+
+    corpus = ensure_corpus(sf_from_dir(sf_dir))
+    fields = build_fields_pipeline(build_extract_pipeline(read_pages(corpus)))
+    return build_validation_pipeline(fields)
+
+
 def _q6(sf_dir: str):
     from horizon_ocr_python_ray.pipelines.analytics import q6_filtered_revenue
 
@@ -694,6 +725,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_overlays": _pages_overlays,
         "pages_table_overlays": _pages_table_overlays,
         "pages_styles": _pages_styles,
+        "pages_worst_styles": _pages_worst_styles,
+        "pages_validation": _pages_validation,
         "pages_reconstruction": _pages_reconstruction,
         "media_features": _media_features,
         "media_preprocess": _media_preprocess,
@@ -1033,6 +1066,68 @@ def oracle_sql() -> dict[str, str]:
                    s.style_source AS style_source,
                    s.style_confidence AS style_confidence
             FROM g
+        """,
+        # Global worst-k style lines vs golden: pure ORDER/LIMIT over the
+        # style fixtures with the engine's total tie-break; rank pins the
+        # full ordering (no arithmetic — stored confidences compared
+        # bit-for-bit, like pages_styles).
+        "pages_worst_styles": f"""
+            WITH g AS (
+              SELECT url, unnest(styles) AS s
+              FROM read_parquet('{golden_sf0_01}')
+            ), ranked AS (
+              SELECT url, s.page AS page, s.line_idx AS line_idx,
+                     s.kind AS kind,
+                     s.style_confidence AS style_confidence,
+                     row_number() OVER (
+                       ORDER BY s.style_confidence, url, s.page, s.line_idx
+                     ) AS rank
+              FROM g
+            )
+            SELECT url, page, line_idx, kind, style_confidence, rank
+            FROM ranked WHERE rank <= 50
+        """,
+        # Validation summary (G6/G7) vs golden fields: data types are
+        # construction knowledge (planted names determine them — 'date'
+        # parses as a date; subtotal/tax/total/…price as currency;
+        # …qty digits as number), every planted amount/date parses, and
+        # total = subtotal + tax holds exactly by construction, so
+        # n_passed == n_checks and consistency passes wherever all three
+        # amounts are present. Any engine-side parse or fuse failure
+        # breaks the hash.
+        "pages_validation": f"""
+            WITH g AS (
+              SELECT url, unnest(fields) AS f
+              FROM read_parquet('{golden_sf0_01}')
+              WHERE len(fields) > 0
+            ), typed AS (
+              SELECT url, f.name AS name,
+                     CASE WHEN f.name = 'date' THEN 'date'
+                          WHEN f.name IN ('subtotal', 'tax', 'total')
+                               OR f.name LIKE '%price' THEN 'currency'
+                          WHEN f.name LIKE '%qty' THEN 'number'
+                          ELSE 'string' END AS dt
+              FROM g
+            )
+            SELECT url,
+                   count(*) AS n_fields,
+                   CAST(sum(CASE WHEN dt = 'currency' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_currency,
+                   CAST(sum(CASE WHEN dt = 'date' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_date,
+                   CAST(sum(CASE WHEN dt IN ('currency', 'date') THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_checks,
+                   CAST(sum(CASE WHEN dt IN ('currency', 'date') THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_passed,
+                   CAST(max(CASE WHEN name = 'total' THEN 1 ELSE 0 END)
+                        * max(CASE WHEN name = 'subtotal' THEN 1 ELSE 0 END)
+                        * max(CASE WHEN name = 'tax' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS consistency_checked,
+                   CAST(max(CASE WHEN name = 'total' THEN 1 ELSE 0 END)
+                        * max(CASE WHEN name = 'subtotal' THEN 1 ELSE 0 END)
+                        * max(CASE WHEN name = 'tax' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS consistency_passed
+            FROM typed GROUP BY url
         """,
         # Reconstruction structural counts vs golden: elements = one per
         # golden span, tables/fields = the planted fixtures.

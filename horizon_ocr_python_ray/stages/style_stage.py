@@ -103,3 +103,33 @@ def build_styles_pipeline(pages_ds, cfg: ExtractConfig | None = None):
     return heavy.map_batches(
         styles_batch, fn_kwargs={"cfg": cfg}, batch_format="pyarrow", batch_size=256,
     )
+
+
+def worst_styles_topk(styles_ds, k: int = 50):
+    """Global worst-``k`` lines by style confidence — the corpus-wide
+    variant of the reference's worst-first re-processing queue
+    (``ocr/targeted_reocr.py:150-178`` sorts ascending and takes the
+    worst K per page; K3's global form per SURVEY.md §2.6).
+
+    Never a full sort: each batch forwards its own k worst rows
+    (min-k is distributive), the tiny partial set merges on the driver.
+    Total tie-break (confidence, url, page, line_idx) keeps the result
+    deterministic under any sharding. Returns a pandas DataFrame with a
+    1-based ``rank``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    order_cols = ["style_confidence", "url", "page", "line_idx"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(["url", "page", "line_idx", "kind",
+                       "style_confidence"]).to_pandas()
+        return pa.Table.from_pandas(df.sort_values(order_cols).head(k),
+                                    preserve_index=False)
+
+    partials = styles_ds.map_batches(partial, batch_format="pyarrow")
+    merged = partials.to_pandas().sort_values(order_cols).head(k)
+    merged = merged.reset_index(drop=True)
+    merged["rank"] = np.arange(1, len(merged) + 1, dtype=np.int64)
+    return merged

@@ -77,3 +77,21 @@ def test_styles_pipeline_sources(corpus_dir):
     assert (est["style_confidence"] <= 0.8).all()
     # 28px-line estimate: 21pt
     assert (est["font_size"] == 21.0).all()
+
+
+def test_worst_styles_topk_matches_full_sort(corpus_dir):
+    from horizon_ocr_python_ray import read_pages
+    from horizon_ocr_python_ray.stages.style_stage import (
+        build_styles_pipeline,
+        worst_styles_topk,
+    )
+
+    order_cols = ["style_confidence", "url", "page", "line_idx"]
+    got = worst_styles_topk(build_styles_pipeline(read_pages(corpus_dir)), k=20)
+    assert len(got) == 20
+    assert list(got["rank"]) == list(range(1, 21))
+    # per-batch min-k + driver merge must equal a brute full sort
+    full = (build_styles_pipeline(read_pages(corpus_dir)).to_pandas()
+            .sort_values(order_cols).head(20).reset_index(drop=True))
+    for c in order_cols + ["kind"]:
+        assert list(got[c]) == list(full[c]), c
