@@ -128,6 +128,16 @@ def _doc_simhash(sf_dir: str):
     return docs.map_batches(simhash_batch, batch_format="pyarrow")
 
 
+def _doc_simhash_near_dup(sf_dir: str):
+    """Exact Hamming-ball near-dup pairs over the 64-bit SimHash
+    (pigeonhole banding → XOR-popcount verify; D5–D6 analog)."""
+    import ray.data
+    from horizon_ocr_python_ray.stages.dedup_docs import simhash_near_dup_pairs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_near_dup_pairs(docs, max_hamming=3)
+
+
 def _minhash_near_dup(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -441,6 +451,17 @@ def _pages_styles(sf_dir: str):
     return build_styles_pipeline(read_pages(corpus))
 
 
+def _pages_redact(sf_dir: str):
+    """PII scrub over extracted text (email / phone / IPv4 masks +
+    per-class counts) — the C4/Dolma-style curation pass."""
+    from horizon_ocr_python_ray import build_extract_pipeline, ensure_corpus, read_pages, sf_from_dir
+    from horizon_ocr_python_ray.functions.redact import redact_batch
+
+    corpus = ensure_corpus(sf_from_dir(sf_dir))
+    out = build_extract_pipeline(read_pages(corpus))
+    return out.map_batches(redact_batch, batch_format="pyarrow")
+
+
 def _pages_worst_styles(sf_dir: str):
     """Global worst-k lines by style confidence (K3's corpus-wide form;
     reference worst-first queue ``ocr/targeted_reocr.py:150-178``)."""
@@ -705,6 +726,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_id": _doc_lang_id,
         "doc_fingerprint": _doc_fingerprint,
         "doc_simhash": _doc_simhash,
+        "doc_simhash_near_dup": _doc_simhash_near_dup,
         "minhash_near_dup": _minhash_near_dup,
         "ann_topk": _ann_topk,
         "ann_topk_lsh": _ann_topk_lsh,
@@ -725,6 +747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_overlays": _pages_overlays,
         "pages_table_overlays": _pages_table_overlays,
         "pages_styles": _pages_styles,
+        "pages_redact": _pages_redact,
         "pages_worst_styles": _pages_worst_styles,
         "pages_validation": _pages_validation,
         "pages_reconstruction": _pages_reconstruction,
@@ -761,6 +784,14 @@ def _urlnorm_sql_expr() -> str:
     from horizon_ocr_python_ray.functions.urlnorm import oracle_sql_expr
 
     return oracle_sql_expr("url")
+
+
+def _redact_pat(name: str) -> str:
+    """RE2 pattern of a redaction rule, straight from the engine module
+    (single source of truth for both sides of the compare)."""
+    from horizon_ocr_python_ray.functions.redact import REDACT_RULES
+
+    return next(p for n, p, _ in REDACT_RULES if n == name)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1066,6 +1097,36 @@ def oracle_sql() -> dict[str, str]:
                    s.style_source AS style_source,
                    s.style_confidence AS style_confidence
             FROM g
+        """,
+        # PII redaction vs an independent SQL re-run of the SAME RE2 rules
+        # (patterns injected from functions/redact.py so the two sides
+        # can't drift) over the golden extracted text: per-class counts on
+        # the progressively redacted text + md5 of the final masked text.
+        "pages_redact": f"""
+            WITH g AS (
+              SELECT url, extracted_text AS t0
+              FROM read_parquet('{golden_sf0_01}')
+            ), s1 AS (
+              SELECT url,
+                     len(regexp_extract_all(t0, '{_redact_pat("email")}')) AS n_emails,
+                     regexp_replace(t0, '{_redact_pat("email")}', '<EMAIL>', 'g') AS t1
+              FROM g
+            ), s2 AS (
+              SELECT url, n_emails,
+                     len(regexp_extract_all(t1, '{_redact_pat("phone")}')) AS n_phones,
+                     regexp_replace(t1, '{_redact_pat("phone")}', '<PHONE>', 'g') AS t2
+              FROM s1
+            ), s3 AS (
+              SELECT url, n_emails, n_phones,
+                     len(regexp_extract_all(t2, '{_redact_pat("ip")}')) AS n_ips,
+                     regexp_replace(t2, '{_redact_pat("ip")}', '<IP>', 'g') AS t3
+              FROM s2
+            )
+            SELECT url, CAST(n_emails AS BIGINT) AS n_emails,
+                   CAST(n_phones AS BIGINT) AS n_phones,
+                   CAST(n_ips AS BIGINT) AS n_ips,
+                   md5(t3) AS redacted_md5
+            FROM s3
         """,
         # Global worst-k style lines vs golden: pure ORDER/LIMIT over the
         # style fixtures with the engine's total tie-break; rank pins the
@@ -1469,6 +1530,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    CAST(COALESCE(sh.u, 0) - CAST(1 AS HUGEINT) * 9223372036854775808 AS BIGINT) AS simhash
             FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
+        """,
+        # Exact Hamming-ball pairs: the same per-doc SimHash CTE as
+        # doc_simhash, then an all-pairs XOR-popcount — SQL ground truth
+        # for the banded pipeline (pigeonhole banding has recall exactly
+        # 1 for hamming <= max_hamming, so the sets must be EQUAL).
+        "doc_simhash_near_dup": r"""
+            WITH t AS (
+              SELECT doc_id, CASE WHEN trim(text)='' THEN []::VARCHAR[]
+                             ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, len(toks) AS n, unnest(toks) AS tk FROM t WHERE len(toks) > 0
+            ), bits AS (
+              SELECT doc_id, n, b.b AS b,
+                     sum(CAST((md5_number_lower(tk) >> CAST(b.b AS INTEGER)) & 1 AS BIGINT)) AS cnt
+              FROM tok CROSS JOIN (SELECT unnest(range(64)) AS b) b
+              GROUP BY doc_id, n, b.b
+            ), sh AS (
+              SELECT doc_id,
+                     sum(CASE WHEN cnt * 2 > n THEN CAST(1 AS HUGEINT) << CAST(b AS INTEGER)
+                              ELSE CAST(0 AS HUGEINT) END) AS u
+              FROM bits GROUP BY doc_id
+            ), s AS (
+              SELECT d.doc_id,
+                     CAST(COALESCE(sh.u, 0) - CAST(1 AS HUGEINT) * 9223372036854775808 AS BIGINT) AS v
+              FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.v, b.v)) AS BIGINT) AS hamming
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.v, b.v)) <= 3
         """,
         # Exact 5-token-shingle Jaccard over all pairs — the SQL ground
         # truth for the MinHash+LSH pipeline (banding recall is

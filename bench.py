@@ -81,7 +81,8 @@ def run_bench() -> dict:
                  "events_sessions", "emb_near_dup", "emb_near_dup_lsh", "ann_topk",
                  "ann_topk_lsh", "ann_topk_ivf", "minhash_near_dup", "pages_tables",
                  "pages_url_dedup", "doc_top_terms", "pages_host_quota",
-                 "corpus_top_terms", "doc_stratified_sample", "pages_overlays"):
+                 "corpus_top_terms", "doc_stratified_sample", "pages_overlays",
+                 "doc_simhash_near_dup", "pages_redact"):
         t0 = time.monotonic()
         res = q[name](sf_dir)
         if hasattr(res, "count"):

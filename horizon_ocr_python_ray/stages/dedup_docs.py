@@ -317,6 +317,107 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def _popcount64(v: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (numpy<2 has no
+    ``bitwise_count``): unpack to a (n, 64) bit matrix, sum rows."""
+    return np.unpackbits(v.view(np.uint8).reshape(-1, 8), axis=1).sum(
+        axis=1, dtype=np.int64)
+
+
+def _simhash_band_keys(batch: pa.Table, num_bands: int) -> pa.Table:
+    """(doc_id, simhash) → one (doc_id, band_key) row per contiguous bit
+    band. Banding runs on the stored signed bit pattern directly: the
+    int64 two's-complement pattern is ``unsigned XOR 2^63`` — a uniform
+    top-bit flip across all documents — so within-band equality (all the
+    discovery step uses) is unchanged."""
+    ids = batch.column("doc_id").to_numpy()
+    u = batch.column("simhash").to_numpy().view(np.uint64)
+    widths = [64 // num_bands] * num_bands
+    for i in range(64 % num_bands):
+        widths[i] += 1
+    keys = np.empty((len(u), num_bands), dtype=np.uint64)
+    off = 0
+    for j, w in enumerate(widths):
+        chunk = (u >> np.uint64(off)) & np.uint64((1 << w) - 1)
+        keys[:, j] = (np.uint64(j) << np.uint64(33)) | chunk
+        off += w
+    return pa.Table.from_arrays(
+        [pa.array(np.repeat(ids, num_bands), pa.int64()),
+         pa.array(keys.reshape(-1).view(np.int64), pa.int64())],
+        names=["doc_id", "band_key"],
+    )
+
+
+def simhash_near_dup_pairs(docs_ds, max_hamming: int = 3, plan: str = "auto"):
+    """documents → EXACT Hamming-ball near-dup pairs
+    ``(doc_a, doc_b, hamming)`` with ``hamming <= max_hamming``.
+
+    Pigeonhole banding, not probabilistic LSH: the 64-bit SimHash splits
+    into ``max_hamming + 1`` contiguous bit bands, and two sketches within
+    distance d <= max_hamming differ in at most d bands, so they AGREE on
+    at least one band — candidate recall is exactly 1, and the vectorized
+    XOR-popcount verify makes the result exact, never approximate (the
+    deterministic counterpart of the reference's near-dup merges, D5–D6;
+    same banding machinery as :func:`minhash_lsh_pairs`).
+
+    Physical plan: one narrow (doc_id:int64, simhash:int64) sketch table,
+    materialized once for its two consumers (band explosion + candidate
+    lookup); candidate discovery reuses the MinHash driver/distributed
+    plan switch; only candidate sketches (multiplicity ~ duplicate rate)
+    and the final pair list ever reach the driver.
+    """
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    num_bands = max_hamming + 1
+    if not 2 <= num_bands <= 32:
+        raise ValueError(f"max_hamming={max_hamming} out of range (1..31)")
+    pairs_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                              ("hamming", pa.int64())])
+
+    sims = docs_ds.map_batches(simhash_batch, batch_format="pyarrow").materialize()
+    bands = sims.map_batches(_simhash_band_keys, fn_kwargs={"num_bands": num_bands},
+                             batch_format="pyarrow")
+    if plan == "auto":
+        plan = ("driver" if sims.count() * num_bands <= DRIVER_MAX_BAND_ROWS
+                else "distributed")
+    if plan == "driver":
+        pairs_sorted = _discover_pairs_driver(bands)
+    elif plan == "distributed":
+        pairs_sorted = _discover_pairs_distributed(bands)
+    else:
+        raise ValueError(f"unknown plan {plan!r}; expected auto|driver|distributed")
+    if not pairs_sorted:
+        return ray.data.from_arrow(pairs_schema.empty_table())
+
+    cand_ids = pa.array(sorted({d for p in pairs_sorted for d in p}), pa.int64())
+    cand = sims.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("doc_id"), value_set=cand_ids)),
+        batch_format="pyarrow",
+    ).take_all()
+    ref = ray.put({r["doc_id"]: r["simhash"] for r in cand})
+
+    pairs_ds = ray.data.from_arrow(pa.Table.from_arrays(
+        [pa.array([p[0] for p in pairs_sorted], pa.int64()),
+         pa.array([p[1] for p in pairs_sorted], pa.int64())],
+        names=["doc_a", "doc_b"],
+    ))
+
+    def verify_task(t: pa.Table) -> pa.Table:
+        sketch = ray.get(ref)  # zero-copy plasma read per task; dict is tiny
+        a = np.fromiter((sketch[d] for d in t.column("doc_a").to_pylist()),
+                        dtype=np.int64, count=t.num_rows).view(np.uint64)
+        b = np.fromiter((sketch[d] for d in t.column("doc_b").to_pylist()),
+                        dtype=np.int64, count=t.num_rows).view(np.uint64)
+        ham = _popcount64(a ^ b)
+        out = t.append_column("hamming", pa.array(ham, pa.int64()))
+        return out.filter(pc.less_equal(out.column("hamming"),
+                                        pa.scalar(max_hamming)))
+
+    return pairs_ds.map_batches(verify_task, batch_format="pyarrow")
+
+
 # -- n-gram Jaccard verification --------------------------------------------
 
 def collect_texts_for_ids(docs_ds, ids) -> dict[int, str]:

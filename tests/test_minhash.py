@@ -176,3 +176,44 @@ def test_batched_signatures_equal_per_doc():
     finally:
         mh._SIG_CHUNK = old
     np.testing.assert_array_equal(batch, batch2)
+
+
+def test_simhash_near_dup_exact_vs_bruteforce():
+    """Pigeonhole banding must have recall exactly 1: the pipeline's pair
+    set equals an all-pairs XOR-popcount over the same sketches."""
+    from horizon_ocr_python_ray.functions.minhash import hamming64, simhash64
+    from horizon_ocr_python_ray.stages.dedup_docs import simhash_near_dup_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog and keeps on "
+            "running through the wide open field at dawn every day").split()
+    texts = []
+    for i in range(40):
+        toks = list(base)
+        # perturb a few tokens so sketches land at assorted distances
+        for j in range(i % 5):
+            toks[(7 * j + i) % len(toks)] = f"tok{i}_{j}"
+        texts.append(" ".join(toks))
+    t = pa.table({"doc_id": pa.array(range(40), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+
+    max_h = 3
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in simhash_near_dup_pairs(
+               ray.data.from_arrow(t), max_hamming=max_h).take_all()}
+    hs = [simhash64(x, {}) for x in texts]
+    want = {(a, b): hamming64(hs[a], hs[b])
+            for a in range(40) for b in range(a + 1, 40)
+            if hamming64(hs[a], hs[b]) <= max_h}
+    assert got == want
+    assert len(want) > 0  # fixture actually exercises the ball
+
+
+def test_simhash_near_dup_plans_equal():
+    from horizon_ocr_python_ray.stages.dedup_docs import simhash_near_dup_pairs
+
+    docs = ray.data.from_arrow(_docs_table())
+    by_plan = {}
+    for plan in ("driver", "distributed"):
+        rows = simhash_near_dup_pairs(docs, max_hamming=6, plan=plan).take_all()
+        by_plan[plan] = sorted((r["doc_a"], r["doc_b"], r["hamming"]) for r in rows)
+    assert by_plan["driver"] == by_plan["distributed"]
