@@ -541,6 +541,18 @@ def _emb_centroids(sf_dir: str):
     return emb_centroids(emb)
 
 
+def _emb_gram(sf_dir: str):
+    """Corpus second-moment (gram) matrix of the embedding column —
+    the PCA/whitening building block; per-batch Qᵀ·Q int64 partials,
+    driver fold, zero shuffles (``stages/vecagg.py:emb_gram``)."""
+    import ray.data
+    from horizon_ocr_python_ray.stages.vecagg import emb_gram
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["embedding"])
+    return emb_gram(emb)
+
+
 def _doc_stratified_sample(sf_dir: str):
     """Exact k-per-language subsample by smallest doc_id hash
     (``stages/sampling.py:stratified_sample``)."""
@@ -757,6 +769,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split": _doc_split,
         "doc_stratified_sample": _doc_stratified_sample,
         "emb_centroids": _emb_centroids,
+        "emb_gram": _emb_gram,
         "corpus_top_terms": _corpus_top_terms,
         "pages_host_quota": _pages_host_quota,
         "pages_url_dedup": _pages_url_dedup,
@@ -879,6 +892,24 @@ def oracle_sql() -> dict[str, str]:
         # Embedding centroids: each element fixed-pointed BEFORE summing
         # (round half away from zero, e6) so integer addition makes the
         # group sums order-independent — no float in the compare.
+        # Gram matrix: same element fixed-pointing as emb_centroids, then
+        # an exact integer sum of per-vector products — any partial-sum
+        # order on the engine side must reproduce it bit-for-bit.
+        "emb_gram": """
+            WITH e AS (
+              SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+                     CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT)
+                       AS dim
+              FROM embeddings
+            ), q AS (
+              SELECT vec_id, dim, CAST(round(x * 1000) AS BIGINT) AS q
+              FROM e
+            )
+            SELECT a.dim AS dim_i, b.dim AS dim_j,
+                   CAST(sum(a.q * b.q) AS BIGINT) AS gram
+            FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+            GROUP BY a.dim, b.dim
+        """,
         "emb_centroids": """
             WITH e AS (
               SELECT CAST(label AS BIGINT) AS label,

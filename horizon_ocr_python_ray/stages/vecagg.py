@@ -84,3 +84,50 @@ def emb_centroids(emb_ds, group_col: str = "label", emb_col: str = "embedding"):
     return (partials.groupby([group_col, "dim"])
             .aggregate(Sum("partial_sum", alias_name="sum_e6"),
                        Sum("partial_n", alias_name="n_vecs")))
+
+
+#: Gram fixed point: q = round(x * 1e3) per element, so per-row products
+#: are ≤ ~1e6 and int64 sums stay exact past 1e12 rows.
+GRAM_SCALE = 1_000
+
+def emb_gram(emb_ds, emb_col: str = "embedding"):
+    """Corpus-level second-moment (gram) matrix of an embedding column in
+    long format ``(dim_i, dim_j, gram)``, upper triangle ``dim_i <=
+    dim_j`` — the distributed building block for PCA / whitening /
+    covariance estimation over an embedding table (subtract the
+    :func:`emb_centroids` means for covariance; eigendecompose on the
+    driver: d×d is tiny for any d that fits a vector column).
+
+    Physical plan — NO shuffle at all: each batch collapses to one d×d
+    int64 partial via a single ``Qᵀ·Q`` matmul on the fixed-pointed
+    matrix, shipped as a single flattened row; the driver folds
+    ``num_blocks`` such rows (d² ints each, independent of corpus size).
+    Same exactness contract as :func:`emb_centroids`: elements are
+    fixed-pointed BEFORE multiplication (half away from zero), so every
+    partial-sum order gives bit-equal integer results.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        mat = _batch_matrix(batch, emb_col)
+        if mat.size == 0:
+            return pa.table({"d": pa.array([], pa.int64()),
+                             "flat": pa.array([], pa.list_(pa.int64()))})
+        q = _round_half_away(mat.astype(np.float64) * GRAM_SCALE).astype(np.int64)
+        g = q.T @ q                                   # (d, d) int64, exact
+        return pa.table({"d": pa.array([g.shape[0]], pa.int64()),
+                         "flat": pa.array([g.reshape(-1)], pa.list_(pa.int64()))})
+
+    rows = emb_ds.map_batches(partial, batch_format="pyarrow").take_all()
+    rows = [r for r in rows if r["d"]]
+    if not rows:
+        return pa.table({"dim_i": pa.array([], pa.int64()),
+                         "dim_j": pa.array([], pa.int64()),
+                         "gram": pa.array([], pa.int64())})
+    d = rows[0]["d"]
+    acc = np.zeros(d * d, dtype=np.int64)
+    for r in rows:
+        acc += np.asarray(r["flat"], dtype=np.int64)
+    g = acc.reshape(d, d)
+    iu, ju = np.triu_indices(d)
+    return pa.table({"dim_i": pa.array(iu, pa.int64()),
+                     "dim_j": pa.array(ju, pa.int64()),
+                     "gram": pa.array(g[iu, ju], pa.int64())})

@@ -62,3 +62,35 @@ def test_variable_dim_rejected():
 
     with pytest.raises(ValueError):
         _partial_centroid(t, "label", "embedding")
+
+
+def test_emb_gram_matches_numpy_bruteforce():
+    import ray.data
+
+    from horizon_ocr_python_ray.stages.vecagg import GRAM_SCALE, emb_gram
+
+    rng = np.random.RandomState(11)
+    mat = rng.uniform(-0.6, 0.6, size=(37, 5)).astype(np.float32)
+    t = pa.table({"embedding": pa.array([list(map(float, r)) for r in mat],
+                                        pa.list_(pa.float32()))})
+    # multiple blocks → exercises the driver fold across partials
+    ds = ray.data.from_arrow(t).repartition(4)
+    got = emb_gram(ds).to_pandas().set_index(["dim_i", "dim_j"])["gram"]
+
+    q = np.where(mat.astype(np.float64) * GRAM_SCALE >= 0,
+                 np.floor(mat.astype(np.float64) * GRAM_SCALE + 0.5),
+                 np.ceil(mat.astype(np.float64) * GRAM_SCALE - 0.5)).astype(np.int64)
+    want = q.T @ q
+    assert len(got) == 5 * 6 // 2
+    for i in range(5):
+        for j in range(i, 5):
+            assert got[(i, j)] == want[i, j]
+
+
+def test_emb_gram_empty():
+    import ray.data
+
+    from horizon_ocr_python_ray.stages.vecagg import emb_gram
+
+    t = pa.table({"embedding": pa.array([], pa.list_(pa.float32()))})
+    assert emb_gram(ray.data.from_arrow(t)).num_rows == 0
