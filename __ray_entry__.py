@@ -290,6 +290,17 @@ def _events_lag(sf_dir: str):
     return events_lag(events)
 
 
+def _events_rollup(sf_dir: str):
+    """Three-level ROLLUP(event_type, hour) — raw table scanned once,
+    coarser levels fold from the finest aggregate."""
+    import ray.data
+    from horizon_ocr_python_ray.stages.window import events_rollup
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["ts", "event_type", "value"])
+    return events_rollup(events, width_s=3600)
+
+
 def _events_quantiles(sf_dir: str):
     import ray.data
     from horizon_ocr_python_ray.stages.window import events_quantiles
@@ -600,6 +611,16 @@ def _pages_url_dedup(sf_dir: str):
     return canonical_url_dedup(read_pages(corpus, columns=["url", "warc_ts"]))
 
 
+def _pages_dup_losers(sf_dir: str):
+    """Drop-set of the canonical-URL dedup via a distributed ANTI-JOIN
+    (native hash-partitioned left_anti) — pages ∖ representatives."""
+    from horizon_ocr_python_ray import ensure_corpus, read_pages, sf_from_dir
+    from horizon_ocr_python_ray.stages.urldedup import dedup_losers
+
+    corpus = ensure_corpus(sf_from_dir(sf_dir))
+    return dedup_losers(read_pages(corpus, columns=["url", "warc_ts"]))
+
+
 def _pages_host_stats(sf_dir: str):
     from horizon_ocr_python_ray import ensure_corpus, read_pages, sf_from_dir
     from horizon_ocr_python_ray.stages.skew import host_stats_salted
@@ -747,6 +768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": _events_sliding,
         "events_sessions": _events_sessions,
         "events_lag": _events_lag,
+        "events_rollup": _events_rollup,
         "events_quantiles": _events_quantiles,
         "events_distinct_users": _events_distinct_users,
         "events_value_bands": _events_value_bands,
@@ -773,6 +795,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_top_terms": _corpus_top_terms,
         "pages_host_quota": _pages_host_quota,
         "pages_url_dedup": _pages_url_dedup,
+        "pages_dup_losers": _pages_dup_losers,
         "pages_curation_funnel": _pages_curation_funnel,
         "pages_host_stats": _pages_host_stats,
         "pages_metrics": _pages_metrics,
@@ -1028,6 +1051,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT canonical_url, count(*) AS n_pages,
                    min(warc_ts) AS first_ts
             FROM c GROUP BY canonical_url
+        """,
+        # Anti-join drop-set: every crawl row that is NOT its canonical
+        # group's (warc_ts, url)-argmin representative — the window-rank
+        # restatement of pages ∖ representatives.
+        "pages_dup_losers": f"""
+            WITH c AS (
+              SELECT url, {_urlnorm_sql_expr()} AS canonical_url, warc_ts
+              FROM read_parquet('{pages_sf0_01}')
+            )
+            SELECT url, canonical_url FROM c
+            QUALIFY row_number() OVER (
+              PARTITION BY canonical_url ORDER BY warc_ts, url) > 1
         """,
         # Salted two-phase host aggregation vs a direct SQL groupby over
         # the raw pages table.
@@ -1380,6 +1415,22 @@ def oracle_sql() -> dict[str, str]:
                    ) AS rank
             FROM embeddings e, q
             ORDER BY rank LIMIT 10
+        """,
+        # ROLLUP cascade vs the native SQL ROLLUP: per-event e4 fixed
+        # point BEFORE summing on both sides, sentinel ('ALL', epoch-0)
+        # for rolled-up dimensions instead of NULLs.
+        "events_rollup": """
+            WITH e AS (
+              SELECT event_type, (epoch_us(ts) // 3600000000) AS wh,
+                     CAST(round(value * 10000) AS BIGINT) AS v_e4
+              FROM events
+            )
+            SELECT COALESCE(event_type, 'ALL') AS event_type,
+                   COALESCE(make_timestamp(wh * 3600000000),
+                            TIMESTAMP '1970-01-01') AS window_start,
+                   count(*) AS n_events,
+                   CAST(sum(v_e4) AS BIGINT) AS sum_value_e4
+            FROM e GROUP BY ROLLUP(event_type, wh)
         """,
         "events_hourly": """
             SELECT event_type,

@@ -67,3 +67,22 @@ def canonical_representatives(pages_ds):
                          "warc_ts": ts})
 
     return agg.map_batches(unpack, batch_format="pyarrow")
+
+
+def dedup_losers(pages_ds, num_partitions: int = 32):
+    """pages → the DROP-set of the canonical-URL dedup: every crawl row
+    whose (warc_ts, url) is not its canonical group's representative —
+    re-crawls and tracking-variant refetches.
+
+    Distributed ANTI-JOIN: pages ⟕̸ representatives on url via the native
+    hash-partitioned ``Dataset.join(join_type="left_anti")`` — both sides
+    are projected to the join key plus the canonical key first, so the
+    exchange carries two narrow string columns, never payloads. (The
+    complementary keep-set is :func:`canonical_representatives`; losers =
+    pages ∖ reps by construction, asserted by the oracle's EXCEPT.)
+    """
+    keyed = (pages_ds.map_batches(add_canonical_url, batch_format="pyarrow")
+             .select_columns(["url", "canonical_url"]))
+    reps = canonical_representatives(pages_ds).select_columns(["url"])
+    return keyed.join(reps, join_type="left_anti", on=("url",),
+                      num_partitions=num_partitions)

@@ -360,3 +360,92 @@ def events_props_sum(events_ds):
             names=["event_type", "k_sum", "n_events"]),
         batch_format="pyarrow",
     )
+
+
+#: Sentinel for rolled-up (aggregated-away) rollup dimensions.
+ROLLUP_ALL_TYPE = "ALL"
+ROLLUP_ALL_WINDOW_US = 0  # 1970-01-01T00:00:00
+
+
+def events_rollup(events_ds, width_s: int = 3600):
+    """``GROUP BY ROLLUP(event_type, window)`` in three levels — (type,
+    window), (type, ALL-windows), grand total — with the raw table
+    scanned exactly ONCE: the finest aggregate is distinct-group-sized,
+    so each coarser level folds from the level below it (the classic
+    rollup cascade), never from raw events.
+
+    Exactness: values are fixed-pointed PER EVENT (e4, half away from
+    zero — DuckDB ``round`` semantics) before any summing, so every
+    level's integer total is independent of partial-sum order and
+    byte-equal to the SQL ``ROLLUP`` oracle. Rolled-up dimensions carry
+    sentinels (:data:`ROLLUP_ALL_TYPE` / epoch-0 window), not NULLs, so
+    the compare surface stays hashable.
+    """
+    import ray.data
+
+    from .hashagg import grouped_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        epoch = batch.column("ts").cast(pa.int64())
+        win = pc.multiply(
+            pc.floor(pc.divide(pc.cast(epoch, pa.float64()),
+                               float(width_s) * 1e6)).cast(pa.int64()),
+            width_s * 1_000_000,
+        )
+        v = pc.cast(
+            pc.round(pc.multiply(batch.column("value"), 10000.0),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "window_start_us": win, "v_e4": v})
+        agg = pa.TableGroupBy(t, ["event_type", "window_start_us"]).aggregate(
+            [("v_e4", "sum"), ("v_e4", "count")])
+        return agg.rename_columns(
+            ["event_type", "window_start_us", "part_sum", "part_n"])
+
+    partials = events_ds.map_batches(partial, batch_format="pyarrow",
+                                     batch_size=8192)
+    finest = grouped_aggregate(
+        partials, ["event_type", "window_start_us"],
+        [("part_sum", "sum", "sum_value_e4"), ("part_n", "sum", "n_events")],
+        bucket_on="window_start_us",
+    ).materialize()  # aggregate-sized; three consumers below
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column("event_type"),
+             t.column("window_start_us").cast(pa.timestamp("us")),
+             t.column("n_events").cast(pa.int64()),
+             t.column("sum_value_e4").cast(pa.int64())],
+            names=["event_type", "window_start", "n_events", "sum_value_e4"],
+        )
+
+    level0 = finest.map_batches(finish, batch_format="pyarrow")
+
+    per_type = (finest.groupby("event_type")
+                .aggregate(Sum("sum_value_e4", alias_name="sum_value_e4"),
+                           Sum("n_events", alias_name="n_events")))
+
+    def finish_type(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [t.column("event_type"),
+             pa.array([ROLLUP_ALL_WINDOW_US] * n, pa.int64()).cast(pa.timestamp("us")),
+             t.column("n_events").cast(pa.int64()),
+             t.column("sum_value_e4").cast(pa.int64())],
+            names=["event_type", "window_start", "n_events", "sum_value_e4"],
+        )
+
+    level1 = per_type.map_batches(finish_type, batch_format="pyarrow").materialize()
+
+    # grand total folds from level 1 (a handful of rows) on the driver
+    rows = level1.take_all()
+    total = pa.Table.from_arrays(
+        [pa.array([ROLLUP_ALL_TYPE], pa.string()),
+         pa.array([ROLLUP_ALL_WINDOW_US], pa.int64()).cast(pa.timestamp("us")),
+         pa.array([sum(r["n_events"] for r in rows)], pa.int64()),
+         pa.array([sum(r["sum_value_e4"] for r in rows)], pa.int64())],
+        names=["event_type", "window_start", "n_events", "sum_value_e4"],
+    )
+    return level0.union(level1).union(ray.data.from_arrow(total))

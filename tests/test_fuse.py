@@ -207,3 +207,41 @@ class TestFieldAnchoring:
         assert len(anchored) > 0
         for row in anchored.head(50).itertuples():
             assert texts[row.url][row.value_start:row.value_end] == row.value
+
+
+class TestRollup:
+    def test_rollup_levels_consistent(self):
+        import pyarrow as pa
+        import ray.data
+        from horizon_ocr_python_ray.stages.window import (
+            ROLLUP_ALL_TYPE,
+            events_rollup,
+        )
+
+        base = 1_704_067_200_000_000
+        n = 40
+        t = pa.Table.from_arrays(
+            [pa.array([base + i * 600_000_000 for i in range(n)],
+                      pa.int64()).cast(pa.timestamp("us")),
+             pa.array(["a" if i % 3 else "b" for i in range(n)], pa.string()),
+             pa.array([0.12345 * (i + 1) for i in range(n)], pa.float64())],
+            names=["ts", "event_type", "value"],
+        )
+        out = events_rollup(ray.data.from_arrow(t), width_s=3600).to_pandas()
+        sentinel = out["window_start"] == pd_epoch0()
+        finest = out[~sentinel]
+        typed = out[sentinel & (out["event_type"] != ROLLUP_ALL_TYPE)]
+        total = out[out["event_type"] == ROLLUP_ALL_TYPE]
+        # each level folds exactly from the one below
+        assert len(total) == 1
+        assert total["n_events"].iloc[0] == n == finest["n_events"].sum()
+        assert typed["n_events"].sum() == n
+        assert total["sum_value_e4"].iloc[0] == finest["sum_value_e4"].sum()
+        assert (typed.set_index("event_type")["sum_value_e4"]
+                == finest.groupby("event_type")["sum_value_e4"].sum()).all()
+
+
+def pd_epoch0():
+    import pandas as pd
+
+    return pd.Timestamp("1970-01-01")

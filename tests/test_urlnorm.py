@@ -47,3 +47,21 @@ def test_corpus_dup_rows_collapse_to_source(ray_session):
     # canonical group must have >1 page, and totals must be preserved
     assert (out["n_pages"] > 1).any()
     assert out["n_pages"].sum() == 500
+
+
+def test_dedup_losers_complement_of_representatives(ray_session):
+    from horizon_ocr_python_ray import ensure_corpus, read_pages
+    from horizon_ocr_python_ray.stages.urldedup import (
+        canonical_representatives,
+        dedup_losers,
+    )
+
+    corpus = ensure_corpus(0.001)
+    pages = read_pages(corpus, columns=["url", "warc_ts"])
+    all_urls = set(pages.to_pandas()["url"])
+    keep = set(canonical_representatives(pages).to_pandas()["url"])
+    drop = set(dedup_losers(pages, num_partitions=4).to_pandas()["url"])
+    # exact partition: keep ∪ drop = all, keep ∩ drop = ∅
+    assert keep | drop == all_urls
+    assert not (keep & drop)
+    assert drop  # corpus plants tracking-variant re-crawls
