@@ -575,6 +575,17 @@ def _doc_stratified_sample(sf_dir: str):
     return stratified_sample(docs, stratum="lang", key="doc_id", k=20)
 
 
+def _corpus_postings(sf_dir: str):
+    """Inverted-index build: term → (df, md5 of the ascending doc-id
+    posting list); one narrow (term, doc_id) shuffle."""
+    import ray.data
+    from horizon_ocr_python_ray.stages.postings import corpus_postings
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return corpus_postings(docs, min_df=2)
+
+
 def _corpus_top_terms(sf_dir: str):
     """Exact corpus-level heavy-hitter terms
     (``stages/heavyterms.py:corpus_top_terms``, shuffle plan)."""
@@ -792,6 +803,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stratified_sample": _doc_stratified_sample,
         "emb_centroids": _emb_centroids,
         "emb_gram": _emb_gram,
+        "corpus_postings": _corpus_postings,
         "corpus_top_terms": _corpus_top_terms,
         "pages_host_quota": _pages_host_quota,
         "pages_url_dedup": _pages_url_dedup,
@@ -1587,6 +1599,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    lower(lpad(to_hex(CAST(COALESCE(x.v, 0) AS UBIGINT)), 16, '0')) AS fingerprint
             FROM documents d LEFT JOIN x ON d.doc_id = x.doc_id
+        """,
+        # Inverted index vs a pure-SQL inversion: per-doc DISTINCT terms,
+        # df + md5 of the comma-joined ascending doc-id posting list.
+        "corpus_postings": r"""
+            WITH t AS (
+              SELECT doc_id, CASE WHEN trim(text)='' THEN []::VARCHAR[]
+                             ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+              FROM documents
+            ), p AS (
+              SELECT DISTINCT doc_id, unnest(toks) AS term FROM t
+            )
+            SELECT term, count(*) AS df,
+                   md5(array_to_string(list_sort(list(doc_id)), ',')) AS postings_md5
+            FROM p GROUP BY term HAVING count(*) >= 2
         """,
         # SimHash is SQL-reproducible because the token hash is
         # md5_number_lower (DuckDB-native): per-bit strict-majority vote

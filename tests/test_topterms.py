@@ -86,3 +86,32 @@ def test_vocab_guard(ray_session, monkeypatch):
     with pytest.raises(ValueError, match="plan='join'"):
         build_df_table(ds)
     assert BROADCAST_VOCAB_MAX > 2  # module default untouched
+
+
+def test_corpus_postings_matches_bruteforce(ray_session):
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data
+
+    from horizon_ocr_python_ray.functions.textstats import tokens
+    from horizon_ocr_python_ray.stages.postings import corpus_postings
+
+    texts = ["alpha beta beta gamma", "beta gamma delta", "alpha alpha zeta",
+             "gamma beta", "", "zeta alpha"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    got = (corpus_postings(ray.data.from_arrow(t).repartition(3), min_df=2)
+           .to_pandas().sort_values("term").reset_index(drop=True))
+
+    inv = {}
+    for did, text in enumerate(texts):
+        for term in set(tokens(text.lower())):
+            inv.setdefault(term, []).append(did)
+    want = {term: ids for term, ids in inv.items() if len(ids) >= 2}
+    assert set(got["term"]) == set(want)
+    for _, r in got.iterrows():
+        ids = sorted(want[r["term"]])
+        assert r["df"] == len(ids)
+        assert r["postings_md5"] == hashlib.md5(
+            ",".join(map(str, ids)).encode()).hexdigest()
