@@ -27,10 +27,12 @@ class ProcessingOptions:
 
     run_extract: bool = True
     run_fields: bool = False
+    run_validation: bool = False  # implies the fields stage
     run_tables: bool = False
     run_styles: bool = False
     run_reconstruction: bool = False
     run_markdown: bool = False
+    run_redact: bool = False
     #: Extraction variant: combined | registry | grouped | staged
     #: (``DedupConfig`` trade-offs).
     variant: str | None = None
@@ -46,19 +48,30 @@ def process_pages(pages_ds, options: ProcessingOptions | None = None,
     cfg = cfg or DEFAULT_CONFIG
     out: dict = {}
     extraction = None
-    if options.run_extract or options.run_fields or options.run_markdown:
+    if (options.run_extract or options.run_fields or options.run_markdown
+            or options.run_validation or options.run_redact):
         extraction = build_extract_pipeline(
             pages_ds, cfg, dedup=options.dedup, variant=options.variant)
     if options.run_extract:
         out["extract"] = extraction
-    if options.run_fields:
+    if options.run_fields or options.run_validation:
         from .stages.fields_stage import build_fields_pipeline
 
-        out["fields"] = build_fields_pipeline(extraction, cfg)
+        fields = build_fields_pipeline(extraction, cfg)
+        if options.run_fields:
+            out["fields"] = fields
+        if options.run_validation:
+            from .stages.validation_stage import build_validation_pipeline
+
+            out["validation"] = build_validation_pipeline(fields)
     if options.run_markdown:
         from .functions.markdown import markdown_batch
 
         out["markdown"] = extraction.map_batches(markdown_batch, batch_format="pyarrow")
+    if options.run_redact:
+        from .functions.redact import redact_batch
+
+        out["redact"] = extraction.map_batches(redact_batch, batch_format="pyarrow")
     if options.run_tables:
         from .stages.tables_stage import build_tables_pipeline
 

@@ -12,16 +12,18 @@ def test_default_options_only_extract(corpus_dir):
 
 def test_all_stage_toggles(corpus_dir, golden_map):
     opts = ProcessingOptions(run_fields=True, run_tables=True, run_styles=True,
-                             run_reconstruction=True, run_markdown=True)
+                             run_reconstruction=True, run_markdown=True,
+                             run_validation=True, run_redact=True)
     out = process_pages(read_pages(corpus_dir), opts)
     assert set(out) == {"extract", "fields", "tables", "styles",
-                       "reconstruction", "markdown"}
+                       "reconstruction", "markdown", "validation", "redact"}
     # extract stays byte-identical through the API surface
     got = {r["url"]: r["extracted_text"]
            for r in out["extract"].select_columns(["url", "extracted_text"]).take_all()}
     sample = next(iter(golden_map))
     assert got[sample] == golden_map[sample]["extracted_text"]
-    for name in ("fields", "tables", "styles", "reconstruction", "markdown"):
+    for name in ("fields", "tables", "styles", "reconstruction", "markdown",
+                 "validation", "redact"):
         assert out[name].count() > 0, name
 
 
