@@ -473,6 +473,17 @@ def _pages_redact(sf_dir: str):
     return out.map_batches(redact_batch, batch_format="pyarrow")
 
 
+def _pages_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals (duplicate-line counts,
+    top-token frequency) as exact integers over extracted text."""
+    from horizon_ocr_python_ray import build_extract_pipeline, ensure_corpus, read_pages, sf_from_dir
+    from horizon_ocr_python_ray.functions.textstats import repetition_batch
+
+    corpus = ensure_corpus(sf_from_dir(sf_dir))
+    out = build_extract_pipeline(read_pages(corpus))
+    return out.map_batches(repetition_batch, batch_format="pyarrow")
+
+
 def _pages_worst_styles(sf_dir: str):
     """Global worst-k lines by style confidence (K3's corpus-wide form;
     reference worst-first queue ``ocr/targeted_reocr.py:150-178``)."""
@@ -793,6 +804,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_table_overlays": _pages_table_overlays,
         "pages_styles": _pages_styles,
         "pages_redact": _pages_redact,
+        "pages_repetition": _pages_repetition,
         "pages_worst_styles": _pages_worst_styles,
         "pages_validation": _pages_validation,
         "pages_reconstruction": _pages_reconstruction,
@@ -1205,6 +1217,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_ips AS BIGINT) AS n_ips,
                    md5(t3) AS redacted_md5
             FROM s3
+        """,
+        # Repetition signals vs golden text: exact integer numerators /
+        # denominators (no pre-divided float ratios on the wire); the
+        # top-token tie-break (count DESC, token ASC) is pinned on both
+        # sides.
+        "pages_repetition": f"""
+            WITH g AS (
+              SELECT url, extracted_text AS t
+              FROM read_parquet('{golden_sf0_01}')
+            ), l AS (
+              SELECT url, unnest(string_split(t, chr(10))) AS line FROM g
+            ), lc AS (
+              SELECT url, line, count(*) AS cnt, length(line) AS ln
+              FROM l GROUP BY url, line
+            ), lagg AS (
+              SELECT url, CAST(sum(cnt) AS BIGINT) AS n_lines,
+                     CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)
+                          AS BIGINT) AS dup_lines,
+                     CAST(sum(cnt * ln) AS BIGINT) AS line_chars,
+                     CAST(sum(CASE WHEN cnt > 1 THEN cnt * ln ELSE 0 END)
+                          AS BIGINT) AS dup_line_chars
+              FROM lc GROUP BY url
+            ), tk AS (
+              SELECT url, unnest(CASE WHEN trim(t) = '' THEN []::VARCHAR[]
+                                 ELSE regexp_split_to_array(trim(t), '\\s+')
+                                 END) AS tok
+              FROM g
+            ), tc AS (
+              SELECT url, tok, count(*) AS n FROM tk GROUP BY url, tok
+            ), top AS (
+              SELECT url, tok AS top_token, n AS top_token_n,
+                     row_number() OVER (
+                       PARTITION BY url ORDER BY n DESC, tok) AS rk
+              FROM tc
+            )
+            SELECT lagg.url, n_lines, dup_lines, line_chars, dup_line_chars,
+                   COALESCE(top.top_token, '') AS top_token,
+                   CAST(COALESCE(top.top_token_n, 0) AS BIGINT) AS top_token_n
+            FROM lagg LEFT JOIN (SELECT * FROM top WHERE rk = 1) top
+            USING (url)
         """,
         # Global worst-k style lines vs golden: pure ORDER/LIMIT over the
         # style fixtures with the engine's total tie-break; rank pins the

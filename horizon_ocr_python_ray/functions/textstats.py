@@ -104,3 +104,54 @@ def rolling_fingerprint(text: str, window: int = 8) -> int:
     for g in grams:
         acc ^= md5_low64(g)
     return acc
+
+
+def repetition_features(text: str) -> dict:
+    """Gopher-style repetition signals (Rae et al. 2021, §A1.1 "repetition
+    filters") as EXACT integers — numerators and denominators, never
+    pre-divided ratios, so the compare surface carries no float:
+
+    - ``n_lines`` / ``dup_lines``: newline-split line count and the count
+      of lines whose exact text occurs more than once in the document
+      (all occurrences counted);
+    - ``line_chars`` / ``dup_line_chars``: the same, weighted by line
+      length;
+    - ``top_token`` / ``top_token_n``: the most frequent whitespace token
+      and its count (ties → lexicographically smallest token), the
+      top-n-gram fraction's n=1 numerator.
+    """
+    lines = (text or "").split("\n")
+    line_counts: dict[str, int] = {}
+    for ln in lines:
+        line_counts[ln] = line_counts.get(ln, 0) + 1
+    n_lines = len(lines)
+    line_chars = sum(len(ln) for ln in lines)
+    dup_lines = sum(c for c in line_counts.values() if c > 1)
+    dup_line_chars = sum(len(ln) * c for ln, c in line_counts.items() if c > 1)
+    toks = tokens(text)
+    if toks:
+        tok_counts: dict[str, int] = {}
+        for t in toks:
+            tok_counts[t] = tok_counts.get(t, 0) + 1
+        top_token = min(tok_counts, key=lambda t: (-tok_counts[t], t))
+        top_token_n = tok_counts[top_token]
+    else:
+        top_token, top_token_n = "", 0
+    return {"n_lines": n_lines, "dup_lines": dup_lines,
+            "line_chars": line_chars, "dup_line_chars": dup_line_chars,
+            "top_token": top_token, "top_token_n": top_token_n}
+
+
+def repetition_batch(batch, text_col: str = "extracted_text", key_col: str = "url"):
+    """extraction rows → one integer-exact repetition-signal row each."""
+    import pyarrow as pa
+
+    feats = [repetition_features(t)
+             for t in batch.column(text_col).to_pylist()]
+    cols = {"n_lines": pa.int64(), "dup_lines": pa.int64(),
+            "line_chars": pa.int64(), "dup_line_chars": pa.int64(),
+            "top_token": pa.string(), "top_token_n": pa.int64()}
+    out = batch.select([key_col])
+    for name, typ in cols.items():
+        out = out.append_column(name, pa.array([f[name] for f in feats], typ))
+    return out

@@ -71,3 +71,19 @@ class TestFingerprint:
 
     def test_short_doc_single_gram(self):
         assert rolling_fingerprint("one two", window=8) != 0
+
+
+def test_repetition_features_exact_counts():
+    from horizon_ocr_python_ray.functions.textstats import repetition_features
+
+    f = repetition_features("a b\nc d\na b\nunique line\na b")
+    assert f["n_lines"] == 5
+    assert f["dup_lines"] == 3          # 'a b' occurs 3 times
+    assert f["line_chars"] == 3 * 3 + 3 + 11
+    assert f["dup_line_chars"] == 9
+    assert f["top_token"] == "a"        # a/b tie at 3 → lexicographic min
+    assert f["top_token_n"] == 3
+
+    empty = repetition_features("")
+    assert empty["n_lines"] == 1 and empty["line_chars"] == 0
+    assert empty["top_token"] == "" and empty["top_token_n"] == 0
