@@ -290,6 +290,17 @@ def _events_lag(sf_dir: str):
     return events_lag(events)
 
 
+def _events_hourly_users(sf_dir: str):
+    """Exact distinct-user count per (event_type, hour window) — the
+    windowed two-phase distinct."""
+    import ray.data
+    from horizon_ocr_python_ray.stages.window import events_hourly_users
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["ts", "event_type", "user_id"])
+    return events_hourly_users(events, width_s=3600)
+
+
 def _events_rollup(sf_dir: str):
     """Three-level ROLLUP(event_type, hour) — raw table scanned once,
     coarser levels fold from the finest aggregate."""
@@ -790,6 +801,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": _events_sliding,
         "events_sessions": _events_sessions,
         "events_lag": _events_lag,
+        "events_hourly_users": _events_hourly_users,
         "events_rollup": _events_rollup,
         "events_quantiles": _events_quantiles,
         "events_distinct_users": _events_distinct_users,
@@ -1479,6 +1491,13 @@ def oracle_sql() -> dict[str, str]:
                    ) AS rank
             FROM embeddings e, q
             ORDER BY rank LIMIT 10
+        """,
+        "events_hourly_users": """
+            SELECT event_type,
+                   make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
+                   count(DISTINCT user_id) AS n_users
+            FROM events
+            GROUP BY event_type, (epoch_us(ts) // 3600000000)
         """,
         # ROLLUP cascade vs the native SQL ROLLUP: per-event e4 fixed
         # point BEFORE summing on both sides, sentinel ('ALL', epoch-0)

@@ -449,3 +449,45 @@ def events_rollup(events_ds, width_s: int = 3600):
         names=["event_type", "window_start", "n_events", "sum_value_e4"],
     )
     return level0.union(level1).union(ray.data.from_arrow(total))
+
+
+def events_hourly_users(events_ds, width_s: int = 3600):
+    """Exact distinct-user count per (event_type, tumbling window) — the
+    windowed composition of :func:`events_distinct_users`: batch-local
+    (type, window, user) dedup combiner → bucket shuffle on ``user_id``
+    (each user in exactly one bucket ⇒ bucket-local distinct is globally
+    distinct) → per-(type, window) partial counts → tiny final sum. The
+    shuffle carries at most one narrow row per (type, window, user) per
+    batch; no per-group Python anywhere."""
+    from .hashagg import grouped_reduce
+
+    def pairs(t: pa.Table) -> pa.Table:
+        epoch = t.column("ts").cast(pa.int64())
+        win = pc.multiply(
+            pc.floor(pc.divide(pc.cast(epoch, pa.float64()),
+                               float(width_s) * 1e6)).cast(pa.int64()),
+            width_s * 1_000_000,
+        )
+        t2 = pa.table({"event_type": t.column("event_type"),
+                       "window_start_us": win, "user_id": t.column("user_id")})
+        return (pa.TableGroupBy(t2, ["event_type", "window_start_us", "user_id"])
+                .aggregate([])
+                .rename_columns(["event_type", "window_start_us", "user_id"]))
+
+    def count_bucket(t: pa.Table) -> pa.Table:
+        d = t.group_by(["event_type", "window_start_us", "user_id"]).aggregate([])
+        c = d.group_by(["event_type", "window_start_us"]).aggregate([([], "count_all")])
+        return c.rename_columns(["event_type", "window_start_us", "part"])
+
+    parts = grouped_reduce(events_ds.map_batches(pairs, batch_format="pyarrow"),
+                           "user_id", count_bucket)
+    out = parts.groupby(["event_type", "window_start_us"]).aggregate(
+        Sum("part", alias_name="n_users"))
+    return out.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t.column("event_type"),
+             t.column("window_start_us").cast(pa.timestamp("us")),
+             t.column("n_users").cast(pa.int64())],
+            names=["event_type", "window_start", "n_users"]),
+        batch_format="pyarrow",
+    )

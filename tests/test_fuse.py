@@ -245,3 +245,27 @@ def pd_epoch0():
     import pandas as pd
 
     return pd.Timestamp("1970-01-01")
+
+
+class TestHourlyUsers:
+    def test_windowed_distinct_counts(self):
+        import pyarrow as pa
+        import ray.data
+        from horizon_ocr_python_ray.stages.window import events_hourly_users
+
+        base = 1_704_067_200_000_000
+        # hour 0: users u0,u1 type a (u0 twice); hour 1: u0 type a, u2 type b
+        rows = [(base, "a", "u0"), (base + 60_000_000, "a", "u0"),
+                (base + 120_000_000, "a", "u1"),
+                (base + 3_700_000_000, "a", "u0"),
+                (base + 3_800_000_000, "b", "u2")]
+        t = pa.Table.from_arrays(
+            [pa.array([r[0] for r in rows], pa.int64()).cast(pa.timestamp("us")),
+             pa.array([r[1] for r in rows], pa.string()),
+             pa.array([r[2] for r in rows], pa.string())],
+            names=["ts", "event_type", "user_id"],
+        )
+        out = (events_hourly_users(ray.data.from_arrow(t).repartition(2))
+               .to_pandas().sort_values(["event_type", "window_start"])
+               .reset_index(drop=True))
+        assert list(out["n_users"]) == [2, 1, 1]
