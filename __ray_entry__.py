@@ -597,6 +597,17 @@ def _doc_stratified_sample(sf_dir: str):
     return stratified_sample(docs, stratum="lang", key="doc_id", k=20)
 
 
+def _corpus_top_bigrams(sf_dir: str):
+    """Exact global top-k adjacent-token bigrams (boilerplate-phrase
+    mining); combiner partials + driver fold / shuffle guard."""
+    import ray.data
+    from horizon_ocr_python_ray.stages.heavyterms import corpus_top_bigrams
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return corpus_top_bigrams(docs, k=30)
+
+
 def _corpus_postings(sf_dir: str):
     """Inverted-index build: term → (df, md5 of the ascending doc-id
     posting list); one narrow (term, doc_id) shuffle."""
@@ -829,6 +840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_gram": _emb_gram,
         "corpus_postings": _corpus_postings,
         "corpus_top_terms": _corpus_top_terms,
+        "corpus_top_bigrams": _corpus_top_bigrams,
         "pages_host_quota": _pages_host_quota,
         "pages_url_dedup": _pages_url_dedup,
         "pages_dup_losers": _pages_dup_losers,
@@ -1002,6 +1014,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Corpus heavy hitters: exact global term counts + integer rank
         # key (n DESC, term ASC) — same tokenizer as doc_top_terms.
+        "corpus_top_bigrams": """
+            WITH t AS (
+              SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+              FROM documents WHERE trim(text) <> ''
+            ), b AS (
+              SELECT unnest(CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+                            ELSE list_transform(range(1, len(toks)),
+                                                i -> toks[i] || ' ' || toks[i + 1])
+                            END) AS term
+              FROM t
+            ), c AS (
+              SELECT term, count(*) AS n FROM b GROUP BY term
+            ), r AS (
+              SELECT term, n,
+                     row_number() OVER (ORDER BY n DESC, term ASC) AS rank
+              FROM c
+            )
+            SELECT term, CAST(n AS BIGINT) AS n, CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 30
+        """,
         "corpus_top_terms": """
             WITH tok AS (
               SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))

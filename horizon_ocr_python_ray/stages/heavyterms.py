@@ -194,3 +194,59 @@ def corpus_top_terms(docs_ds, k: int = 50, plan: str = "auto",
         names=["term", "n"],
     )
     return _finish_topk([folded], k, "n")
+
+
+# -- bigrams ------------------------------------------------------------------
+
+def _batch_bigram_counts(batch: pa.Table) -> Counter:
+    counts: Counter = Counter()
+    for text in batch.column("text").to_pylist():
+        toks = [t.lower() for t in tokens(text)]
+        counts.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    return counts
+
+
+def _partial_bigram_tf(batch: pa.Table) -> pa.Table:
+    counts = _batch_bigram_counts(batch)
+    terms = sorted(counts)
+    return pa.Table.from_arrays(
+        [pa.array(terms, pa.string()),
+         pa.array([counts[t] for t in terms], pa.int64())],
+        names=["term", "partial_n"],
+    )
+
+
+def corpus_top_bigrams(docs_ds, k: int = 50, plan: str = "auto",
+                       fold_vocab_max: int = 5_000_000):
+    """documents(text) → exact top-``k`` adjacent-token bigrams
+    (term = "a b", n, rank) — boilerplate-phrase mining / n-gram LM
+    statistics; identical plan structure to :func:`corpus_top_terms`
+    (combiner partials → driver fold below ``fold_vocab_max``, narrow
+    ``groupby(term).sum`` shuffle above it) with the bigram vocabulary's
+    larger cardinality being exactly why the guard exists."""
+    if plan == "auto":
+        import ray
+
+        folded: Counter = Counter()
+        for ref in docs_ds.map_batches(
+                _partial_bigram_tf, batch_format="pyarrow").to_arrow_refs():
+            t = ray.get(ref)
+            folded.update(dict(zip(t.column("term").to_pylist(),
+                                   t.column("partial_n").to_pylist())))
+            if len(folded) > fold_vocab_max:
+                return corpus_top_bigrams(docs_ds, k, "shuffle")
+        terms = sorted(folded)
+        tbl = pa.table({"term": pa.array(terms, pa.string()),
+                        "n": pa.array([folded[t] for t in terms], pa.int64())})
+        return _finish_topk([tbl], k, "n")
+    if plan != "shuffle":
+        raise ValueError(f"unknown plan: {plan!r}")
+    import ray
+    from ray.data.aggregate import Sum
+
+    totals = (docs_ds.map_batches(_partial_bigram_tf, batch_format="pyarrow")
+              .groupby("term").aggregate(Sum("partial_n", alias_name="n")))
+    parts = [ref for ref in totals.map_batches(
+        lambda t: _local_topk(t, k, "n"), batch_format="pyarrow"
+    ).to_arrow_refs()]
+    return _finish_topk([ray.get(r) for r in parts], k, "n")

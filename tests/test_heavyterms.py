@@ -69,3 +69,30 @@ def test_auto_fold_plan_equals_shuffle(ray_session):
     c = corpus_top_terms(_docs_ds(texts), k=4, plan="auto",
                          fold_vocab_max=2).to_pylist()
     assert c == b
+
+
+def test_top_bigrams_plans_equal_and_match_bruteforce(ray_session):
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data
+
+    from horizon_ocr_python_ray.functions.textstats import tokens
+    from horizon_ocr_python_ray.stages.heavyterms import corpus_top_bigrams
+
+    texts = ["the cat sat on the mat", "the cat ran", "a cat sat on a mat",
+             "single", "", "the cat sat again and the cat sat"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ds = ray.data.from_arrow(t).repartition(3)
+
+    want = Counter()
+    for x in texts:
+        tk = [w.lower() for w in tokens(x)]
+        want.update(f"{a} {b}" for a, b in zip(tk, tk[1:]))
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+
+    for plan in ("auto", "shuffle"):
+        got = corpus_top_bigrams(ds, k=5, plan=plan).to_pylist()
+        assert [(r["term"], r["n"]) for r in got] == top, plan
+        assert [r["rank"] for r in got] == list(range(1, len(top) + 1))
