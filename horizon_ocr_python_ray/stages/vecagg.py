@@ -90,6 +90,9 @@ def emb_centroids(emb_ds, group_col: str = "label", emb_col: str = "embedding"):
 #: are ≤ ~1e6 and int64 sums stay exact past 1e12 rows.
 GRAM_SCALE = 1_000
 
+#: Tree-fold fan-in for gram partial rows (driver sees blocks/width rows).
+_GRAM_FOLD_WIDTH = 64
+
 def emb_gram(emb_ds, emb_col: str = "embedding"):
     """Corpus-level second-moment (gram) matrix of an embedding column in
     long format ``(dim_i, dim_j, gram)``, upper triangle ``dim_i <=
@@ -100,11 +103,14 @@ def emb_gram(emb_ds, emb_col: str = "embedding"):
 
     Physical plan — NO shuffle at all: each batch collapses to one d×d
     int64 partial via a single ``Qᵀ·Q`` matmul on the fixed-pointed
-    matrix, shipped as a single flattened row; the driver folds
-    ``num_blocks`` such rows (d² ints each, independent of corpus size).
-    Same exactness contract as :func:`emb_centroids`: elements are
-    fixed-pointed BEFORE multiplication (half away from zero), so every
-    partial-sum order gives bit-equal integer results.
+    matrix, shipped as a single flattened row; a distributed TREE-FOLD
+    level then sums every ``_GRAM_FOLD_WIDTH`` partial rows into one
+    (integer adds commute, so any fold shape is exact), bounding what the
+    driver collects at ``num_blocks / fold_width`` rows of d² ints each —
+    never one row per raw block. Same exactness contract as
+    :func:`emb_centroids`: elements are fixed-pointed BEFORE
+    multiplication (half away from zero), so every partial-sum order
+    gives bit-equal integer results.
     """
     def partial(batch: pa.Table) -> pa.Table:
         mat = _batch_matrix(batch, emb_col)
@@ -116,7 +122,24 @@ def emb_gram(emb_ds, emb_col: str = "embedding"):
         return pa.table({"d": pa.array([g.shape[0]], pa.int64()),
                          "flat": pa.array([g.reshape(-1)], pa.list_(pa.int64()))})
 
-    rows = emb_ds.map_batches(partial, batch_format="pyarrow").take_all()
+    def fold(batch: pa.Table) -> pa.Table:
+        ds_col = batch.column("d").to_pylist()
+        flats = batch.column("flat").to_pylist()
+        pairs = [(dd, f) for dd, f in zip(ds_col, flats) if dd]
+        if not pairs:
+            return pa.table({"d": pa.array([], pa.int64()),
+                             "flat": pa.array([], pa.list_(pa.int64()))})
+        dd = pairs[0][0]
+        acc = np.zeros(dd * dd, dtype=np.int64)
+        for _, f in pairs:
+            acc += np.asarray(f, dtype=np.int64)
+        return pa.table({"d": pa.array([dd], pa.int64()),
+                         "flat": pa.array([acc], pa.list_(pa.int64()))})
+
+    rows = (emb_ds.map_batches(partial, batch_format="pyarrow")
+            .map_batches(fold, batch_format="pyarrow",
+                         batch_size=_GRAM_FOLD_WIDTH)
+            .take_all())
     rows = [r for r in rows if r["d"]]
     if not rows:
         return pa.table({"dim_i": pa.array([], pa.int64()),
