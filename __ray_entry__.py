@@ -1172,6 +1172,8 @@ def oracle_sql() -> dict[str, str]:
                      WHEN 'text' THEN '#64ff64' WHEN 'table' THEN '#64ffff'
                      WHEN 'title' THEN '#64c8c8'
                      WHEN 'page_number' THEN '#969696'
+                     WHEN 'list_item' THEN '#c8ff64'
+                     WHEN 'caption' THEN '#ff64c8'
                      ELSE '#808080' END AS color,
                    sp.kind AS label,
                    substr(extracted_text, sp.start + 1, sp."end" - sp.start)

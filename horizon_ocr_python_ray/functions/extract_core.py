@@ -55,13 +55,14 @@ def native_page_lines(page: dict) -> tuple[list[str], list[str]]:
     """A digital page's native text spans in document order — the cheap
     path that skips recognition entirely (reference digital-PDF routing,
     ``extract/pdf_style_extractor.py:67-94``)."""
-    from .regions import classify_line_region
+    from .regions import classify_line_role
 
     w, h = page.get("w"), page.get("h")
     texts, kinds = [], []
     for span in page.get("native") or []:
         texts.append(span["t"])
-        kinds.append(classify_line_region(span["bbox"], w, h) if w and h else "line")
+        kinds.append(classify_line_role(span["t"], span["bbox"], w, h)
+                     if w and h else "line")
     return texts, kinds
 
 

@@ -91,9 +91,12 @@ def recognize_page(
     bboxes = [rec["bbox"] for rec in lines]
     order = reading_order_indices(bboxes, cfg.reading_order_vertical_overlap)
     if page_w and page_h:
-        from .regions import classify_line_region
+        from .regions import classify_line_role
 
-        kinds = [classify_line_region(b, page_w, page_h) for b in bboxes]
+        # classify on the FINAL (post-re-pass) text — content patterns
+        # (list markers, caption prefixes) beat positional rules
+        kinds = [classify_line_role(texts[i], bboxes[i], page_w, page_h)
+                 for i in range(len(bboxes))]
     else:
         kinds = ["line"] * len(bboxes)
     return [

@@ -45,6 +45,11 @@ LAYOUT_COLORS_HEX = {
     "title": "#64c8c8",        # BGR (200,200,100)
     "page_number": "#969696",  # BGR (150,150,150)
     "line": "#808080",         # UNKNOWN gray (128,128,128)
+    # repo-assigned colors for the text-pattern roles (the reference's
+    # class list has list/caption; its color map doesn't, so these two
+    # values are this engine's choice, mirrored in the overlay oracle)
+    "list_item": "#c8ff64",
+    "caption": "#ff64c8",
 }
 UNKNOWN_COLOR_HEX = "#808080"
 

@@ -37,6 +37,29 @@ TITLE_MAX_REL_HEIGHT = 0.10
 REGION_MERGE_IOU = 0.5
 
 
+import re as _re
+
+#: Text-pattern roles (the deterministic analog of the reference's
+#: DocLayNet ``list`` / ``caption`` classes, ``detect/layout_doclaynet.py:
+#: 32-44`` label map): a bullet / enumeration marker opens a list item; a
+#: "Figure N:" / "Table N:" prefix opens a caption. Patterns are checked
+#: BEFORE the positional rules — content evidence beats position, as the
+#: model-based classifier's decision would.
+LIST_MARKER_RE = _re.compile(r"^(?:[-•*]|\d{1,2}[.)])\s+")
+CAPTION_RE = _re.compile(r"^(?:Figure|Table)\s+\d+:")
+
+
+def classify_line_role(text: str, bbox: list[float], page_w: float,
+                       page_h: float) -> str:
+    """Role of a line given its TEXT and bbox: text-pattern classes
+    (list_item, caption) first, positional heuristics otherwise."""
+    if LIST_MARKER_RE.match(text or ""):
+        return "list_item"
+    if CAPTION_RE.match(text or ""):
+        return "caption"
+    return classify_line_region(bbox, page_w, page_h)
+
+
 def classify_line_region(bbox: list[float], page_w: float, page_h: float) -> str:
     """Role of a line/region bbox on a page of known dimensions."""
     x1, y1, x2, y2 = bbox

@@ -38,7 +38,7 @@ from ..functions.overlay import (
     render_page_svg,
     table_overlay_records,
 )
-from ..functions.regions import classify_line_region
+from ..functions.regions import classify_line_role
 from ..functions.style import is_scanned_doc
 from .route import add_sniff_stage
 from .tables_stage import page_tables
@@ -77,7 +77,8 @@ def _page_lines(page: dict[str, Any], scanned: bool, cfg: ExtractConfig) -> list
     if not scanned:
         return [
             {"text": s["t"], "bbox": list(s["bbox"]), "confidence": 1.0,
-             "kind": classify_line_region(s["bbox"], w, h) if w and h else "line"}
+             "kind": (classify_line_role(s["t"], s["bbox"], w, h)
+                      if w and h else "line")}
             for s in page.get("native") or []
         ]
     return recognize_page(page["lines"], cfg.doc, w, h)

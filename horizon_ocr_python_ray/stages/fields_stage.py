@@ -52,10 +52,17 @@ def candidates_from_text(text: str) -> list[Candidate]:
       dotted/indexed names ``a.b[0].c`` (reference Donut/GPT heads,
       ``kie/donut_runner.py:261-364``, ``azure/gpt_vision_kie.py:455-541``).
     """
+    from ..functions.regions import CAPTION_RE
+
     out: list[Candidate] = []
     for line in (text or "").split("\n"):
         if line.lstrip().startswith("<s_"):
             out.extend(_nested_candidates(line))
+            continue
+        if CAPTION_RE.match(line):
+            # caption regions ("Table 1: …") are figure/table labels, not
+            # key-value fields — the reference runs its KIE heads on
+            # non-caption regions only
             continue
         m = _KV_RE.match(line)
         if not m:

@@ -17,7 +17,7 @@ from ..config import DEFAULT_CONFIG, ExtractConfig
 from ..functions import sniff as sniff_mod
 from ..functions.docformat import decode_doc_payload, decode_image_payload
 from ..functions.layout import recognize_page
-from ..functions.regions import classify_line_region
+from ..functions.regions import classify_line_role
 from ..functions.style import estimate_style, is_scanned_doc, native_style
 from .route import add_sniff_stage
 
@@ -50,7 +50,8 @@ def doc_styles(payload: bytes, route: str, cfg: ExtractConfig) -> list[dict]:
         if digital:
             for idx, span in enumerate(p.get("native") or []):
                 st = native_style(span)
-                kind = classify_line_region(span["bbox"], w, h) if w and h else "line"
+                kind = (classify_line_role(span["t"], span["bbox"], w, h)
+                        if w and h else "line")
                 rows.append({"page": int(p["page"]), "line_idx": idx, "kind": kind,
                              "text_len": len(span["t"]), **st})
         else:

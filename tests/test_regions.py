@@ -58,3 +58,21 @@ def test_doc_spans_carry_region_kinds(corpus_dir, golden_map):
     assert "header" in kinds
     assert "footer" in kinds
     assert "page_number" in kinds
+
+
+def test_text_pattern_roles():
+    from horizon_ocr_python_ray.functions.regions import classify_line_role
+
+    mid = [100.0, 700.0, 400.0, 728.0]  # middle zone → positional 'text'
+    assert classify_line_role("- bullet item here", mid, 1000, 1400) == "list_item"
+    assert classify_line_role("2. numbered item", mid, 1000, 1400) == "list_item"
+    assert classify_line_role("12) paren item", mid, 1000, 1400) == "list_item"
+    assert classify_line_role("Table 1: planted grid totals", mid, 1000, 1400) == "caption"
+    assert classify_line_role("Figure 12: something", mid, 1000, 1400) == "caption"
+    # content beats position: a caption in the footer zone stays a caption
+    foot = [100.0, 1320.0, 400.0, 1348.0]
+    assert classify_line_role("Table 1: deep caption", foot, 1000, 1400) == "caption"
+    # no pattern → positional fallback
+    assert classify_line_role("plain sentence here", mid, 1000, 1400) == "text"
+    assert classify_line_role("123 plain number start", mid, 1000, 1400) == "text"
+    assert classify_line_role("Tables: not a caption", mid, 1000, 1400) == "text"
