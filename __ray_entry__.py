@@ -112,6 +112,17 @@ def _doc_lang_id(sf_dir: str):
     return docs.map_batches(lang_id_batch, batch_format="pyarrow")
 
 
+def _doc_lang_confusion(sf_dir: str):
+    """Label-vs-detected language confusion matrix (eval-style corpus
+    diagnostic); combiner before a |langs|²-row shuffle."""
+    import ray.data
+    from horizon_ocr_python_ray.stages.textstats_stage import lang_confusion
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "lang"])
+    return lang_confusion(docs)
+
+
 def _doc_fingerprint(sf_dir: str):
     import ray.data
     from horizon_ocr_python_ray.stages.textstats_stage import fingerprint_batch
@@ -655,6 +666,19 @@ def _pages_url_dedup(sf_dir: str):
     return canonical_url_dedup(read_pages(corpus, columns=["url", "warc_ts"]))
 
 
+def _pages_url_dedup_windowed(sf_dir: str):
+    """Freshness-aware crawl dedup: keep-first per (canonical_url, 7-day
+    tumbling window)."""
+    from horizon_ocr_python_ray import ensure_corpus, read_pages, sf_from_dir
+    from horizon_ocr_python_ray.stages.urldedup import canonical_url_dedup_windowed
+
+    corpus = ensure_corpus(sf_from_dir(sf_dir))
+    # 10-minute windows here: the synthetic crawl spans ~1.4 h, so this
+    # actually splits re-crawl groups (production default is 7 days)
+    return canonical_url_dedup_windowed(
+        read_pages(corpus, columns=["url", "warc_ts"]), window_s=600)
+
+
 def _pages_dup_losers(sf_dir: str):
     """Drop-set of the canonical-URL dedup via a distributed ANTI-JOIN
     (native hash-partitioned left_anti) — pages ∖ representatives."""
@@ -801,6 +825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_stats": _doc_token_stats,
         "doc_quality": _doc_quality,
         "doc_lang_id": _doc_lang_id,
+        "doc_lang_confusion": _doc_lang_confusion,
         "doc_fingerprint": _doc_fingerprint,
         "doc_simhash": _doc_simhash,
         "doc_simhash_near_dup": _doc_simhash_near_dup,
@@ -843,6 +868,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_top_bigrams": _corpus_top_bigrams,
         "pages_host_quota": _pages_host_quota,
         "pages_url_dedup": _pages_url_dedup,
+        "pages_url_dedup_windowed": _pages_url_dedup_windowed,
         "pages_dup_losers": _pages_dup_losers,
         "pages_curation_funnel": _pages_curation_funnel,
         "pages_host_stats": _pages_host_stats,
@@ -1119,6 +1145,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT canonical_url, count(*) AS n_pages,
                    min(warc_ts) AS first_ts
             FROM c GROUP BY canonical_url
+        """,
+        "pages_url_dedup_windowed": f"""
+            WITH c AS (
+              SELECT {_urlnorm_sql_expr()} AS canonical_url, warc_ts,
+                     (epoch_us(warc_ts) // {600 * 1_000_000}) AS w
+              FROM read_parquet('{pages_sf0_01}')
+            )
+            SELECT canonical_url,
+                   make_timestamp(w * {600 * 1_000_000}) AS window_start,
+                   count(*) AS n_pages, min(warc_ts) AS first_ts
+            FROM c GROUP BY canonical_url, w
         """,
         # Anti-join drop-set: every crawl row that is NOT its canonical
         # group's (warc_ts, url)-argmin representative — the window-rank
@@ -1450,6 +1487,33 @@ def oracle_sql() -> dict[str, str]:
                         WHEN c_es >= c_fr THEN 'es'
                         ELSE 'fr' END AS pred_lang
             FROM s
+        """,
+        # Confusion matrix = the lang_id oracle's scorer joined back to
+        # the label column, grouped.
+        "doc_lang_confusion": f"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE {tok} END AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id, lang, len(toks) AS n,
+                     len(list_filter(toks, x -> x IN {_EN}))::DOUBLE AS c_en,
+                     len(list_filter(toks, x -> x IN {_DE}))::DOUBLE AS c_de,
+                     len(list_filter(toks, x -> x IN {_FR}))::DOUBLE AS c_fr,
+                     len(list_filter(toks, x -> x IN {_ES}))::DOUBLE AS c_es
+              FROM t
+            ), p AS (
+              SELECT lang,
+                     CASE WHEN n = 0 THEN 'unknown'
+                          WHEN greatest(c_en, c_de, c_fr, c_es) / n < 0.03 THEN 'unknown'
+                          WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+                          WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+                          WHEN c_es >= c_fr THEN 'es'
+                          ELSE 'fr' END AS pred_lang
+              FROM s
+            )
+            SELECT lang, pred_lang, count(*) AS n_docs
+            FROM p GROUP BY lang, pred_lang
         """,
         # ann_topk_lsh shares ann_topk's oracle: multi-table multi-probe
         # LSH with (32 tables × 2 planes, Hamming-1 probing) has miss

@@ -67,3 +67,30 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
         ],
         names=["doc_id", "fingerprint"],
     )
+
+
+def lang_confusion(docs_ds):
+    """(label lang × detected lang) document counts — the eval-style
+    confusion matrix over the corpus's language labels. Batch-local
+    combiner (one row per (lang, pred) pair per batch) → tiny
+    ``groupby.sum``: the shuffle carries at most |langs|² rows per
+    batch, never documents."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        preds = [lang_id(t) for t in batch.column("text").to_pylist()]
+        t = pa.table({"lang": batch.column("lang"),
+                      "pred_lang": pa.array(preds, pa.string())})
+        agg = pa.TableGroupBy(t, ["lang", "pred_lang"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["lang", "pred_lang", "part"])
+
+    out = (docs_ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["lang", "pred_lang"])
+           .aggregate(Sum("part", alias_name="n_docs")))
+    return out.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t.column("lang"), t.column("pred_lang"),
+             t.column("n_docs").cast(pa.int64())],
+            names=["lang", "pred_lang", "n_docs"]),
+        batch_format="pyarrow",
+    )

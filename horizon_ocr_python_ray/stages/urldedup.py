@@ -86,3 +86,41 @@ def dedup_losers(pages_ds, num_partitions: int = 32):
     reps = canonical_representatives(pages_ds).select_columns(["url"])
     return keyed.join(reps, join_type="left_anti", on=("url",),
                       num_partitions=num_partitions)
+
+
+def canonical_url_dedup_windowed(pages_ds, window_s: int = 7 * 86400):
+    """Time-windowed crawl dedup: keep-first per (canonical_url, tumbling
+    re-crawl window) — the freshness-aware variant of
+    :func:`canonical_url_dedup` (a page re-crawled in a LATER window is a
+    legitimate refresh, not a duplicate). Same narrow two-column shuffle,
+    the window id simply joins the key."""
+    import pyarrow.compute as pc
+
+    from .hashagg import grouped_aggregate
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        b = add_canonical_url(batch)
+        epoch = b.column("warc_ts").cast(pa.int64())
+        win = pc.multiply(
+            pc.floor(pc.divide(pc.cast(epoch, pa.float64()),
+                               float(window_s) * 1e6)).cast(pa.int64()),
+            window_s * 1_000_000,
+        )
+        return pa.table({"canonical_url": b.column("canonical_url"),
+                         "window_start_us": win,
+                         "warc_ts": b.column("warc_ts")})
+
+    agg = grouped_aggregate(
+        pages_ds.map_batches(keyed, batch_format="pyarrow"),
+        ["canonical_url", "window_start_us"],
+        [("canonical_url", "count", "n_pages"), ("warc_ts", "min", "first_ts")],
+        bucket_on="canonical_url",
+    )
+    return agg.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t.column("canonical_url"),
+             t.column("window_start_us").cast(pa.timestamp("us")),
+             t.column("n_pages").cast(pa.int64()), t.column("first_ts")],
+            names=["canonical_url", "window_start", "n_pages", "first_ts"]),
+        batch_format="pyarrow",
+    )

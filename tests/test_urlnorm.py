@@ -65,3 +65,33 @@ def test_dedup_losers_complement_of_representatives(ray_session):
     assert keep | drop == all_urls
     assert not (keep & drop)
     assert drop  # corpus plants tracking-variant re-crawls
+
+
+def test_windowed_dedup_splits_recrawl_groups(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from horizon_ocr_python_ray.stages.urldedup import (
+        canonical_url_dedup,
+        canonical_url_dedup_windowed,
+    )
+
+    base = 1_704_067_200_000_000
+    rows = [
+        ("https://h.example/a", base),
+        ("https://h.example/a?utm_source=x", base + 50_000_000),      # same window
+        ("https://h.example/a?utm_source=y", base + 700_000_000),     # next window
+        ("https://h.example/b", base + 10_000_000),
+    ]
+    t = pa.Table.from_arrays(
+        [pa.array([r[0] for r in rows], pa.string()),
+         pa.array([r[1] for r in rows], pa.int64()).cast(pa.timestamp("us"))],
+        names=["url", "warc_ts"],
+    )
+    ds = ray.data.from_arrow(t)
+    flat = canonical_url_dedup(ds).to_pandas()
+    win = canonical_url_dedup_windowed(ds, window_s=600).to_pandas()
+    assert len(flat) == 2           # two canonical urls
+    assert len(win) == 3            # url a splits across two windows
+    a = win[win["canonical_url"].str.endswith("/a")].sort_values("window_start")
+    assert list(a["n_pages"]) == [2, 1]
