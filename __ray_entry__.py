@@ -810,6 +810,14 @@ def _top_orders(sf_dir: str):
     return top_orders(sf_dir, k=10)
 
 
+def _priority_lines(sf_dir: str):
+    """Q12-shaped conditional aggregate over the lineitem ⋈ orders
+    fact-fact join (urgent/high vs other priority per returnflag)."""
+    from horizon_ocr_python_ray.pipelines.analytics import priority_lines_q12
+
+    return priority_lines_q12(sf_dir)
+
+
 def _orders_by_mktsegment(sf_dir: str):
     from horizon_ocr_python_ray.pipelines.analytics import orders_per_customer_join
 
@@ -881,6 +889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": _revenue_by_nation,
         "revenue_by_region": _revenue_by_region,
         "promo_revenue": _promo_revenue,
+        "priority_lines": _priority_lines,
         "top_orders": _top_orders,
         "orders_by_mktsegment": _orders_by_mktsegment,
     }
@@ -1889,6 +1898,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Q5-style multi-way join (orders⋈customer, lineitem⋈supplier,
         # fact⋈fact on orderkey, same-nation filter, region rollup).
+        "priority_lines": """
+            SELECT l_returnflag,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY l_returnflag
+        """,
         "promo_revenue": """
             SELECT CAST(round(sum(CASE WHEN p.p_type = 'PROMO'
                                        THEN l.l_extendedprice * (1 - l.l_discount)

@@ -508,3 +508,68 @@ def promo_revenue_q14(sf_dir: str, num_partitions: int = 8, plan: str = "auto"):
          _pa.array([int(out["sum(p_n)"])], _pa.int64())],
         names=["promo_revenue", "total_revenue", "n_items"],
     )
+
+
+def priority_lines_q12(sf_dir: str, num_partitions: int = 8,
+                       plan: str = "auto"):
+    """TPC-H Q12-shaped: lineitem ⋈ orders on orderkey, grouped by
+    ``l_returnflag`` with CONDITIONAL counts — urgent/high order
+    priority vs the rest (the CASE-WHEN-inside-aggregate pattern over a
+    fact-fact join; Q12 proper buckets by shipmode, absent from this
+    schema, so priority plays the bucket role).
+
+    Plans per the size-aware planner (orders is the build side):
+    ``broadcast`` composes a sorted orderkey→is_high boolean lookup on
+    the driver and lineitem streams through one ``map_batches`` with
+    zero join shuffles; ``partitioned`` runs the native hash join. Both
+    end in the per-batch combiner → tiny ``groupby(returnflag).sum``.
+    """
+    plan = _resolve_join_plan(plan, sf_dir, ["orders"])
+    li = _tbl(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+    high_set = ("1-URGENT", "2-HIGH")
+
+    if plan == "broadcast":
+        odf = (_tbl(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+               .to_pandas().sort_values("o_orderkey"))
+        ref = ray.put((odf["o_orderkey"].to_numpy(np.int64),
+                       odf["o_orderpriority"].isin(high_set).to_numpy()))
+
+        def partial(t: pa.Table) -> pa.Table:
+            keys, is_high = ray.get(ref)
+            idx = np.searchsorted(keys, t.column("l_orderkey").to_numpy())
+            hi = is_high[idx].astype(np.int64)  # FK-complete by schema
+            g = pa.table({"l_returnflag": t.column("l_returnflag"),
+                          "hi": pa.array(hi, pa.int64()),
+                          "lo": pa.array(1 - hi, pa.int64())})
+            agg = pa.TableGroupBy(g, "l_returnflag").aggregate(
+                [("hi", "sum"), ("lo", "sum")])
+            return agg.rename_columns(["l_returnflag", "p_high", "p_low"])
+    else:
+        orders = _tbl(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+        li = li.join(orders, join_type="inner", num_partitions=num_partitions,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+        def partial(t: pa.Table) -> pa.Table:
+            hi = pc.cast(pc.is_in(t.column("o_orderpriority"),
+                                  value_set=pa.array(high_set)), pa.int64())
+            g = pa.table({"l_returnflag": t.column("l_returnflag"),
+                          "hi": hi,
+                          "lo": pc.subtract(pa.scalar(1, pa.int64()), hi)})
+            agg = pa.TableGroupBy(g, "l_returnflag").aggregate(
+                [("hi", "sum"), ("lo", "sum")])
+            return agg.rename_columns(["l_returnflag", "p_high", "p_low"])
+
+    from ray.data.aggregate import Sum
+
+    partials = li.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    out = (partials.groupby("l_returnflag")
+           .aggregate(Sum("p_high", alias_name="high_line_count"),
+                      Sum("p_low", alias_name="low_line_count")))
+    return out.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t.column("l_returnflag"),
+             t.column("high_line_count").cast(pa.int64()),
+             t.column("low_line_count").cast(pa.int64())],
+            names=["l_returnflag", "high_line_count", "low_line_count"]),
+        batch_format="pyarrow",
+    )
