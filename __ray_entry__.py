@@ -301,6 +301,18 @@ def _events_lag(sf_dir: str):
     return events_lag(events)
 
 
+def _events_funnel(sf_dir: str):
+    """Per-user session funnel: sessions containing view→purchase in
+    order (sequence match inside gap-based sessions)."""
+    import ray.data
+    from horizon_ocr_python_ray.stages.window import events_funnel
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+    return events_funnel(events, first="view", then="purchase")
+
+
 def _events_hourly_users(sf_dir: str):
     """Exact distinct-user count per (event_type, hour window) — the
     windowed two-phase distinct."""
@@ -844,6 +856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _events_hourly,
         "events_sliding": _events_sliding,
         "events_sessions": _events_sessions,
+        "events_funnel": _events_funnel,
         "events_lag": _events_lag,
         "events_hourly_users": _events_hourly_users,
         "events_rollup": _events_rollup,
@@ -1598,6 +1611,37 @@ def oracle_sql() -> dict[str, str]:
                    ) AS rank
             FROM embeddings e, q
             ORDER BY rank LIMIT 10
+        """,
+        # Funnel = the sessions oracle's CTE + per-session first/last
+        # positions of the two step types in the same (ts, event_id)
+        # total order.
+        "events_funnel": """
+            WITH o AS (
+              SELECT user_id, event_id, ts, event_type,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS row_ord,
+                     CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                              PARTITION BY user_id ORDER BY ts, event_id
+                          ) > 1800000000 THEN 1 ELSE 0 END AS brk
+              FROM events
+            ), s AS (
+              SELECT *, sum(brk) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING
+                     ) AS session_idx
+              FROM o
+            ), f AS (
+              SELECT user_id, session_idx,
+                     min(CASE WHEN event_type = 'view' THEN row_ord END) AS a_pos,
+                     max(CASE WHEN event_type = 'purchase' THEN row_ord END) AS b_pos
+              FROM s GROUP BY user_id, session_idx
+            )
+            SELECT user_id, count(*) AS n_sessions,
+                   CAST(sum(CASE WHEN a_pos IS NOT NULL AND b_pos IS NOT NULL
+                                 AND a_pos < b_pos THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_converted
+            FROM f GROUP BY user_id
         """,
         "events_hourly_users": """
             SELECT event_type,

@@ -491,3 +491,50 @@ def events_hourly_users(events_ds, width_s: int = 3600):
             names=["event_type", "window_start", "n_users"]),
         batch_format="pyarrow",
     )
+
+
+def events_funnel(events_ds, first: str = "view", then: str = "purchase",
+                  gap_s: int = 1800):
+    """Per-user session funnel: of each user's gap-based sessions, how
+    many CONVERT — contain a ``first`` event strictly before a ``then``
+    event (position in the total (ts, event_id) order). The behavioral
+    sequence-match every product-analytics pipeline needs, composed from
+    the session machinery: one hash shuffle on a coarse ``user_id``
+    bucket, then a single vectorized sort + two segment extrema per
+    bucket — no per-session Python."""
+    import numpy as np
+    import pandas as pd
+
+    from .hashagg import grouped_reduce
+
+    gap_us = gap_s * 1_000_000
+
+    def funnel_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        e = g["ts"].astype("int64").to_numpy()
+        uid = pd.factorize(g["user_id"])[0]
+        brk = np.ones(len(g), dtype=np.int64)
+        if len(g) > 1:
+            brk[1:] = ((uid[1:] != uid[:-1]) |
+                       (e[1:] - e[:-1] > gap_us)).astype(np.int64)
+        g["_sess"] = brk.cumsum()
+        pos = pd.Series(np.arange(len(g), dtype=np.int64), index=g.index)
+        a_pos = pos.where(g["event_type"] == first)
+        b_pos = pos.where(g["event_type"] == then)
+        per_sess = pd.DataFrame({
+            "user_id": g["user_id"],
+            "_sess": g["_sess"],
+            "a": a_pos,
+            "b": b_pos,
+        }).groupby(["user_id", "_sess"], sort=True).agg(
+            a=("a", "min"), b=("b", "max"))
+        conv = (a_pos_notna := per_sess["a"].notna()) & per_sess["b"].notna() \
+            & (per_sess["a"] < per_sess["b"])
+        out = per_sess.assign(conv=conv.astype("int64")).reset_index()
+        return (out.groupby("user_id", sort=True)
+                .agg(n_sessions=("_sess", "size"), n_converted=("conv", "sum"))
+                .reset_index().astype({"n_sessions": "int64",
+                                       "n_converted": "int64"}))
+
+    return grouped_reduce(events_ds, "user_id", funnel_bucket,
+                          batch_format="pandas")

@@ -269,3 +269,34 @@ class TestHourlyUsers:
                .to_pandas().sort_values(["event_type", "window_start"])
                .reset_index(drop=True))
         assert list(out["n_users"]) == [2, 1, 1]
+
+
+class TestFunnel:
+    def test_session_funnel_ordering_and_gap(self):
+        import pyarrow as pa
+        import ray.data
+        from horizon_ocr_python_ray.stages.window import events_funnel
+
+        base = 1_704_067_200_000_000
+        m = 60_000_000
+        rows = [
+            # u1 session 1: view -> purchase (converts)
+            (1, base, "u1", "view"), (2, base + m, "u1", "purchase"),
+            # u1 session 2 (after >30min gap): purchase -> view (order wrong)
+            (3, base + 100 * m, "u1", "purchase"), (4, base + 101 * m, "u1", "view"),
+            # u2 single session: view only (no purchase)
+            (5, base, "u2", "view"), (6, base + m, "u2", "click"),
+        ]
+        t = pa.Table.from_arrays(
+            [pa.array([r[0] for r in rows], pa.int64()),
+             pa.array([r[1] for r in rows], pa.int64()).cast(pa.timestamp("us")),
+             pa.array([r[2] for r in rows], pa.string()),
+             pa.array([r[3] for r in rows], pa.string())],
+            names=["event_id", "ts", "user_id", "event_type"],
+        )
+        out = (events_funnel(ray.data.from_arrow(t))
+               .to_pandas().set_index("user_id"))
+        assert out.loc["u1"]["n_sessions"] == 2
+        assert out.loc["u1"]["n_converted"] == 1
+        assert out.loc["u2"]["n_sessions"] == 1
+        assert out.loc["u2"]["n_converted"] == 0
