@@ -717,12 +717,35 @@ def _pages_metrics(sf_dir: str):
     return job_metrics(build_extract_pipeline(read_pages(corpus)))
 
 
+def _pages_errors(sf_dir: str):
+    """The error CHANNEL: rows whose extraction failed (corrupt planted
+    payloads) — per-row error strings, never thrown exceptions."""
+    import pyarrow.compute as pc
+
+    from horizon_ocr_python_ray import build_extract_pipeline, ensure_corpus, read_pages, sf_from_dir
+
+    corpus = ensure_corpus(sf_from_dir(sf_dir))
+    out = build_extract_pipeline(read_pages(corpus))
+    return out.map_batches(
+        lambda t: t.filter(pc.is_valid(t.column("error")))
+                   .select(["url", "route"]),
+        batch_format="pyarrow")
+
+
 def _pages_markdown(sf_dir: str):
     from horizon_ocr_python_ray import build_extract_pipeline, ensure_corpus, read_pages, sf_from_dir
     from horizon_ocr_python_ray.functions.markdown import markdown_batch
 
+    import pyarrow.compute as pc
+
     corpus = ensure_corpus(sf_from_dir(sf_dir))
     out = build_extract_pipeline(read_pages(corpus))
+    # Error rows are excluded from the compare: their markdown embeds the
+    # exception string, which golden (engine-independent) can't know. The
+    # error branch is covered by pytest; the error CHANNEL by pages_errors.
+    out = out.map_batches(
+        lambda t: t.filter(pc.is_null(t.column("error"))),
+        batch_format="pyarrow")
     md = out.map_batches(markdown_batch, batch_format="pyarrow")
 
     def digest(t):
@@ -894,6 +917,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_curation_funnel": _pages_curation_funnel,
         "pages_host_stats": _pages_host_stats,
         "pages_metrics": _pages_metrics,
+        "pages_errors": _pages_errors,
         "doc_lang_unique": _doc_lang_unique,
         "pages_markdown": _pages_markdown,
         "lineitem_filtered_revenue": _q6,
@@ -958,7 +982,8 @@ def oracle_sql() -> dict[str, str]:
         # any engine-side failure breaks the hash).
         "pages_metrics": f"""
             SELECT route, count(*) AS n_docs,
-                   CAST(0 AS BIGINT) AS n_errors,
+                   CAST(sum(CASE WHEN has_error THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_errors,
                    CAST(sum(length(extracted_text)) AS BIGINT) AS text_chars,
                    CAST(sum(len(spans)) AS BIGINT) AS n_spans
             FROM read_parquet('{golden_sf0_01}') GROUP BY route
@@ -1397,8 +1422,8 @@ def oracle_sql() -> dict[str, str]:
               FROM read_parquet('{golden_sf0_01}')
               WHERE len(fields) > 0
             ), typed AS (
-              SELECT url, f.name AS name,
-                     CASE WHEN f.name = 'date' THEN 'date'
+              SELECT url, f.name AS name, f.value AS value,
+                     CASE WHEN f.name IN ('date', 'due_date') THEN 'date'
                           WHEN f.name IN ('subtotal', 'tax', 'total')
                                OR f.name LIKE '%price' THEN 'currency'
                           WHEN f.name LIKE '%qty' THEN 'number'
@@ -1422,7 +1447,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(CASE WHEN name = 'total' THEN 1 ELSE 0 END)
                         * max(CASE WHEN name = 'subtotal' THEN 1 ELSE 0 END)
                         * max(CASE WHEN name = 'tax' THEN 1 ELSE 0 END)
-                        AS BIGINT) AS consistency_passed
+                        AS BIGINT) AS consistency_passed,
+                   CAST(max(CASE WHEN name = 'date' THEN 1 ELSE 0 END)
+                        * max(CASE WHEN name = 'due_date' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS date_order_checked,
+                   CAST(CASE WHEN max(CASE WHEN name = 'date' THEN 1 ELSE 0 END)
+                             * max(CASE WHEN name = 'due_date' THEN 1 ELSE 0 END) = 1
+                             AND max(CASE WHEN name = 'due_date' THEN value END)
+                                 >= max(CASE WHEN name = 'date' THEN value END)
+                        THEN 1 ELSE 0 END AS BIGINT) AS date_order_passed
             FROM typed GROUP BY url
         """,
         # Reconstruction structural counts vs golden: elements = one per
@@ -1432,7 +1465,11 @@ def oracle_sql() -> dict[str, str]:
                    len(tables) AS n_tables,
                    len(fields) AS n_fields
             FROM read_parquet('{golden_sf0_01}')
-            WHERE route IN ('doc', 'image')
+            WHERE route IN ('doc', 'image') AND NOT has_error
+        """,
+        "pages_errors": f"""
+            SELECT url, route FROM read_parquet('{golden_sf0_01}')
+            WHERE has_error
         """,
         # Markdown sink vs a pure-SQL re-render of the golden fixtures:
         # DuckDB rebuilds the exact render (header comment, #/## span
@@ -1457,6 +1494,7 @@ def oracle_sql() -> dict[str, str]:
               ) || chr(10)
             ) AS markdown_md5
             FROM read_parquet('{golden_sf0_01}')
+            WHERE NOT has_error
         """,
         "doc_exact_dedup": """
             SELECT md5(text) AS text_hash,

@@ -108,8 +108,11 @@ def fan_out_pages(batch: pa.Table) -> pa.Table:
             else:  # image: single page
                 p = decode_image_payload(payload)
                 page_list = [(0, {"w": p.get("w"), "h": p.get("h"), "lines": p["lines"]})]
-        except Exception:
-            page_list = [(0, None)]  # poison page → error surfaces downstream
+        except Exception as exc:
+            # poison page carrying the SAME error string the combined
+            # path's extract_payload would produce — keeps the variants
+            # byte-identical for undecodable payloads
+            page_list = [(0, {"__error__": f"{type(exc).__name__}: {exc}"})]
         if not page_list:
             # Sentinel page for a payload that decodes to zero pages, so the
             # document still reassembles to one (empty-text) row — keeps the
@@ -142,6 +145,10 @@ class PageRecognizeActor:
                 continue
             try:
                 page = json.loads(lj)
+                if page.get("__error__"):
+                    out_lines.append([]); out_kinds.append([])
+                    errs.append(page["__error__"])
+                    continue
                 if page.get("digital"):
                     texts, kinds = native_page_lines(page)
                 else:

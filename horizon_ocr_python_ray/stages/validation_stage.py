@@ -17,10 +17,12 @@ import pandas as pd
 import pyarrow as pa
 
 from ..config import CONSISTENCY_AMOUNT_TOLERANCE
-from ..functions.validators import parse_amount, validate_field
+from ..functions.validators import normalize_date, parse_amount, validate_field
 
 #: Field names participating in the amount-consistency check (G7).
 _CONSISTENCY_NAMES = ("total", "subtotal", "tax")
+#: Field names participating in the date-order check (G7: due >= invoice).
+_DATE_NAMES = ("date", "due_date")
 
 
 def annotate_checks(batch: pa.Table) -> pa.Table:
@@ -77,6 +79,26 @@ def summarize_bucket(df: pd.DataFrame) -> pd.DataFrame:
         out["url"].map(checked).fillna(0).astype("int64"))
     out["consistency_passed"] = (
         out["url"].map(passed).fillna(0).astype("int64"))
+
+    # G7 date order: due_date >= invoice date (ISO strings compare
+    # lexically; reference kie/validators.py:541-558)
+    dates = df[df["name"].isin(_DATE_NAMES)]
+    dpiv = dates.pivot_table(index="url", columns="name", values="value",
+                             aggfunc="first")
+    for c in _DATE_NAMES:
+        if c not in dpiv.columns:
+            dpiv[c] = None
+    inv = dpiv["date"].map(lambda v: normalize_date(v)
+                           if isinstance(v, str) else None)
+    due = dpiv["due_date"].map(lambda v: normalize_date(v)
+                               if isinstance(v, str) else None)
+    d_ok = inv.notna() & due.notna()
+    d_checked = d_ok.astype("int64")
+    d_passed = (d_ok & (due >= inv)).astype("int64")
+    out["date_order_checked"] = (
+        out["url"].map(d_checked).fillna(0).astype("int64"))
+    out["date_order_passed"] = (
+        out["url"].map(d_passed).fillna(0).astype("int64"))
     for c in ("n_fields", "n_currency", "n_date", "n_checks", "n_passed"):
         out[c] = out[c].astype("int64")
     return out

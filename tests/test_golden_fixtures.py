@@ -51,7 +51,11 @@ def test_styles_fixture_matches_style_pipeline(corpus):
             continue
         payload = pages.column("html")[i].as_py()
         fixture = golden.column("styles")[i].as_py()
-        rows = doc_styles(payload or b"", route, DEFAULT_CONFIG)
+        try:
+            rows = doc_styles(payload or b"", route, DEFAULT_CONFIG)
+        except Exception:
+            # corrupt planted payload: batch wrapper emits zero rows
+            rows = []
         eng = [{"page": r["page"], "line_idx": r["line_idx"], "kind": r["kind"],
                 "text_len": r["text_len"], "font_name": r["font_name"],
                 "font_size": r["font_size"], "bold": r["bold"],
@@ -71,5 +75,7 @@ def test_reconstruction_counts_derivable_from_golden(corpus):
     _pages, golden = corpus
     for i in range(golden.num_rows):
         if golden.column("route")[i].as_py() in ("doc", "image"):
+            if golden.column("has_error")[i].as_py():
+                continue  # corrupt planted payload: no spans by design
             spans = golden.column("spans")[i].as_py()
             assert len(spans) > 0

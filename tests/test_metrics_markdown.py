@@ -12,7 +12,9 @@ def test_job_metrics_counts(corpus_dir, golden_map):
     m = job_metrics(out).to_pandas()
     assert m.n_docs.sum() == len(golden_map)
     assert set(m.route) == {g["route"] for g in golden_map.values()}
-    assert (m.n_errors == 0).all()
+    # the v13 corpus plants corrupt doc payloads → error counter is live
+    expect_errors = sum(1 for g in golden_map.values() if g["has_error"])
+    assert m.n_errors.sum() == expect_errors
     expect_chars = sum(len(g["extracted_text"]) for g in golden_map.values())
     assert m.text_chars.sum() == expect_chars
     expect_spans = sum(len(g["spans"]) for g in golden_map.values())

@@ -20,7 +20,12 @@ def _assert_matches_golden(df: pd.DataFrame, golden_map):
         assert row.content_hash == g["content_hash"], row.url
         got_spans = [dict(s) for s in row.spans]
         assert got_spans == g["spans"], row.url
-        assert row.error is None
+        if g["has_error"]:
+            # corrupt planted payload: error channel set, empty result
+            assert row.error is not None, row.url
+            assert row.extracted_text == "", row.url
+        else:
+            assert row.error is None, row.url
 
 
 def test_combined_pipeline_byte_identity(corpus_dir, golden_map):
