@@ -577,6 +577,27 @@ def _doc_top_terms(sf_dir: str):
     return doc_top_terms(docs, k=3)
 
 
+def _doc_decontam(sf_dir: str):
+    """Eval-set decontamination: training docs sharing any distinct
+    4-gram with the deterministic eval split (doc_id % 41 == 0)."""
+    import ray.data
+    from horizon_ocr_python_ray.stages.decontam import decontaminate
+
+    import numpy as np
+    import pyarrow as pa
+
+    def split(keep_eval: bool):
+        def f(t):
+            m = (t.column("doc_id").to_numpy(zero_copy_only=False) % 41) == 0
+            return t.filter(pa.array(m if keep_eval else ~m))
+        return f
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ev = docs.map_batches(split(True), batch_format="pyarrow")
+    train = docs.map_batches(split(False), batch_format="pyarrow")
+    return decontaminate(train, ev, n=4)
+
+
 def _doc_split(sf_dir: str):
     import ray.data
     from horizon_ocr_python_ray.stages.sampling import hash_split
@@ -903,6 +924,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _media_features,
         "media_preprocess": _media_preprocess,
         "doc_top_terms": _doc_top_terms,
+        "doc_decontam": _doc_decontam,
         "doc_split": _doc_split,
         "doc_stratified_sample": _doc_stratified_sample,
         "emb_centroids": _emb_centroids,
@@ -977,9 +999,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT route, count(*) AS n_pages
             FROM read_parquet('{golden_sf0_01}') GROUP BY route
         """,
-        # Per-route job counters vs the golden fixtures (the synthetic
-        # corpus contains no error rows, so n_errors must be exactly 0 —
-        # any engine-side failure breaks the hash).
+        # Per-route job counters vs the golden fixtures: n_errors must
+        # equal the planted corrupt-payload count exactly (any engine-side
+        # failure beyond the planted ones breaks the hash).
         "pages_metrics": f"""
             SELECT route, count(*) AS n_docs,
                    CAST(sum(CASE WHEN has_error THEN 1 ELSE 0 END)
@@ -987,6 +1009,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(length(extracted_text)) AS BIGINT) AS text_chars,
                    CAST(sum(len(spans)) AS BIGINT) AS n_spans
             FROM read_parquet('{golden_sf0_01}') GROUP BY route
+        """,
+        # Eval-set decontamination: DuckDB rebuilds the distinct 4-gram
+        # sets of both splits and counts, per training doc, its distinct
+        # grams appearing anywhere in the eval split (exact string
+        # semantics — the engine counts set-intersection on the same
+        # lowered whitespace tokens).
+        "doc_decontam": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+              FROM documents WHERE trim(text) <> ''
+            ), grams AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(1, greatest(len(t) - 4 + 2, 1)),
+                       i -> array_to_string(t[i:i+3], ' ')))) AS g
+              FROM toks WHERE len(t) >= 4
+            ), ev AS (
+              SELECT DISTINCT g FROM grams WHERE doc_id % 41 = 0
+            )
+            SELECT doc_id, count(*) AS matched_grams
+            FROM grams JOIN ev USING (g)
+            WHERE doc_id % 41 <> 0
+            GROUP BY doc_id
         """,
         # Top-k distinctive terms per doc: DuckDB recomputes tf/df and the
         # integer-exact ranking key (tf DESC, df ASC, term ASC) with a
