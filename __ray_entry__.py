@@ -507,6 +507,21 @@ def _pages_redact(sf_dir: str):
     return out.map_batches(redact_batch, batch_format="pyarrow")
 
 
+def _pages_line_dedup(sf_dir: str):
+    """Corpus-global boilerplate line removal (RefinedWeb-style): lines
+    in ≥5 distinct docs dropped everywhere; per-doc digest of the
+    cleaned text. The narrow (url, text) projection is materialized so
+    the two passes (line-DF, rewrite) don't re-run extraction — at
+    scale both passes read the extract sink's parquet instead."""
+    from horizon_ocr_python_ray import build_extract_pipeline, ensure_corpus, read_pages, sf_from_dir
+    from horizon_ocr_python_ray.stages.linededup import boilerplate_line_dedup
+
+    corpus = ensure_corpus(sf_from_dir(sf_dir))
+    out = build_extract_pipeline(read_pages(corpus))
+    narrow = out.select_columns(["url", "extracted_text"]).materialize()
+    return boilerplate_line_dedup(narrow, min_df=5)
+
+
 def _pages_repetition(sf_dir: str):
     """Gopher-style repetition quality signals (duplicate-line counts,
     top-token frequency) as exact integers over extracted text."""
@@ -918,6 +933,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_styles": _pages_styles,
         "pages_redact": _pages_redact,
         "pages_repetition": _pages_repetition,
+        "pages_line_dedup": _pages_line_dedup,
         "pages_worst_styles": _pages_worst_styles,
         "pages_validation": _pages_validation,
         "pages_reconstruction": _pages_reconstruction,
@@ -1391,6 +1407,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_ips AS BIGINT) AS n_ips,
                    md5(t3) AS redacted_md5
             FROM s3
+        """,
+        # Boilerplate line removal vs golden text: DuckDB recomputes the
+        # line document-frequency table, the df>=5 drop-set, and the
+        # order-preserving rewrite (list_filter keeps original line
+        # order), digesting the cleaned text exactly like the engine.
+        "pages_line_dedup": f"""
+            WITH g AS (
+              SELECT url, string_split(extracted_text, chr(10)) AS ls
+              FROM read_parquet('{golden_sf0_01}')
+              WHERE extracted_text <> ''
+            ), lines AS (
+              SELECT url, unnest(ls) AS line FROM g
+            ), dft AS (
+              SELECT line, count(DISTINCT url) AS df
+              FROM lines WHERE line <> '' GROUP BY line
+            ), drops AS (
+              SELECT coalesce(list(line), []) AS dl FROM dft WHERE df >= 5
+            )
+            SELECT url,
+                   CAST(len(list_filter(ls, x -> NOT list_contains(dl, x)))
+                        AS BIGINT) AS n_kept,
+                   CAST(len(ls) - len(list_filter(ls, x -> NOT list_contains(dl, x)))
+                        AS BIGINT) AS n_dropped,
+                   md5(array_to_string(
+                       list_filter(ls, x -> NOT list_contains(dl, x)),
+                       chr(10))) AS kept_md5
+            FROM g CROSS JOIN drops
         """,
         # Repetition signals vs golden text: exact integer numerators /
         # denominators (no pre-divided float ratios on the wire); the
