@@ -613,6 +613,16 @@ def _doc_decontam(sf_dir: str):
     return decontaminate(train, ev, n=4)
 
 
+def _doc_chunks(sf_dir: str):
+    """Training-window chunking: 64-token windows at stride 48 over each
+    document, short tails (<16 tokens) dropped unless only-window."""
+    import ray.data
+    from horizon_ocr_python_ray.stages.chunking import chunk_documents
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return chunk_documents(docs, window=64, stride=48, min_keep=16)
+
+
 def _doc_split(sf_dir: str):
     import ray.data
     from horizon_ocr_python_ray.stages.sampling import hash_split
@@ -941,6 +951,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_preprocess": _media_preprocess,
         "doc_top_terms": _doc_top_terms,
         "doc_decontam": _doc_decontam,
+        "doc_chunks": _doc_chunks,
         "doc_split": _doc_split,
         "doc_stratified_sample": _doc_stratified_sample,
         "emb_centroids": _emb_centroids,
@@ -1025,6 +1036,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(length(extracted_text)) AS BIGINT) AS text_chars,
                    CAST(sum(len(spans)) AS BIGINT) AS n_spans
             FROM read_parquet('{golden_sf0_01}') GROUP BY route
+        """,
+        # Training-window chunking: DuckDB re-derives the window starts
+        # (0, 48, 96, … — the emitted set is a prefix, so chunk_idx is
+        # s // stride), slices the token array, and digests the
+        # space-rejoined window exactly like the engine.
+        "doc_chunks": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+              FROM documents WHERE trim(text) <> ''
+            ), starts AS (
+              SELECT doc_id, t, unnest(range(0, len(t), 48)) AS s FROM toks
+            )
+            SELECT doc_id, s // 48 AS chunk_idx, s AS start_tok,
+                   CAST(least(64, len(t) - s) AS BIGINT) AS n_tokens,
+                   md5(array_to_string(t[s+1:s+64], ' ')) AS chunk_md5
+            FROM starts
+            WHERE s = 0 OR (len(t) - s >= 16 AND s < len(t) - 64 + 48)
         """,
         # Eval-set decontamination: DuckDB rebuilds the distinct 4-gram
         # sets of both splits and counts, per training doc, its distinct
