@@ -613,6 +613,20 @@ def _doc_decontam(sf_dir: str):
     return decontaminate(train, ev, n=4)
 
 
+def _events_approx_users(sf_dir: str):
+    """HyperLogLog distinct-user sketch per event type: the mergeable
+    register-max monoid whose shuffle is O(2^p) rows per group per
+    batch, cardinality-independent (the scale path the exact two-phase
+    `events_distinct_users` cannot take at 100 TB). Compare surface is
+    the registers themselves (exact), not the float estimate."""
+    import ray.data
+    from horizon_ocr_python_ray.stages.sketches import hll_sketch_summary
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+    return hll_sketch_summary(ev, "event_type", "user_id", p=12)
+
+
 def _doc_chunks(sf_dir: str):
     """Training-window chunking: 64-token windows at stride 48 over each
     document, short tails (<16 tokens) dropped unless only-window."""
@@ -952,6 +966,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_terms": _doc_top_terms,
         "doc_decontam": _doc_decontam,
         "doc_chunks": _doc_chunks,
+        "events_approx_users": _events_approx_users,
         "doc_split": _doc_split,
         "doc_stratified_sample": _doc_stratified_sample,
         "emb_centroids": _emb_centroids,
@@ -1036,6 +1051,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(length(extracted_text)) AS BIGINT) AS text_chars,
                    CAST(sum(len(spans)) AS BIGINT) AS n_spans
             FROM read_parquet('{golden_sf0_01}') GROUP BY route
+        """,
+        # HyperLogLog registers vs SQL: DuckDB recomputes every member's
+        # (bucket, rank) from md5_number_lower — bucket = top 12 hash
+        # bits, rank = leading zeros of the low 52 + 1 — maxes per
+        # register, and digests the sorted register list. Exact match ⇒
+        # bit-identical sketches.
+        "events_approx_users": """
+            WITH h AS (
+              SELECT event_type,
+                     md5_number_lower(CAST(user_id AS VARCHAR)) AS h
+              FROM events
+            ), rb AS (
+              SELECT event_type, CAST(h >> 52 AS BIGINT) AS bucket,
+                     CASE WHEN (h & 4503599627370495) = 0 THEN 53
+                          ELSE 53 - length(ltrim(bin(h & 4503599627370495), '0'))
+                     END AS r
+              FROM h
+            ), regs AS (
+              SELECT event_type, bucket, max(r) AS r
+              FROM rb GROUP BY event_type, bucket
+            )
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_buckets,
+                   CAST(sum(r) AS BIGINT) AS rank_sum,
+                   md5(string_agg(bucket || ':' || r, ',' ORDER BY bucket))
+                       AS regs_md5
+            FROM regs GROUP BY event_type
         """,
         # Training-window chunking: DuckDB re-derives the window starts
         # (0, 48, 96, … — the emitted set is a prefix, so chunk_idx is
