@@ -613,6 +613,31 @@ def _doc_decontam(sf_dir: str):
     return decontaminate(train, ev, n=4)
 
 
+def _doc_incremental_dedup(sf_dir: str):
+    """Incremental cross-corpus near-dup: NEW batch (sources src18/src19)
+    probed against the BASE corpus (all other sources) via a broadcast
+    exact inverted shingle index — recall exactly 1, zero shuffles."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from horizon_ocr_python_ray.stages.incdedup import incremental_near_dup
+
+    new_sources = pa.array(["src18", "src19"])
+
+    def side(keep_new: bool):
+        def f(t):
+            m = pc.is_in(t.column("source"), value_set=new_sources)
+            return (t.filter(m if keep_new else pc.invert(m))
+                    .select(["doc_id", "text"]))
+        return f
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "source"])
+    base = docs.map_batches(side(False), batch_format="pyarrow")
+    new = docs.map_batches(side(True), batch_format="pyarrow")
+    return incremental_near_dup(base, new, k_shingle=5, threshold=0.5)
+
+
 def _events_approx_users(sf_dir: str):
     """HyperLogLog distinct-user sketch per event type: the mergeable
     register-max monoid whose shuffle is O(2^p) rows per group per
@@ -967,6 +992,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_decontam": _doc_decontam,
         "doc_chunks": _doc_chunks,
         "events_approx_users": _events_approx_users,
+        "doc_incremental_dedup": _doc_incremental_dedup,
         "doc_split": _doc_split,
         "doc_stratified_sample": _doc_stratified_sample,
         "emb_centroids": _emb_centroids,
@@ -1051,6 +1077,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(length(extracted_text)) AS BIGINT) AS text_chars,
                    CAST(sum(len(spans)) AS BIGINT) AS n_spans
             FROM read_parquet('{golden_sf0_01}') GROUP BY route
+        """,
+        # Incremental cross-corpus near-dup vs brute force: DuckDB cross
+        # joins the two sides' exact shingle sets (sharing >=1 shingle is
+        # necessary for Jaccard > 0, so the engine's inverted-index probe
+        # has recall exactly 1) and emits integer intersection/union.
+        "doc_incremental_dedup": r"""
+            WITH t AS (
+              SELECT doc_id, source,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id, source IN ('src18', 'src19') AS is_new,
+                     CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+                          ELSE list_distinct(list_transform(
+                                 range(1, len(toks) - least(5, len(toks)) + 2),
+                                 i -> array_to_string(toks[i : i + least(5, len(toks)) - 1], ' ')
+                               )) END AS sh
+              FROM t
+            ), j AS (
+              SELECT b.doc_id AS base_id, n.doc_id AS new_id,
+                     len(list_intersect(b.sh, n.sh)) AS i,
+                     len(b.sh) + len(n.sh) - len(list_intersect(b.sh, n.sh)) AS u
+              FROM s b JOIN s n ON NOT b.is_new AND n.is_new
+            )
+            SELECT base_id, new_id,
+                   CAST(i AS BIGINT) AS n_inter, CAST(u AS BIGINT) AS n_union
+            FROM j
+            WHERE CASE WHEN u = 0 THEN 1.0 ELSE i::DOUBLE / u END >= 0.5
         """,
         # HyperLogLog registers vs SQL: DuckDB recomputes every member's
         # (bucket, rank) from md5_number_lower — bucket = top 12 hash
