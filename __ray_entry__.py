@@ -652,6 +652,26 @@ def _events_approx_users(sf_dir: str):
     return hll_sketch_summary(ev, "event_type", "user_id", p=12)
 
 
+def _doc_normalize(sf_dir: str):
+    """Unicode normalization audit: lower → NFC → whitespace collapse,
+    digest + before/after lengths per document."""
+    import ray.data
+    from horizon_ocr_python_ray.functions.normalize import normalize_batch
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(normalize_batch, batch_format="pyarrow")
+
+
+def _doc_packing(sf_dir: str):
+    """Sequence packing: greedy next-fit bin assignment (256-token
+    budget) within 8 md5 shards — the context-window packing step."""
+    import ray.data
+    from horizon_ocr_python_ray.stages.packing import pack_documents
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return pack_documents(docs, budget=256, n_shards=8)
+
+
 def _doc_chunks(sf_dir: str):
     """Training-window chunking: 64-token windows at stride 48 over each
     document, short tails (<16 tokens) dropped unless only-window."""
@@ -991,6 +1011,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_terms": _doc_top_terms,
         "doc_decontam": _doc_decontam,
         "doc_chunks": _doc_chunks,
+        "doc_packing": _doc_packing,
+        "doc_normalize": _doc_normalize,
         "events_approx_users": _events_approx_users,
         "doc_incremental_dedup": _doc_incremental_dedup,
         "doc_split": _doc_split,
@@ -1133,6 +1155,61 @@ def oracle_sql() -> dict[str, str]:
                    md5(string_agg(bucket || ':' || r, ',' ORDER BY bucket))
                        AS regs_md5
             FROM regs GROUP BY event_type
+        """,
+        # Unicode normalization vs SQL: the rule is pinned as
+        # trim(regexp_replace(nfc_normalize(lower(text)), '\s+', ' ', 'g'))
+        # on both sides; lengths are code-point counts.
+        "doc_normalize": """
+            WITH n AS (
+              SELECT doc_id, text,
+                     trim(regexp_replace(nfc_normalize(lower(coalesce(text, ''))),
+                                         '\\s+', ' ', 'g')) AS norm
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars_before,
+                   CAST(length(norm) AS BIGINT) AS n_chars_after,
+                   md5(norm) AS norm_md5
+            FROM n
+        """,
+        # Sequence packing vs a recursive-CTE replay: DuckDB re-runs the
+        # pinned next-fit scan (one recursion step per in-shard row, all
+        # shards advance in lockstep) over the same md5 shards and token
+        # counts.
+        "doc_packing": """
+            WITH RECURSIVE base AS (
+              SELECT doc_id,
+                     CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 8
+                          AS BIGINT) AS shard,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                     END AS n
+              FROM documents
+            ), ordered AS (
+              SELECT doc_id, shard, n,
+                     row_number() OVER (PARTITION BY shard ORDER BY doc_id)
+                         AS rn
+              FROM base
+            ), packed AS (
+              SELECT shard, rn, doc_id, n,
+                     CAST(0 AS BIGINT) AS bin_idx,
+                     CAST(0 AS BIGINT) AS off,
+                     n AS acc
+              FROM ordered WHERE rn = 1
+              UNION ALL
+              SELECT d.shard, d.rn, d.doc_id, d.n,
+                     CASE WHEN p.acc > 0 AND p.acc + d.n > 256
+                          THEN p.bin_idx + 1 ELSE p.bin_idx END,
+                     CASE WHEN p.acc > 0 AND p.acc + d.n > 256
+                          THEN 0 ELSE p.acc END,
+                     CASE WHEN p.acc > 0 AND p.acc + d.n > 256
+                          THEN d.n ELSE p.acc + d.n END
+              FROM ordered d JOIN packed p
+                ON d.shard = p.shard AND d.rn = p.rn + 1
+            )
+            SELECT doc_id, shard, bin_idx, off AS offset_tokens,
+                   CAST(n AS BIGINT) AS n_tokens
+            FROM packed
         """,
         # Training-window chunking: DuckDB re-derives the window starts
         # (0, 48, 96, … — the emitted set is a prefix, so chunk_idx is
