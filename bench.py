@@ -82,7 +82,9 @@ def run_bench() -> dict:
                  "ann_topk_lsh", "ann_topk_ivf", "minhash_near_dup", "pages_tables",
                  "pages_url_dedup", "doc_top_terms", "pages_host_quota",
                  "corpus_top_terms", "doc_stratified_sample", "pages_overlays",
-                 "doc_simhash_near_dup", "pages_redact"):
+                 "doc_simhash_near_dup", "pages_redact", "pages_line_dedup",
+                 "doc_decontam", "doc_chunks", "doc_packing", "doc_normalize",
+                 "doc_incremental_dedup", "events_approx_users"):
         t0 = time.monotonic()
         res = q[name](sf_dir)
         if hasattr(res, "count"):

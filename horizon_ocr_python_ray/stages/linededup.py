@@ -53,24 +53,86 @@ def _partial_line_df(batch: pa.Table, text_col: str) -> pa.Table:
     )
 
 
-def boilerplate_lines_ref(docs_ds, min_df: int = DEFAULT_MIN_DF,
-                          text_col: str = "extracted_text"):
-    """docs → ``ray.put`` handle of the frozenset of boilerplate lines
-    (df ≥ min_df). One narrow shuffle; the filtered result is tiny."""
-    import ray
-    from ray.data.aggregate import Sum
+#: Distinct-line bound for the driver-fold DF plan (``plan="auto"``):
+#: above this the line vocabulary is folded through the distributed
+#: ``groupby(line)`` shuffle instead.
+DRIVER_FOLD_LINE_MAX = 5_000_000
 
-    df = (docs_ds.map_batches(_partial_line_df, batch_format="pyarrow",
-                              fn_kwargs={"text_col": text_col})
-          .groupby("line").aggregate(Sum("partial_df", alias_name="df")))
+
+def _line_df_table_driver_fold(partials) -> pa.Table:
+    """Fold the batch-local (line, partial_df) combiner outputs on the
+    driver with pyarrow ``group_by`` — skips the distributed
+    ``groupby(line)`` sort-shuffle (measured 8.6 s → ~3 s at sf0.1,
+    where the shuffle dominated). Memory stays O(distinct lines +
+    chunk); the bound is enforced on every fold and a breach falls back
+    to the shuffle plan (same switch pattern as
+    ``stages/topterms.build_df_table``)."""
+    import ray
+
+    def _fold(tables: list[pa.Table]) -> pa.Table:
+        merged = (pa.concat_tables(tables)
+                  .group_by("line").aggregate([("df", "sum")])
+                  .select(["line", "df_sum"]).rename_columns(["line", "df"]))
+        if merged.num_rows > DRIVER_FOLD_LINE_MAX:
+            raise _FoldOverflow()
+        return merged
+
+    empty = pa.table(
+        {"line": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
+    chunk: list[pa.Table] = [empty]
+    for ref in partials.to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows:
+            chunk.append(t.rename_columns(["line", "df"]))
+        if len(chunk) >= 64:
+            chunk = [_fold(chunk)]
+    return _fold(chunk) if len(chunk) > 1 else chunk[0]
+
+
+class _FoldOverflow(Exception):
+    pass
+
+
+def boilerplate_lines_ref(docs_ds, min_df: int = DEFAULT_MIN_DF,
+                          text_col: str = "extracted_text",
+                          plan: str = "auto"):
+    """docs → ``ray.put`` handle of the frozenset of boilerplate lines
+    (df ≥ min_df).
+
+    ``plan="auto"`` folds the combiner partials on the driver (no
+    shuffle) while the distinct-line vocabulary fits
+    :data:`DRIVER_FOLD_LINE_MAX`, else — or with ``plan="shuffle"`` —
+    runs the distributed ``groupby(line).sum`` and collects only the
+    filtered drop-set. Both plans produce the identical set (tested)."""
+    import ray
+
+    partials = docs_ds.map_batches(_partial_line_df, batch_format="pyarrow",
+                                   fn_kwargs={"text_col": text_col})
     drop: set[str] = set()
-    for t in df.iter_batches(batch_format="pyarrow"):
-        mask = pa.compute.greater_equal(t.column("df"), min_df)
-        drop.update(t.filter(mask).column("line").to_pylist())
-        if len(drop) > DROP_SET_MAX:
-            raise ValueError(
-                f"boilerplate drop-set exceeds {DROP_SET_MAX}: min_df={min_df} "
-                "is too low for this corpus")
+    if plan == "auto":
+        try:
+            df_tbl = _line_df_table_driver_fold(partials)
+        except _FoldOverflow:
+            plan = "shuffle"
+        else:
+            mask = pa.compute.greater_equal(df_tbl.column("df"), min_df)
+            drop = set(df_tbl.filter(mask).column("line").to_pylist())
+    if plan == "shuffle":
+        from ray.data.aggregate import Sum
+
+        df = partials.groupby("line").aggregate(Sum("partial_df", alias_name="df"))
+        drop = set()
+        for t in df.iter_batches(batch_format="pyarrow"):
+            mask = pa.compute.greater_equal(t.column("df"), min_df)
+            drop.update(t.filter(mask).column("line").to_pylist())
+            if len(drop) > DROP_SET_MAX:
+                raise ValueError(
+                    f"boilerplate drop-set exceeds {DROP_SET_MAX}: "
+                    f"min_df={min_df} is too low for this corpus")
+    if len(drop) > DROP_SET_MAX:
+        raise ValueError(
+            f"boilerplate drop-set exceeds {DROP_SET_MAX}: min_df={min_df} "
+            "is too low for this corpus")
     return ray.put(frozenset(drop))
 
 
@@ -106,7 +168,8 @@ def _clean_batch(batch: pa.Table, drop_ref, text_col: str) -> pa.Table:
 
 
 def boilerplate_line_dedup(docs_ds, min_df: int = DEFAULT_MIN_DF,
-                           text_col: str = "extracted_text"):
+                           text_col: str = "extracted_text",
+                           plan: str = "auto"):
     """docs (url, text) → per-doc (url, n_kept, n_dropped, kept_md5)
     after removing every line present in ≥ min_df distinct documents.
 
@@ -115,6 +178,6 @@ def boilerplate_line_dedup(docs_ds, min_df: int = DEFAULT_MIN_DF,
     cleaned text column instead (same kernel, different projection).
     Documents whose text is empty are passed over (nothing to clean).
     """
-    ref = boilerplate_lines_ref(docs_ds, min_df, text_col)
+    ref = boilerplate_lines_ref(docs_ds, min_df, text_col, plan=plan)
     return docs_ds.map_batches(_clean_batch, batch_format="pyarrow",
                                fn_kwargs={"drop_ref": ref, "text_col": text_col})

@@ -58,6 +58,26 @@ def test_empty_lines_never_dropped():
     assert (out["n_kept"] == 3).all()  # the blank line survives in all
 
 
+def test_plans_agree():
+    ds = _ds([
+        ("a", "unique alpha\nfooter\nbody a"),
+        ("b", "footer\nbody b"),
+        ("c", "body c\nfooter"),
+    ])
+    auto = (boilerplate_line_dedup(ds, min_df=3, plan="auto").to_pandas()
+            .sort_values("url").reset_index(drop=True))
+    shuf = (boilerplate_line_dedup(ds, min_df=3, plan="shuffle").to_pandas()
+            .sort_values("url").reset_index(drop=True))
+    assert auto.equals(shuf)
+
+
+def test_auto_falls_back_to_shuffle_on_fold_overflow(monkeypatch):
+    monkeypatch.setattr(linededup, "DRIVER_FOLD_LINE_MAX", 1)
+    ds = _ds([("a", "l1\nl2\nl3"), ("b", "l1\nx"), ("c", "l1\ny")])
+    out = boilerplate_line_dedup(ds, min_df=3, plan="auto").to_pandas()
+    assert out.set_index("url").loc["a", "n_dropped"] == 1  # "l1" dropped
+
+
 def test_drop_set_cap(monkeypatch):
     monkeypatch.setattr(linededup, "DROP_SET_MAX", 1)
     ds = _ds([("a", "l1\nl2"), ("b", "l1\nl2"), ("c", "l1\nl2")])
