@@ -45,14 +45,29 @@ def member_register(member: str, p: int = DEFAULT_P) -> tuple[int, int]:
     return bucket, rank
 
 
+#: Worker-process-global member → (bucket, rank) cache: members (users)
+#: repeat heavily across batches, and Ray reuses task workers, so most
+#: md5 computations are amortized away. Bounded to keep worker heaps flat.
+_MEMBER_CACHE: dict[tuple[int, str], tuple[int, int]] = {}
+_MEMBER_CACHE_MAX = 2_000_000
+
+
 def _partial_registers(batch: pa.Table, group_col: str, member_col: str,
                        p: int) -> pa.Table:
     """Batch-local register partial: one row per (group, bucket) with the
     batch's max rank — ≤ 2^p rows per group leave the task."""
+    cache = _MEMBER_CACHE
     regs: dict[tuple[str, int], int] = {}
     for g, member in zip(batch.column(group_col).to_pylist(),
                          batch.column(member_col).to_pylist()):
-        b, r = member_register(str(member), p)
+        ck = (p, member_str := str(member))
+        br = cache.get(ck)
+        if br is None:
+            br = member_register(member_str, p)
+            if len(cache) >= _MEMBER_CACHE_MAX:
+                cache.clear()
+            cache[ck] = br
+        b, r = br
         k = (g, b)
         if r > regs.get(k, 0):
             regs[k] = r
@@ -65,16 +80,66 @@ def _partial_registers(batch: pa.Table, group_col: str, member_col: str,
     )
 
 
-def hll_registers(ds, group_col: str, member_col: str, p: int = DEFAULT_P):
+#: Driver-fold guard: the folded register table holds ≤ 2^p rows per
+#: group, so this bounds the GROUP count the fold plan accepts (at p=12
+#: and 1M groups that is ~4G rows — far beyond any sensible broadcast);
+#: above it the distributed groupby plan runs instead.
+FOLD_REGISTER_MAX = 50_000_000
+
+
+def hll_registers(ds, group_col: str, member_col: str, p: int = DEFAULT_P,
+                  plan: str = "auto"):
     """events → (group, bucket, r): the merged HLL register table
-    (only non-zero registers are materialized)."""
+    (only non-zero registers are materialized).
+
+    ``plan="auto"``: the batch partials are already ≤ 2^p rows per group,
+    so the max-merge folds on the DRIVER with pyarrow ``group_by`` — no
+    shuffle at all (the whole reason to sketch); a register table above
+    :data:`FOLD_REGISTER_MAX` (i.e. an enormous group count) falls back
+    to the distributed ``groupby((group, bucket)).max`` shuffle, also
+    reachable directly with ``plan="shuffle"``. Plans are merge-order
+    independent by the monoid property (tested equal)."""
+    partials = ds.map_batches(_partial_registers, batch_format="pyarrow",
+                              fn_kwargs={"group_col": group_col,
+                                         "member_col": member_col, "p": p})
+    if plan in ("auto", "fold"):
+        import ray
+        import ray.data
+
+        def _fold(tables):
+            merged = (pa.concat_tables(tables)
+                      .group_by([group_col, "bucket"]).aggregate([("r", "max")])
+                      .rename_columns([group_col, "bucket", "r"]))
+            if merged.num_rows > FOLD_REGISTER_MAX:
+                raise _RegisterOverflow()
+            return merged
+
+        empty = pa.table({group_col: pa.array([], pa.string()),
+                          "bucket": pa.array([], pa.int64()),
+                          "r": pa.array([], pa.int64())})
+        chunk = [empty]
+        try:
+            for ref in partials.to_arrow_refs():
+                t = ray.get(ref)
+                if t.num_rows:
+                    chunk.append(t)
+                if len(chunk) >= 64:
+                    chunk = [_fold(chunk)]
+            out = _fold(chunk) if len(chunk) > 1 else chunk[0]
+            return ray.data.from_arrow(out)
+        except _RegisterOverflow:
+            if plan == "fold":
+                raise ValueError(
+                    f"register table exceeds {FOLD_REGISTER_MAX} rows; "
+                    "use plan='shuffle'")
     from ray.data.aggregate import Max
 
-    return (ds.map_batches(_partial_registers, batch_format="pyarrow",
-                           fn_kwargs={"group_col": group_col,
-                                      "member_col": member_col, "p": p})
-            .groupby([group_col, "bucket"])
+    return (partials.groupby([group_col, "bucket"])
             .aggregate(Max("r", alias_name="r")))
+
+
+class _RegisterOverflow(Exception):
+    pass
 
 
 def hll_sketch_summary(ds, group_col: str, member_col: str, p: int = DEFAULT_P):

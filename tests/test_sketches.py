@@ -53,6 +53,16 @@ def test_duplicates_do_not_change_sketch():
     assert s1.equals(s2)
 
 
+def test_fold_and_shuffle_plans_agree():
+    t = _events(n_users=200, n_types=2)
+    ds = ray.data.from_arrow(t).repartition(5)
+    a = (hll_registers(ds, "event_type", "user_id", plan="fold").to_pandas()
+         .sort_values(["event_type", "bucket"]).reset_index(drop=True))
+    b = (hll_registers(ds, "event_type", "user_id", plan="shuffle").to_pandas()
+         .sort_values(["event_type", "bucket"]).reset_index(drop=True))
+    assert a.equals(b)
+
+
 def test_estimate_accuracy():
     t = _events(n_users=600, n_types=1)
     regs = hll_registers(ray.data.from_arrow(t), "event_type", "user_id")
