@@ -522,6 +522,33 @@ def _pages_line_dedup(sf_dir: str):
     return boilerplate_line_dedup(narrow, min_df=5)
 
 
+def _pages_bloom_probe(sf_dir: str):
+    """Bloom seen-set probe: filter built over the BASE url split
+    (md5-low64 permille >= 100), probed by the held-out split. Hits are
+    the Bloom answer — deterministic, false positives included."""
+    from horizon_ocr_python_ray import ensure_corpus, read_pages, sf_from_dir
+    from horizon_ocr_python_ray.stages.bloom import bloom_probe
+    from horizon_ocr_python_ray.stages.sampling import _md5_low64
+
+    corpus = ensure_corpus(sf_from_dir(sf_dir))
+    pages = read_pages(corpus, columns=["url"])
+
+    def split(keep_probe: bool):
+        def f(t):
+            import pyarrow as pa
+
+            m = pa.array([(_md5_low64(u) % 1000) < 100
+                          for u in t.column("url").to_pylist()])
+            import pyarrow.compute as pc
+
+            return t.filter(m if keep_probe else pc.invert(m))
+        return f
+
+    base = pages.map_batches(split(False), batch_format="pyarrow")
+    probe = pages.map_batches(split(True), batch_format="pyarrow")
+    return bloom_probe(base, probe, key_col="url")
+
+
 def _pages_repetition(sf_dir: str):
     """Gopher-style repetition quality signals (duplicate-line counts,
     top-token frequency) as exact integers over extracted text."""
@@ -1003,6 +1030,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_redact": _pages_redact,
         "pages_repetition": _pages_repetition,
         "pages_line_dedup": _pages_line_dedup,
+        "pages_bloom_probe": _pages_bloom_probe,
         "pages_worst_styles": _pages_worst_styles,
         "pages_validation": _pages_validation,
         "pages_reconstruction": _pages_reconstruction,
@@ -1609,6 +1637,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_ips AS BIGINT) AS n_ips,
                    md5(t3) AS redacted_md5
             FROM s3
+        """,
+        # Bloom probe vs SQL: DuckDB recomputes every key's k=4 bit
+        # positions (Kirsch-Mitzenmacher double hashing on
+        # md5_number_lower/upper), the base side's distinct position
+        # set, and the all-positions-present probe — reproducing every
+        # hit including the false positives.
+        "pages_bloom_probe": f"""
+            WITH u AS (
+              SELECT url, md5_number_lower(url) % 1000 < 100 AS is_probe
+              FROM read_parquet('{golden_sf0_01}')
+            ), bpos AS (
+              SELECT DISTINCT
+                     CAST((CAST(md5_number_lower(url) AS HUGEINT)
+                           + i * CAST(md5_number_upper(url) AS HUGEINT))
+                          % 262144 AS BIGINT) AS pos
+              FROM u, unnest(range(0, 4)) AS t(i)
+              WHERE NOT is_probe
+            ), ppos AS (
+              SELECT url,
+                     CAST((CAST(md5_number_lower(url) AS HUGEINT)
+                           + i * CAST(md5_number_upper(url) AS HUGEINT))
+                          % 262144 AS BIGINT) AS pos
+              FROM u, unnest(range(0, 4)) AS t(i)
+              WHERE is_probe
+            )
+            SELECT p.url, bool_and(b.pos IS NOT NULL) AS hit
+            FROM ppos p LEFT JOIN bpos b USING (pos)
+            GROUP BY p.url
         """,
         # Boilerplate line removal vs golden text: DuckDB recomputes the
         # line document-frequency table, the df>=5 drop-set, and the
