@@ -679,6 +679,14 @@ def _events_approx_users(sf_dir: str):
     return hll_sketch_summary(ev, "event_type", "user_id", p=12)
 
 
+def _cust_order_dist(sf_dir: str):
+    """Q13-shaped left-outer distribution: customers per order count,
+    zero-order customers included."""
+    from horizon_ocr_python_ray.pipelines.analytics import cust_order_dist_q13
+
+    return cust_order_dist_q13(sf_dir)
+
+
 def _doc_normalize(sf_dir: str):
     """Unicode normalization audit: lower → NFC → whitespace collapse,
     digest + before/after lengths per document."""
@@ -1041,6 +1049,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": _doc_chunks,
         "doc_packing": _doc_packing,
         "doc_normalize": _doc_normalize,
+        "cust_order_dist": _cust_order_dist,
         "events_approx_users": _events_approx_users,
         "doc_incremental_dedup": _doc_incremental_dedup,
         "doc_split": _doc_split,
@@ -1183,6 +1192,18 @@ def oracle_sql() -> dict[str, str]:
                    md5(string_agg(bucket || ':' || r, ',' ORDER BY bucket))
                        AS regs_md5
             FROM regs GROUP BY event_type
+        """,
+        # Q13 shape: LEFT OUTER join keeps zero-order customers; DuckDB
+        # counts orders per customer through the same outer join.
+        "cust_order_dist": """
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM (
+              SELECT c.c_custkey, count(o.o_custkey) AS c_count
+              FROM customer c LEFT OUTER JOIN orders o
+                ON c.c_custkey = o.o_custkey
+              GROUP BY c.c_custkey
+            )
+            GROUP BY c_count
         """,
         # Unicode normalization vs SQL: the rule is pinned as
         # trim(regexp_replace(nfc_normalize(lower(text)), '\s+', ' ', 'g'))

@@ -573,3 +573,70 @@ def priority_lines_q12(sf_dir: str, num_partitions: int = 8,
             names=["l_returnflag", "high_line_count", "low_line_count"]),
         batch_format="pyarrow",
     )
+
+
+def cust_order_dist_q13(sf_dir: str, num_partitions: int = 8,
+                        plan: str = "auto"):
+    """TPC-H Q13 shape: how many customers placed exactly k orders,
+    k = 0 included — the LEFT OUTER join surface (customers with no
+    orders must survive the join as nulls and land in the k=0 bucket).
+
+    Plan: orders are reduced FIRST (per-batch custkey value-counts →
+    ``groupby(custkey).sum``), shrinking the join's build side from
+    |orders| rows to |customers-with-orders| before the wide op. Then,
+    by the size-aware planner: ``broadcast`` probes the reduced counts
+    from a ``ray.put`` sorted array inside the customer scan (a missed
+    probe IS the k=0 case — outer-join semantics for free, no join
+    operator); ``partitioned`` runs the real hash-partitioned
+    ``join_type="left_outer"`` + null→0. Both end in a combiner
+    distribution rollup whose final shuffle carries one row per
+    distinct order count; plans are tested equal.
+    """
+    plan = _resolve_join_plan(plan, sf_dir, ["orders"])
+    orders = _tbl(sf_dir, "orders", ["o_custkey"])
+
+    def order_partials(t: pa.Table) -> pa.Table:
+        k, c = np.unique(t.column("o_custkey").to_numpy(), return_counts=True)
+        return pa.table({"o_custkey": pa.array(k, pa.int64()),
+                         "p_n": pa.array(c, pa.int64())})
+
+    counts = (orders.map_batches(order_partials, batch_format="pyarrow")
+              .groupby("o_custkey").aggregate(Sum("p_n", alias_name="n_ord")))
+    cust = _tbl(sf_dir, "customer", ["c_custkey"])
+
+    def dist_from_counts(n: np.ndarray) -> pa.Table:
+        k, c = np.unique(n, return_counts=True)
+        return pa.table({"c_count": pa.array(k, pa.int64()),
+                         "p_d": pa.array(c, pa.int64())})
+
+    if plan == "broadcast":
+        import ray
+
+        cdf = counts.to_pandas()
+        ref = ray.put(_sorted_lookup(cdf, "o_custkey", "n_ord"))
+
+        def bc_partial(t: pa.Table) -> pa.Table:
+            keys, vals = ray.get(ref)
+            mask, v = _probe(keys, vals.astype(np.int64),
+                             t.column("c_custkey").to_numpy().astype(np.int64))
+            return dist_from_counts(np.where(mask, v, 0).astype(np.int64))
+
+        partials = cust.map_batches(bc_partial, batch_format="pyarrow",
+                                    batch_size=65536)
+    else:
+        joined = cust.join(counts, join_type="left_outer",
+                           num_partitions=num_partitions,
+                           on=("c_custkey",), right_on=("o_custkey",))
+
+        def dist_partial(t: pa.Table) -> pa.Table:
+            n = pc.fill_null(t.column("n_ord"), 0).to_numpy(zero_copy_only=False)
+            return dist_from_counts(n.astype(np.int64))
+
+        partials = joined.map_batches(dist_partial, batch_format="pyarrow")
+
+    dist = partials.groupby("c_count").aggregate(Sum("p_d", alias_name="custdist"))
+    return dist.map_batches(
+        lambda t: t.set_column(t.column_names.index("custdist"), "custdist",
+                               t.column("custdist").cast(pa.int64())),
+        batch_format="pyarrow",
+    )

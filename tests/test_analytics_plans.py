@@ -23,6 +23,7 @@ def _df(res) -> pd.DataFrame:
     (analytics.revenue_by_region_q5, "r_name"),
     (analytics.promo_revenue_q14, "n_items"),
     (analytics.priority_lines_q12, "l_returnflag"),
+    (analytics.cust_order_dist_q13, "c_count"),
 ])
 def test_plans_agree(ray_session, fn, sort_col):
     a = _df(fn(SF, plan="broadcast"))
