@@ -679,6 +679,17 @@ def _events_approx_users(sf_dir: str):
     return hll_sketch_summary(ev, "event_type", "user_id", p=12)
 
 
+def _doc_quality_gate(sf_dir: str):
+    """Adaptive percentile gate: documents below the exact corpus P10
+    of n_chars are flagged dropped (kept=false)."""
+    import ray.data
+    from horizon_ocr_python_ray.stages.gate import percentile_gate
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "n_chars"])
+    return percentile_gate(docs, "n_chars", q=0.1)
+
+
 def _cust_order_dist(sf_dir: str):
     """Q13-shaped left-outer distribution: customers per order count,
     zero-order customers included."""
@@ -1050,6 +1061,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_packing": _doc_packing,
         "doc_normalize": _doc_normalize,
         "cust_order_dist": _cust_order_dist,
+        "doc_quality_gate": _doc_quality_gate,
         "events_approx_users": _events_approx_users,
         "doc_incremental_dedup": _doc_incremental_dedup,
         "doc_split": _doc_split,
@@ -1192,6 +1204,22 @@ def oracle_sql() -> dict[str, str]:
                    md5(string_agg(bucket || ':' || r, ',' ORDER BY bucket))
                        AS regs_md5
             FROM regs GROUP BY event_type
+        """,
+        # Adaptive percentile gate: the type-1 P10 threshold (smallest
+        # value whose running count reaches ceil(0.1*N)) is re-derived
+        # with a window cumsum; the gate is metric >= threshold.
+        "doc_quality_gate": """
+            WITH h AS (
+              SELECT n_chars, count(*) AS c FROM documents GROUP BY n_chars
+            ), r AS (
+              SELECT n_chars, sum(c) OVER (ORDER BY n_chars) AS cum FROM h
+            ), t AS (
+              SELECT min(n_chars) AS thr FROM r
+              WHERE cum >= ceil(0.1 * (SELECT count(*) FROM documents))
+            )
+            SELECT doc_id, n_chars,
+                   n_chars >= (SELECT thr FROM t) AS kept
+            FROM documents
         """,
         # Q13 shape: LEFT OUTER join keeps zero-order customers; DuckDB
         # counts orders per customer through the same outer join.
