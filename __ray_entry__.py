@@ -679,6 +679,16 @@ def _events_approx_users(sf_dir: str):
     return hll_sketch_summary(ev, "event_type", "user_id", p=12)
 
 
+def _doc_repeated_ngrams(sf_dir: str):
+    """Per-doc repeated-4-gram stats (Lee et al. substring-dedup
+    signal): distinct grams vs grams shared with other documents."""
+    import ray.data
+    from horizon_ocr_python_ray.stages.repgrams import repeated_ngram_stats
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return repeated_ngram_stats(docs, n=4)
+
+
 def _doc_quality_gate(sf_dir: str):
     """Adaptive percentile gate: documents below the exact corpus P10
     of n_chars are flagged dropped (kept=false)."""
@@ -1062,6 +1072,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_normalize": _doc_normalize,
         "cust_order_dist": _cust_order_dist,
         "doc_quality_gate": _doc_quality_gate,
+        "doc_repeated_ngrams": _doc_repeated_ngrams,
         "events_approx_users": _events_approx_users,
         "doc_incremental_dedup": _doc_incremental_dedup,
         "doc_split": _doc_split,
@@ -1204,6 +1215,27 @@ def oracle_sql() -> dict[str, str]:
                    md5(string_agg(bucket || ':' || r, ',' ORDER BY bucket))
                        AS regs_md5
             FROM regs GROUP BY event_type
+        """,
+        # Repeated-n-gram stats: DuckDB rebuilds the distinct 4-gram
+        # pairs and counts, per doc, grams with document frequency >= 2.
+        "doc_repeated_ngrams": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(1, greatest(len(t) - 4 + 2, 1)),
+                       i -> array_to_string(t[i:i+3], ' ')))) AS g
+              FROM toks WHERE len(t) >= 4
+            ), df AS (
+              SELECT g, count(DISTINCT doc_id) AS df FROM grams GROUP BY g
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_repeated
+            FROM grams JOIN df USING (g)
+            GROUP BY doc_id
         """,
         # Adaptive percentile gate: the type-1 P10 threshold (smallest
         # value whose running count reaches ceil(0.1*N)) is re-derived

@@ -1,0 +1,107 @@
+"""Cross-document repeated n-gram statistics — the per-document signal
+behind substring-level training-data dedup (Lee et al. 2022,
+"Deduplicating Training Data Makes Language Models Better"): how much
+of a document is made of token n-grams that also appear in OTHER
+documents.
+
+Plan (fully distributed, no join, no broadcast): explode each document
+into its DISTINCT n-grams (per-batch dedup), then use the df==1
+identity — a gram with document frequency 1 has exactly ONE owner, so
+``min(doc_id)`` under the ``groupby(gram)`` IS that owner. Per-doc
+unique-gram counts therefore come from the same single gram shuffle
+that computes df (filter df==1, regroup by owner — a tiny second
+shuffle of one row per (doc, #unique)), and
+
+    n_repeated(doc) = n_distinct_grams(doc) − n_unique_grams(doc)
+
+with the left term computed batch-locally (zero shuffles). Total
+exchange: one narrow (gram, partial) shuffle — the honest cost of an
+exact global dedup signal — plus two output-proportional trickles.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from .decontam import doc_ngrams
+
+DEFAULT_N = 4
+
+
+def _pairs_batch(batch: pa.Table, n: int) -> pa.Table:
+    """(doc_id, gram) distinct pairs + the per-doc distinct-gram count
+    (stashed as one extra row group via a separate table is avoided —
+    counts travel in their own column dataset)."""
+    ids, grams = [], []
+    for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("text").to_pylist()):
+        for g in doc_ngrams(text, n):
+            ids.append(doc_id)
+            grams.append(g)
+    return pa.Table.from_arrays(
+        [pa.array(ids, pa.int64()), pa.array(grams, pa.string())],
+        names=["doc_id", "gram"],
+    )
+
+
+def _totals_batch(batch: pa.Table, n: int) -> pa.Table:
+    ids, tot = [], []
+    for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("text").to_pylist()):
+        ids.append(doc_id)
+        tot.append(len(doc_ngrams(text, n)))
+    return pa.Table.from_arrays(
+        [pa.array(ids, pa.int64()), pa.array(tot, pa.int64())],
+        names=["doc_id", "n_grams"],
+    )
+
+
+def repeated_ngram_stats(docs_ds, n: int = DEFAULT_N):
+    """docs (doc_id, text) → (doc_id, n_grams, n_repeated): distinct
+    n-grams per doc and how many of them appear in ≥1 OTHER document.
+
+    The unique-count and total-count streams merge through a UNION +
+    one narrow ``groupby(doc_id).sum`` (both streams are one row per
+    doc, pre-shaped to the same (doc_id, n_grams, n_unique) schema) —
+    cheaper than a join operator for two already-keyed row streams."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Min, Sum
+
+    pairs = docs_ds.map_batches(_pairs_batch, batch_format="pyarrow",
+                                fn_kwargs={"n": n})
+    per_gram = pairs.groupby("gram").aggregate(
+        Count(alias_name="df"), Min("doc_id", alias_name="owner"))
+
+    def uniq_rows(t: pa.Table) -> pa.Table:
+        owners = t.filter(pc.equal(t.column("df"), 1)).column("owner")
+        z = pa.nulls(len(owners), pa.int64()).fill_null(0)
+        ones = pa.nulls(len(owners), pa.int64()).fill_null(1)
+        return pa.Table.from_arrays([owners, z, ones],
+                                    names=["doc_id", "n_grams", "n_unique"])
+
+    uniq = per_gram.map_batches(uniq_rows, batch_format="pyarrow")
+
+    def total_rows(t: pa.Table) -> pa.Table:
+        z = pa.nulls(t.num_rows, pa.int64()).fill_null(0)
+        return pa.Table.from_arrays(
+            [t.column("doc_id"), t.column("n_grams"), z],
+            names=["doc_id", "n_grams", "n_unique"])
+
+    totals = (docs_ds.map_batches(_totals_batch, batch_format="pyarrow",
+                                  fn_kwargs={"n": n})
+              .map_batches(total_rows, batch_format="pyarrow"))
+    summed = totals.union(uniq).groupby("doc_id").aggregate(
+        Sum("n_grams", alias_name="n_grams"),
+        Sum("n_unique", alias_name="n_unique"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        ng = t.column("n_grams").cast(pa.int64())
+        nu = t.column("n_unique").cast(pa.int64())
+        out = pa.Table.from_arrays(
+            [t.column("doc_id"), ng, pc.subtract(ng, nu)],
+            names=["doc_id", "n_grams", "n_repeated"],
+        )
+        # docs too short to form a single n-gram carry no signal
+        return out.filter(pc.greater(out.column("n_grams"), 0))
+
+    return summed.map_batches(finish, batch_format="pyarrow")
