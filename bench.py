@@ -84,7 +84,8 @@ def run_bench() -> dict:
                  "corpus_top_terms", "doc_stratified_sample", "pages_overlays",
                  "doc_simhash_near_dup", "pages_redact", "pages_line_dedup",
                  "doc_decontam", "doc_chunks", "doc_packing", "doc_normalize",
-                 "doc_incremental_dedup", "events_approx_users"):
+                 "doc_incremental_dedup", "events_approx_users", "pages_bloom_probe",
+                 "doc_repeated_ngrams", "doc_quality_gate", "cust_order_dist"):
         t0 = time.monotonic()
         res = q[name](sf_dir)
         if hasattr(res, "count"):

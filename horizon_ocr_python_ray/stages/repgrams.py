@@ -65,12 +65,18 @@ def repeated_ngram_stats(docs_ds, n: int = DEFAULT_N):
     doc, pre-shaped to the same (doc_id, n_grams, n_unique) schema) —
     cheaper than a join operator for two already-keyed row streams."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Min, Sum
+    from ray.data.aggregate import Sum
+
+    from .hashagg import grouped_aggregate
 
     pairs = docs_ds.map_batches(_pairs_batch, batch_format="pyarrow",
                                 fn_kwargs={"n": n})
-    per_gram = pairs.groupby("gram").aggregate(
-        Count(alias_name="df"), Min("doc_id", alias_name="owner"))
+    # gram cardinality ~ corpus tokens: route the reduce through the
+    # bucketed hash aggregate (Arrow C++ per bucket), not the sort-based
+    # per-group path (8.9 s → ~3 s at sf0.1)
+    per_gram = grouped_aggregate(
+        pairs, "gram",
+        [("gram", "count", "df"), ("doc_id", "min", "owner")])
 
     def uniq_rows(t: pa.Table) -> pa.Table:
         owners = t.filter(pc.equal(t.column("df"), 1)).column("owner")
