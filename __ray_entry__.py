@@ -1021,6 +1021,41 @@ def _orders_by_mktsegment(sf_dir: str):
     return out.map_batches(lambda t: _money_e2(t, ("total_revenue",)), batch_format="pyarrow")
 
 
+def _orders_exists(sf_dir: str):
+    """Q4-shaped EXISTS semi-join (deduped-key inner join / broadcast probe)."""
+    from horizon_ocr_python_ray.pipelines.subqueries import orders_exists_q4
+
+    return orders_exists_q4(sf_dir)
+
+
+def _top_supplier(sf_dir: str):
+    """Q15-shaped argmax over an aggregate (int64 e4 revenue, exact argmax)."""
+    from horizon_ocr_python_ray.pipelines.subqueries import top_supplier_q15
+
+    return top_supplier_q15(sf_dir)
+
+
+def _part_small_qty(sf_dir: str):
+    """Q17-shaped correlated AVG subquery, decorrelated (5·qty·n < sum)."""
+    from horizon_ocr_python_ray.pipelines.subqueries import part_small_qty_q17
+
+    return part_small_qty_q17(sf_dir)
+
+
+def _big_orders(sf_dir: str):
+    """Q18-shaped HAVING group filter + join-back to orders/customer."""
+    from horizon_ocr_python_ray.pipelines.subqueries import big_orders_q18
+
+    return big_orders_q18(sf_dir)
+
+
+def _cust_idle(sf_dir: str):
+    """Q22-shaped global scalar subquery + anti-join (rich, no recent orders)."""
+    from horizon_ocr_python_ray.pipelines.subqueries import cust_idle_q22
+
+    return cust_idle_q22(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pages_extract": _pages_extract,
@@ -1101,6 +1136,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_lines": _priority_lines,
         "top_orders": _top_orders,
         "orders_by_mktsegment": _orders_by_mktsegment,
+        "orders_exists": _orders_exists,
+        "top_supplier": _top_supplier,
+        "part_small_qty": _part_small_qty,
+        "big_orders": _big_orders,
+        "cust_idle": _cust_idle,
     }
 
 
@@ -2460,5 +2500,94 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_orders
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_mktsegment
+        """,
+        # Q4 shape: EXISTS semi-join (returned lineitem stands in for the
+        # missing commitdate/receiptdate "late" predicate).
+        "orders_exists": """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_returnflag = 'R')
+            GROUP BY o_orderpriority
+        """,
+        # Q15 shape: per-supplier quarter revenue in exact int64 e4 fixed
+        # point (price_e2 × (100 − disc_e2)), argmax via scalar subquery.
+        "top_supplier": """
+            WITH r AS (
+              SELECT l_suppkey,
+                     sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                       AS total_revenue_e4
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate <  TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey
+            )
+            SELECT s.s_suppkey, s.s_name,
+                   CAST(r.total_revenue_e4 AS BIGINT) AS total_revenue_e4
+            FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+            WHERE r.total_revenue_e4 = (SELECT max(total_revenue_e4) FROM r)
+        """,
+        # Q17 shape: correlated per-part AVG subquery; the comparison is
+        # cleared of the rational average (5·qty_e2·n < sum_e2), int64 exact.
+        "part_small_qty": """
+            WITH sub AS (
+              SELECT l.l_partkey,
+                     CAST(round(l.l_quantity * 100) AS BIGINT) AS qty_e2,
+                     CAST(round(l.l_extendedprice * 100) AS BIGINT) AS price_e2
+              FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+              WHERE p.p_brand = 'Brand#1'
+            ), st AS (
+              SELECT l_partkey, sum(qty_e2) AS sum_q, count(*) AS n_q
+              FROM sub GROUP BY l_partkey
+            )
+            SELECT CAST(coalesce(sum(CASE WHEN 5 * qty_e2 * n_q < sum_q
+                                          THEN price_e2 END), 0) AS BIGINT)
+                     AS total_price_e2,
+                   CAST(count(CASE WHEN 5 * qty_e2 * n_q < sum_q THEN 1 END)
+                        AS BIGINT) AS n_lines
+            FROM sub JOIN st USING (l_partkey)
+        """,
+        # Q18 shape: HAVING-filtered per-order quantity sums joined back.
+        "big_orders": """
+            WITH s AS (
+              SELECT l_orderkey,
+                     sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_q
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 30000
+            )
+            SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_price_e2,
+                   CAST(s.sum_q AS BIGINT) AS sum_qty_e2
+            FROM s
+            JOIN orders o ON o.o_orderkey = s.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+        """,
+        # Q22 shape: global positive-balance average (acct_e2·cnt > sum_e2
+        # clears the rational) + NOT EXISTS recent order, custkey-mod-8
+        # buckets standing in for the phone country code.
+        "cust_idle": """
+            WITH s AS (
+              SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS ss,
+                     count(*) AS cc
+              FROM customer WHERE c_acctbal > 0
+            ), rich AS (
+              SELECT c_custkey,
+                     CAST(round(c_acctbal * 100) AS BIGINT) AS acct_e2
+              FROM customer, s
+              WHERE CAST(round(c_acctbal * 100) AS BIGINT) * s.cc > s.ss
+            ), idle AS (
+              SELECT * FROM rich r
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_custkey = r.c_custkey
+                                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+            )
+            SELECT c_custkey % 8 AS cgroup,
+                   CAST(count(*) AS BIGINT) AS n_cust,
+                   CAST(sum(acct_e2) AS BIGINT) AS total_acct_e2
+            FROM idle GROUP BY 1
         """,
     }

@@ -1,0 +1,462 @@
+"""Decorrelated-subquery pipelines over the TPC-H-ish driver tables.
+
+The reference engine never needs these shapes (its joins are all
+within one document — SURVEY.md §2.4), but a general data-processing
+engine does, and each one exercises a distinct decorrelation pattern
+that the per-document forms (J1–J6, G1–G5) only cover locally:
+
+- ``orders_exists_q4``    — EXISTS semi-join (Q4 shape)
+- ``top_supplier_q15``    — argmax over an aggregate (Q15 view + max)
+- ``part_small_qty_q17``  — correlated per-group AVG subquery,
+                            decorrelated to aggregate + join-back (Q17)
+- ``big_orders_q18``      — HAVING-filtered group join-back (Q18)
+- ``cust_idle_q22``       — global scalar subquery + anti-join (Q22)
+
+Money/quantity math follows the repo's fixed-point-before-summing
+contract (``stages/vecagg.py``): scale doubles to integers FIRST
+(``price_e2 = round(p*100)``), so every sum is order-independent
+integer addition and the DuckDB oracle compares bit-equal — no
+rounded-double ulp hazard (ADVICE.md round-1 finding).
+
+Join/broadcast planning reuses the size-aware planner from
+``pipelines/analytics.py``: every op carries a ``broadcast`` plan
+(``ray.put`` sorted-array lookup probed inside the stream — zero join
+shuffles) and a ``partitioned`` plan (hash-partitioned
+``Dataset.join`` — the 100-TB path), switched on parquet-footer row
+counts and tested row-equal.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from .analytics import (
+    BROADCAST_BUILD_MAX_ROWS,
+    _probe,
+    _resolve_join_plan,
+    _sorted_lookup,
+    _tbl,
+)
+
+_TS = lambda s: pa.scalar(pd.Timestamp(s))  # noqa: E731
+
+
+def _e2(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    """round(x*100) → int64 — the exact fixed-point projection."""
+    return pc.cast(pc.round(pc.multiply(col, pa.scalar(100.0))), pa.int64())
+
+
+# ---------------------------------------------------------------------------
+# Q4 shape: EXISTS semi-join
+# ---------------------------------------------------------------------------
+
+def _distinct_keys_ds(ds, key: str):
+    """Distinct values of ``key``: per-batch ``np.unique`` combiner →
+    one narrow ``groupby(key).count`` (the count is discarded; the
+    groupby is the distributed distinct)."""
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({key: pa.array(
+            np.unique(t.column(key).to_numpy()), pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(key).count().select_columns([key]))
+
+
+def orders_exists_q4(sf_dir: str, num_partitions: int = 8, plan: str = "auto"):
+    """TPC-H Q4 shape: count 1996 orders per priority where EXISTS a
+    returned lineitem (``l_returnflag = 'R'``; this schema has no
+    commitdate/receiptdate, so the returned flag plays the "late"
+    predicate role).
+
+    Decorrelation: the EXISTS side is reduced to its distinct orderkey
+    set first, so the semi-join is an inner join against a deduped
+    build side. ``broadcast``: per-batch-unique partials are folded to
+    one sorted key array on the driver (bounded by the planner — the
+    distinct set is ≤ |orders| rows) and probed inside the orders
+    scan; ``partitioned``: distributed distinct (groupby) + hash join.
+    """
+    plan = _resolve_join_plan(plan, sf_dir, ["orders"])
+    li = _tbl(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+
+    def returned_partial(t: pa.Table) -> pa.Table:
+        keys = t.filter(pc.equal(t.column("l_returnflag"), "R")).column("l_orderkey")
+        return pa.table({"l_orderkey": pa.array(
+            np.unique(keys.to_numpy()), pa.int64())})
+
+    orders = _tbl(sf_dir, "orders",
+                  ["o_orderkey", "o_orderpriority", "o_orderdate"])
+    lo, hi = _TS("1996-01-01"), _TS("1997-01-01")
+
+    def in_window(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate")
+        return t.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
+
+    orders = orders.map_batches(in_window, batch_format="pyarrow")
+
+    def count_by_priority(t: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(t.select(["o_orderpriority"]),
+                              "o_orderpriority").aggregate([([], "count_all")])
+        return agg.rename_columns(["o_orderpriority", "p_n"])
+
+    if plan == "broadcast":
+        parts = [t for t in ray.get(
+            li.map_batches(returned_partial, batch_format="pyarrow")
+            .to_arrow_refs()) if t.num_rows]
+        keys = (np.unique(np.concatenate(
+            [t.column("l_orderkey").to_numpy() for t in parts]))
+            if parts else np.empty(0, np.int64))
+        assert keys.size <= BROADCAST_BUILD_MAX_ROWS, "guard: use partitioned"
+        kref = ray.put(keys)
+
+        def semi(t: pa.Table) -> pa.Table:
+            ks = ray.get(kref)
+            mask, _ = _probe(ks, ks, t.column("o_orderkey").to_numpy())
+            return count_by_priority(t.filter(pa.array(mask)))
+
+        partials = orders.map_batches(semi, batch_format="pyarrow",
+                                      batch_size=65536)
+    else:
+        returned = (li.map_batches(returned_partial, batch_format="pyarrow")
+                    .groupby("l_orderkey").count().select_columns(["l_orderkey"]))
+        joined = orders.join(returned, join_type="inner",
+                             num_partitions=num_partitions,
+                             on=("o_orderkey",), right_on=("l_orderkey",))
+        partials = joined.map_batches(count_by_priority,
+                                      batch_format="pyarrow")
+
+    out = partials.groupby("o_orderpriority").aggregate(
+        Sum("p_n", alias_name="order_count"))
+    return out.map_batches(
+        lambda t: t.set_column(t.column_names.index("order_count"),
+                               "order_count",
+                               t.column("order_count").cast(pa.int64())),
+        batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Q15 shape: argmax over an aggregate
+# ---------------------------------------------------------------------------
+
+def top_supplier_q15(sf_dir: str, num_partitions: int = 8, plan: str = "auto"):
+    """TPC-H Q15 shape: per-supplier revenue over one quarter, return
+    the supplier(s) achieving the GLOBAL max (the view + scalar-max
+    subquery, decorrelated to aggregate → tiny max fold → filter →
+    name join).
+
+    Revenue is exact int64 e4 fixed point (``price_e2 × (100 −
+    disc_e2)``), so the argmax is well-defined and bit-equal to the
+    oracle — no float-sum tie hazard. The per-supplier aggregate is one
+    narrow shuffle (supplier-dimension cardinality); the max is folded
+    from that aggregate's blocks on the driver (tiny); names join by
+    the size-aware planner."""
+    plan = _resolve_join_plan(plan, sf_dir, ["supplier"])
+    li = _tbl(sf_dir, "lineitem",
+              ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"])
+    lo, hi = _TS("1996-01-01"), _TS("1996-04-01")
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t.column("l_shipdate")
+        t = t.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
+        rev_e4 = pc.multiply(
+            _e2(t.column("l_extendedprice")),
+            pc.subtract(pa.scalar(100, pa.int64()), _e2(t.column("l_discount"))))
+        g = pa.table({"l_suppkey": t.column("l_suppkey"), "rev": rev_e4})
+        agg = pa.TableGroupBy(g, "l_suppkey").aggregate([("rev", "sum")])
+        return agg.rename_columns(["l_suppkey", "p_rev"])
+
+    per_supp = (li.map_batches(partial, batch_format="pyarrow",
+                               batch_size=65536)
+                .groupby("l_suppkey")
+                .aggregate(Sum("p_rev", alias_name="total_revenue_e4")))
+
+    best = per_supp.max("total_revenue_e4")
+    winners = per_supp.filter(
+        expr=f"total_revenue_e4 == {int(best)}")
+
+    if plan == "broadcast":
+        sdf = _tbl(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+        nref = ray.put(_sorted_lookup(sdf, "s_suppkey", "s_name"))
+
+        def add_name(t: pa.Table) -> pa.Table:
+            keys, names = ray.get(nref)
+            _, nm = _probe(keys, names,
+                           t.column("l_suppkey").to_numpy().astype(np.int64))
+            return pa.table({
+                "s_suppkey": t.column("l_suppkey").cast(pa.int64()),
+                "s_name": pa.array(nm.astype(str)),
+                "total_revenue_e4": t.column("total_revenue_e4").cast(pa.int64()),
+            })
+
+        return winners.map_batches(add_name, batch_format="pyarrow")
+
+    supp = _tbl(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    joined = winners.join(supp, join_type="inner",
+                          num_partitions=num_partitions,
+                          on=("l_suppkey",), right_on=("s_suppkey",))
+    return joined.map_batches(
+        lambda t: pa.table({
+            "s_suppkey": t.column("l_suppkey").cast(pa.int64()),
+            "s_name": t.column("s_name"),
+            "total_revenue_e4": t.column("total_revenue_e4").cast(pa.int64()),
+        }), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Q17 shape: correlated per-group AVG subquery
+# ---------------------------------------------------------------------------
+
+def part_small_qty_q17(sf_dir: str, brand: str = "Brand#1",
+                       num_partitions: int = 8, plan: str = "auto"):
+    """TPC-H Q17 shape: total price of brand lineitems whose quantity
+    is below 20% of that part's average quantity — the correlated
+    scalar subquery ``l_quantity < 0.2 * (SELECT avg(l_quantity) …
+    WHERE p_partkey = l_partkey)`` decorrelated into a per-part
+    aggregate joined back to the fact rows.
+
+    Exactness: the comparison is cleared of the rational average —
+    ``qty < 0.2·(sum/n)  ⇔  5·qty_e2·n < sum_e2`` — so both sides are
+    int64 and the row set matches the oracle exactly.
+
+    The brand-filtered narrow projection (partkey, qty_e2, price_e2) is
+    materialized once and scanned twice (aggregate pass + compare
+    pass); it is ~1/25 of lineitem × 3 int64 columns, and at 100 TB the
+    same two-pass plan would checkpoint that projection to Parquet
+    instead (``state/checkpoint.py``) rather than re-execute lineage.
+    The per-part (sum, n) table is one narrow shuffle, then broadcast —
+    its cardinality is |parts of one brand|, planner-bounded."""
+    plan = _resolve_join_plan(plan, sf_dir, ["part"])
+    li = _tbl(sf_dir, "lineitem",
+              ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def project(t: pa.Table, mask) -> pa.Table:
+        t = t.filter(mask)
+        return pa.table({
+            "l_partkey": t.column("l_partkey").cast(pa.int64()),
+            "qty_e2": _e2(t.column("l_quantity")),
+            "price_e2": _e2(t.column("l_extendedprice")),
+        })
+
+    if plan == "broadcast":
+        pdf = _tbl(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+        bkeys = np.sort(pdf.loc[pdf["p_brand"] == brand, "p_partkey"]
+                        .to_numpy(np.int64))
+        bref = ray.put(bkeys)
+
+        def brand_filter(t: pa.Table) -> pa.Table:
+            ks = ray.get(bref)
+            mask, _ = _probe(ks, ks, t.column("l_partkey").to_numpy())
+            return project(t, pa.array(mask))
+
+        subset = li.map_batches(brand_filter, batch_format="pyarrow",
+                                batch_size=65536)
+    else:
+        bparts = (_tbl(sf_dir, "part", ["p_partkey", "p_brand"])
+                  .filter(expr=f"p_brand == '{brand}'")
+                  .select_columns(["p_partkey"]))
+        joined = li.join(bparts, join_type="inner",
+                         num_partitions=num_partitions,
+                         on=("l_partkey",), right_on=("p_partkey",))
+        subset = joined.map_batches(
+            lambda t: project(t, pa.array(np.ones(t.num_rows, bool))),
+            batch_format="pyarrow")
+
+    subset = subset.materialize()  # scanned twice; see docstring
+
+    stats = (subset.groupby("l_partkey")
+             .aggregate(Sum("qty_e2", alias_name="sum_q"),
+                        Count(alias_name="n_q")))
+    sdf = stats.to_pandas().sort_values("l_partkey")
+    sref = ray.put((sdf["l_partkey"].to_numpy(np.int64),
+                    sdf["sum_q"].to_numpy(np.int64),
+                    sdf["n_q"].to_numpy(np.int64)))
+
+    def compare(t: pa.Table) -> pa.Table:
+        keys, sums, ns = ray.get(sref)
+        idx = np.searchsorted(keys, t.column("l_partkey").to_numpy())
+        qty = t.column("qty_e2").to_numpy()
+        # qty < 0.2·avg  ⇔  5·qty_e2·n < sum_e2 (int64 exact)
+        mask = 5 * qty * ns[idx] < sums[idx]
+        price = t.column("price_e2").to_numpy()
+        return pa.table({
+            "p_price": pa.array([int(price[mask].sum())], pa.int64()),
+            "p_n": pa.array([int(mask.sum())], pa.int64()),
+        })
+
+    partials = subset.map_batches(compare, batch_format="pyarrow",
+                                  batch_size=65536)
+    out = partials.sum(["p_price", "p_n"])
+    return pa.Table.from_arrays(
+        [pa.array([int(out["sum(p_price)"] or 0)], pa.int64()),
+         pa.array([int(out["sum(p_n)"] or 0)], pa.int64())],
+        names=["total_price_e2", "n_lines"])
+
+
+# ---------------------------------------------------------------------------
+# Q18 shape: HAVING-filtered group join-back
+# ---------------------------------------------------------------------------
+
+def big_orders_q18(sf_dir: str, min_qty: float = 300.0,
+                   num_partitions: int = 8, plan: str = "auto"):
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds
+    ``min_qty``, joined back to orders + customer for display columns —
+    the GROUP BY … HAVING subquery feeding an IN filter.
+
+    The per-order quantity sums reduce through the combiner + one
+    narrow shuffle; the HAVING filter leaves a tiny winner set (~0.1%
+    of orders at the default threshold) that is folded to the driver
+    and broadcast — the join-back probes it inside the orders scan with
+    zero further shuffles. Customer names attach by the size-aware
+    planner (broadcast lookup vs hash join)."""
+    plan = _resolve_join_plan(plan, sf_dir, ["customer"])
+    li = _tbl(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    thr_e2 = int(round(min_qty * 100))
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"l_orderkey": t.column("l_orderkey"),
+                      "q": _e2(t.column("l_quantity"))})
+        agg = pa.TableGroupBy(g, "l_orderkey").aggregate([("q", "sum")])
+        return agg.rename_columns(["l_orderkey", "p_q"])
+
+    sums = (li.map_batches(qty_partial, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("l_orderkey").aggregate(Sum("p_q", alias_name="sum_q")))
+    winners = sums.filter(expr=f"sum_q > {thr_e2}")
+    wdf = winners.to_pandas().sort_values("l_orderkey")  # tiny by HAVING
+    wref = ray.put((wdf["l_orderkey"].to_numpy(np.int64),
+                    wdf["sum_q"].to_numpy(np.int64)))
+
+    orders = _tbl(sf_dir, "orders",
+                  ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def pick_orders(t: pa.Table) -> pa.Table:
+        keys, q = ray.get(wref)
+        mask, qv = _probe(keys, q, t.column("o_orderkey").to_numpy())
+        t = t.filter(pa.array(mask))
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+            "o_custkey": t.column("o_custkey").cast(pa.int64()),
+            "o_orderdate": t.column("o_orderdate"),
+            "total_price_e2": _e2(t.column("o_totalprice")),
+            "sum_qty_e2": pa.array(qv[mask], pa.int64()),
+        })
+
+    picked = orders.map_batches(pick_orders, batch_format="pyarrow",
+                                batch_size=65536)
+
+    if plan == "broadcast":
+        cdf = _tbl(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+        nref = ray.put(_sorted_lookup(cdf, "c_custkey", "c_name"))
+
+        def add_name(t: pa.Table) -> pa.Table:
+            keys, names = ray.get(nref)
+            _, nm = _probe(keys, names,
+                           t.column("o_custkey").to_numpy().astype(np.int64))
+            return t.append_column("c_name", pa.array(nm.astype(str)))
+
+        out = picked.map_batches(add_name, batch_format="pyarrow")
+    else:
+        cust = _tbl(sf_dir, "customer", ["c_custkey", "c_name"])
+        out = picked.join(cust, join_type="inner",
+                          num_partitions=num_partitions,
+                          on=("o_custkey",), right_on=("c_custkey",))
+
+    return out.select_columns(
+        ["c_name", "o_orderkey", "o_orderdate", "total_price_e2", "sum_qty_e2"])
+
+
+# ---------------------------------------------------------------------------
+# Q22 shape: global scalar subquery + anti-join
+# ---------------------------------------------------------------------------
+
+def cust_idle_q22(sf_dir: str, since: str = "2000-01-01",
+                  num_partitions: int = 8, plan: str = "auto"):
+    """TPC-H Q22 shape: "rich but idle" customers — account balance
+    above the global average of positive balances (scalar subquery) AND
+    no order since ``since`` (anti-join), grouped into custkey-mod
+    buckets (this schema's stand-in for Q22's phone country code).
+
+    Exactness: ``acctbal > sum/cnt  ⇔  acct_e2·cnt > sum_e2`` clears
+    the rational average to int64. The scalar folds from per-batch
+    partials with ``Dataset.sum`` (no shuffle); the anti side is the
+    distinct recent-order custkey set — broadcast-probed (``~mask``) or
+    a native ``left_anti`` hash join by the planner."""
+    plan = _resolve_join_plan(plan, sf_dir, ["orders"])
+    cust = _tbl(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def scalar_partial(t: pa.Table) -> pa.Table:
+        a = _e2(t.column("c_acctbal"))
+        pos = pc.greater(a, pa.scalar(0, pa.int64()))
+        return pa.table({
+            "p_s": pa.array([pc.sum(pc.if_else(pos, a, pa.scalar(0, pa.int64()))).as_py() or 0], pa.int64()),
+            "p_c": pa.array([pc.sum(pc.cast(pos, pa.int64())).as_py() or 0], pa.int64()),
+        })
+
+    sc = cust.map_batches(scalar_partial, batch_format="pyarrow",
+                          batch_size=65536).sum(["p_s", "p_c"])
+    ss, cc = int(sc["sum(p_s)"]), int(sc["sum(p_c)"])
+
+    def rich(t: pa.Table) -> pa.Table:
+        a = _e2(t.column("c_acctbal"))
+        mask = pc.greater(pc.multiply(a, pa.scalar(cc, pa.int64())),
+                          pa.scalar(ss, pa.int64()))
+        t = t.filter(mask)
+        return pa.table({"c_custkey": t.column("c_custkey").cast(pa.int64()),
+                         "acct_e2": _e2(t.column("c_acctbal"))})
+
+    rich_ds = cust.map_batches(rich, batch_format="pyarrow",
+                               batch_size=65536)
+
+    orders = _tbl(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    lo = _TS(since)
+
+    def recent_keys_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("o_orderdate"), lo))
+        return pa.table({"o_custkey": pa.array(
+            np.unique(t.column("o_custkey").to_numpy()), pa.int64())})
+
+    recent = orders.map_batches(recent_keys_partial, batch_format="pyarrow")
+
+    if plan == "broadcast":
+        parts = [t for t in ray.get(recent.to_arrow_refs()) if t.num_rows]
+        keys = (np.unique(np.concatenate(
+            [t.column("o_custkey").to_numpy() for t in parts]))
+            if parts else np.empty(0, np.int64))
+        assert keys.size <= BROADCAST_BUILD_MAX_ROWS, "guard: use partitioned"
+        kref = ray.put(keys)
+
+        def anti(t: pa.Table) -> pa.Table:
+            ks = ray.get(kref)
+            mask, _ = _probe(ks, ks, t.column("c_custkey").to_numpy())
+            return t.filter(pa.array(~mask))
+
+        idle = rich_ds.map_batches(anti, batch_format="pyarrow")
+    else:
+        recent_d = (recent.groupby("o_custkey").count()
+                    .select_columns(["o_custkey"]))
+        idle = rich_ds.join(recent_d, join_type="left_anti",
+                            num_partitions=num_partitions,
+                            on=("c_custkey",), right_on=("o_custkey",))
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t.column("c_custkey"), pa.scalar(7, pa.int64())), pa.int64())
+        g = pa.table({"cgroup": b, "a": t.column("acct_e2"),
+                      "one": pa.array(np.ones(t.num_rows, np.int64))})
+        agg = pa.TableGroupBy(g, "cgroup").aggregate(
+            [("one", "sum"), ("a", "sum")])
+        return agg.rename_columns(["cgroup", "p_n", "p_a"])
+
+    out = (idle.map_batches(bucket_partial, batch_format="pyarrow")
+           .groupby("cgroup").aggregate(Sum("p_n", alias_name="n_cust"),
+                                        Sum("p_a", alias_name="total_acct_e2")))
+    return out.map_batches(
+        lambda t: pa.table({
+            "cgroup": t.column("cgroup").cast(pa.int64()),
+            "n_cust": t.column("n_cust").cast(pa.int64()),
+            "total_acct_e2": t.column("total_acct_e2").cast(pa.int64()),
+        }), batch_format="pyarrow")
