@@ -770,6 +770,19 @@ def _emb_gram(sf_dir: str):
     return emb_gram(emb)
 
 
+def _emb_kmeans(sf_dir: str):
+    """SemDeDup-style k-means cluster assignment: two-iteration
+    integer-exact Lloyd (e6 fixed-point elements, int64 squared-L2,
+    floor-div centroid update), smallest-vec_id seeds
+    (``stages/kmeans.py:emb_kmeans``)."""
+    import ray.data
+    from horizon_ocr_python_ray.stages.kmeans import emb_kmeans
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    return emb_kmeans(emb, k=8)
+
+
 def _doc_stratified_sample(sf_dir: str):
     """Exact k-per-language subsample by smallest doc_id hash
     (``stages/sampling.py:stratified_sample``)."""
@@ -1114,6 +1127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stratified_sample": _doc_stratified_sample,
         "emb_centroids": _emb_centroids,
         "emb_gram": _emb_gram,
+        "emb_kmeans": _emb_kmeans,
         "corpus_postings": _corpus_postings,
         "corpus_top_terms": _corpus_top_terms,
         "corpus_top_bigrams": _corpus_top_bigrams,
@@ -1464,6 +1478,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(a.q * b.q) AS BIGINT) AS gram
             FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.dim <= b.dim
             GROUP BY a.dim, b.dim
+        """,
+        # Full SQL replay of the pinned two-iteration integer Lloyd:
+        # e6 elements, int64 squared-L2, ties → smaller centroid id,
+        # floor-div centroid update (DuckDB ``//`` truncates toward
+        # zero, hence floor()), empty clusters keep their seed.
+        "emb_kmeans": """
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding::DOUBLE[],
+                                    x -> CAST(round(x * 1000000) AS BIGINT)) AS v
+              FROM embeddings
+            ), seeds AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS sid, v
+              FROM e ORDER BY vec_id LIMIT 8
+            ), a1 AS (
+              SELECT e.vec_id, s.sid,
+                     CAST(list_sum(list_transform(
+                       range(1, len(e.v) + 1),
+                       i -> (e.v[i] - s.v[i]) * (e.v[i] - s.v[i]))) AS BIGINT) AS d2
+              FROM e CROSS JOIN seeds s
+            ), asg1 AS (
+              SELECT vec_id, sid FROM a1
+              QUALIFY row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d2, sid) = 1
+            ), el AS (
+              SELECT a.sid, generate_subscripts(e.v, 1) AS i,
+                     unnest(e.v) AS x
+              FROM asg1 a JOIN e USING (vec_id)
+            ), sums AS (
+              SELECT sid, i,
+                     CAST(floor(sum(x)::DOUBLE / count(*)) AS BIGINT) AS c
+              FROM el GROUP BY sid, i
+            ), cents AS (
+              SELECT s.sid, coalesce(u.v2, s.v) AS v
+              FROM seeds s LEFT JOIN (
+                SELECT sid, list(c ORDER BY i) AS v2 FROM sums GROUP BY sid
+              ) u USING (sid)
+            ), a2 AS (
+              SELECT e.vec_id, c.sid,
+                     CAST(list_sum(list_transform(
+                       range(1, len(e.v) + 1),
+                       i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))) AS BIGINT) AS d2
+              FROM e CROSS JOIN cents c
+            )
+            SELECT vec_id, sid AS cluster, d2 AS dist FROM a2
+            QUALIFY row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d2, sid) = 1
         """,
         "emb_centroids": """
             WITH e AS (

@@ -1,0 +1,144 @@
+"""Distributed k-means cluster assignment over an embedding column —
+the clustering substrate behind SemDeDup-style semantic dedup and
+cluster-balanced sampling (group docs by embedding cluster, then dedup
+or budget within clusters).
+
+Algorithm (pinned for cross-engine exactness — every step is integer):
+
+1. **Seeds** = the embeddings of the ``k`` smallest ``vec_id`` rows
+   (deterministic farthest thing from ``Math.random``), fixed-pointed
+   to e6 int64 per element (``round(x·1e6)`` half away from zero —
+   the :mod:`.vecagg` contract).
+2. **Assign** (iteration 1): nearest seed by squared L2 distance in
+   int64 (elements ≤ ~6e5 e6-units ⇒ 64-dim distances ≤ ~1e14, exact);
+   ties break to the smaller centroid id.
+3. **Update**: new centroid element = ``floor(sum_e6 / n)`` — floor
+   division of the exact int64 member sums, so both engines compute
+   the identical integer centroid (DuckDB ``//`` truncates toward
+   zero, so the oracle spells it ``CAST(floor(s::DOUBLE/n) AS
+   BIGINT)``; the double division is exact-enough: |s| < 2^53 and the
+   true quotient is a rational ≥ 1e-5 away from the nearest integer
+   when not exactly integral).
+4. **Assign** (iteration 2): final assignment against the updated
+   centroids.
+
+Scale shape: seeds via a per-batch min-k combiner + tiny driver merge
+(never a global sort); each assign pass is one stateless
+``map_batches`` against a ``ray.put`` broadcast centroid matrix (k×d
+ints — k·d ≪ memory for any sane k); the update reuses the
+:func:`.vecagg.emb_centroids` combiner shape (one narrow
+``groupby(cluster, dim).sum`` whose row count is k×d per batch,
+corpus-size-independent). Output is one ``(vec_id, cluster, dist)``
+row per vector — streaming, never a per-cluster member-list
+materialization.
+
+Empty clusters keep their previous centroid (iteration-1 seed), the
+conventional Lloyd rule — pinned here and mirrored in the oracle via a
+COALESCE join back to the seed table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+from ray.data.aggregate import Sum
+
+from .vecagg import EMB_SCALE, _batch_matrix, _round_half_away
+
+
+def _scaled(batch: pa.Table, emb_col: str) -> np.ndarray:
+    mat = _batch_matrix(batch, emb_col)
+    if mat.size == 0:
+        return np.empty((0, 0), np.int64)
+    return _round_half_away(mat.astype(np.float64) * EMB_SCALE).astype(np.int64)
+
+
+def _assign(x: np.ndarray, cents: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Nearest centroid by int64 squared L2; ties → smaller centroid id
+    (``argmin`` returns the first minimum and centroid rows are stored
+    in id order)."""
+    # (n, k) distance matrix; chunk k to keep the temp small if needed.
+    d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    cl = d2.argmin(axis=1)
+    return cl.astype(np.int64), d2[np.arange(len(cl)), cl]
+
+
+def _seed_centroids(emb_ds, k: int, id_col: str, emb_col: str) -> np.ndarray:
+    """k smallest-id embeddings: per-batch min-k partials → driver merge."""
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy()
+        if len(ids) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "e6": pa.array([], pa.list_(pa.int64()))})
+        keep = np.argsort(ids, kind="stable")[:k]
+        x = _scaled(t, emb_col)[keep]
+        return pa.table({id_col: pa.array(ids[keep], pa.int64()),
+                         "e6": pa.array(list(x), pa.list_(pa.int64()))})
+
+    rows = emb_ds.map_batches(partial, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: r[id_col])
+    return np.asarray([r["e6"] for r in rows[:k]], dtype=np.int64)
+
+
+def emb_kmeans(emb_ds, k: int = 8, id_col: str = "vec_id",
+               emb_col: str = "embedding"):
+    """Two-iteration integer-exact Lloyd k-means; returns one
+    ``(vec_id, cluster, dist)`` row per vector (``dist`` = int64
+    squared L2 in e6 units against the iteration-2 centroids)."""
+    seeds = _seed_centroids(emb_ds, k, id_col, emb_col)
+    k = len(seeds)
+    sref = ray.put(seeds)
+
+    def sum_partial(t: pa.Table) -> pa.Table:
+        """Iteration-1 assignment folded into the centroid-sum combiner
+        (the vecagg reduceat shape, keyed by the computed cluster)."""
+        x = _scaled(t, emb_col)
+        if x.size == 0:
+            return pa.table({"cluster": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "p_s": pa.array([], pa.int64()),
+                             "p_n": pa.array([], pa.int64())})
+        cl, _ = _assign(x, ray.get(sref))
+        order = np.argsort(cl, kind="stable")
+        sc = cl[order]
+        starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+        seg = np.add.reduceat(x[order], starts, axis=0)
+        ns = np.diff(np.r_[starts, len(sc)])
+        uniq = sc[starts]
+        dim = x.shape[1]
+        return pa.table({
+            "cluster": pa.array(np.repeat(uniq, dim), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), len(uniq)), pa.int64()),
+            "p_s": pa.array(seg.ravel(), pa.int64()),
+            "p_n": pa.array(np.repeat(ns.astype(np.int64), dim), pa.int64()),
+        })
+
+    sums = (emb_ds.map_batches(sum_partial, batch_format="pyarrow")
+            .groupby(["cluster", "dim"])
+            .aggregate(Sum("p_s", alias_name="s"), Sum("p_n", alias_name="n"))
+            ).take_all()  # k×d rows — tiny for any sane k
+    dim = seeds.shape[1]
+    cents = seeds.copy()  # empty clusters keep their seed centroid
+    acc = np.zeros((k, dim), np.int64)
+    cnt = np.zeros(k, np.int64)
+    for r in sums:
+        acc[r["cluster"], r["dim"]] = r["s"]
+        cnt[r["cluster"]] = r["n"]
+    nonempty = cnt > 0
+    cents[nonempty] = acc[nonempty] // cnt[nonempty, None]  # floor div
+    cref = ray.put(cents)
+
+    def final_assign(t: pa.Table) -> pa.Table:
+        x = _scaled(t, emb_col)
+        ids = t.column(id_col).to_numpy()
+        if x.size == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64()),
+                             "dist": pa.array([], pa.int64())})
+        cl, d2 = _assign(x, ray.get(cref))
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "cluster": pa.array(cl, pa.int64()),
+                         "dist": pa.array(d2, pa.int64())})
+
+    return emb_ds.map_batches(final_assign, batch_format="pyarrow")
