@@ -883,6 +883,28 @@ def _pages_host_stats(sf_dir: str):
     return host_stats_salted(read_pages(corpus))
 
 
+def _pages_host_lang(sf_dir: str):
+    """Grouped mode / argmax: dominant language per host (ties → the
+    lexicographically smallest lang; ``stages/skew.py:host_lang_mode``)."""
+    from horizon_ocr_python_ray import ensure_corpus, read_pages, sf_from_dir
+    from horizon_ocr_python_ray.stages.skew import host_lang_mode
+
+    corpus = ensure_corpus(sf_from_dir(sf_dir))
+    return host_lang_mode(read_pages(corpus))
+
+
+def _doc_mean_rank(sf_dir: str):
+    """CCNet-style fluency proxy: per-doc sum of corpus frequency ranks
+    over token occurrences (integer-exact unigram-LM stand-in;
+    ``stages/topterms.py:doc_mean_rank``)."""
+    import ray.data
+    from horizon_ocr_python_ray.stages.topterms import doc_mean_rank
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return doc_mean_rank(docs)
+
+
 def _pages_metrics(sf_dir: str):
     from horizon_ocr_python_ray import build_extract_pipeline, ensure_corpus, read_pages, sf_from_dir
     from horizon_ocr_python_ray.stages.metrics import job_metrics
@@ -1137,6 +1159,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_dup_losers": _pages_dup_losers,
         "pages_curation_funnel": _pages_curation_funnel,
         "pages_host_stats": _pages_host_stats,
+        "pages_host_lang": _pages_host_lang,
+        "doc_mean_rank": _doc_mean_rank,
         "pages_metrics": _pages_metrics,
         "pages_errors": _pages_errors,
         "doc_lang_unique": _doc_lang_unique,
@@ -1687,6 +1711,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, canonical_url FROM c
             QUALIFY row_number() OVER (
               PARTITION BY canonical_url ORDER BY warc_ts, url) > 1
+        """,
+        # Grouped mode / argmax: dominant language per host, ties to the
+        # lexicographically smallest lang (window-rank restatement).
+        "pages_host_lang": f"""
+            WITH c AS (
+              SELECT lower(split_part(split_part(url, '://', 2), '/', 1))
+                       AS host,
+                     lang, count(*) AS n
+              FROM read_parquet('{pages_sf0_01}')
+              GROUP BY 1, 2
+            )
+            SELECT host, lang AS top_lang, CAST(n AS BIGINT) AS n_top,
+                   CAST(count(*) OVER (PARTITION BY host) AS BIGINT)
+                     AS n_langs
+            FROM c
+            QUALIFY row_number() OVER (PARTITION BY host
+                                       ORDER BY n DESC, lang ASC) = 1
+        """,
+        # CCNet-style fluency proxy: corpus frequency rank of every
+        # token occurrence, summed per doc (rank 1 = most frequent term,
+        # ties by term ASC — integer-exact, no ln() in the compare).
+        "doc_mean_rank": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                       AS term
+              FROM documents WHERE trim(text) <> ''
+            ), c AS (
+              SELECT term, count(*) AS n FROM tok GROUP BY term
+            ), r AS (
+              SELECT term,
+                     row_number() OVER (ORDER BY n DESC, term ASC) AS rank
+              FROM c
+            ), s AS (
+              SELECT tok.doc_id, count(*) AS n_tokens,
+                     sum(r.rank) AS rank_sum
+              FROM tok JOIN r USING (term) GROUP BY tok.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(s.rank_sum, 0) AS BIGINT) AS rank_sum
+            FROM documents d LEFT JOIN s USING (doc_id)
         """,
         # Salted two-phase host aggregation vs a direct SQL groupby over
         # the raw pages table.

@@ -84,6 +84,47 @@ def host_stats_salted(pages_ds, num_salts: int = 16):
     )
 
 
+def host_lang_mode(pages_ds):
+    """Dominant language per host — the grouped MODE / argmax aggregate
+    (per-host majority vote; crawl curation uses it to pick a host's
+    pipeline language). Ties break to the lexicographically smallest
+    lang, so the result is deterministic.
+
+    Shape: batch-local (host, lang) count combiner → one narrow
+    ``groupby((host, lang)).sum`` → per-host argmax over the REDUCED
+    rows via ``groupby(host).map_groups`` (each group is ≤ |langs|
+    rows — corpus-size-independent). Returns
+    (host, top_lang, n_top, n_langs)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.select(["url", "lang"])
+        hosts = pa.array([host_of(u) for u in t.column("url").to_pylist()],
+                         pa.string())
+        t2 = pa.Table.from_arrays(
+            [hosts, t.column("lang"),
+             pa.array([1] * t.num_rows, pa.int64())],
+            names=["host", "lang", "one"])
+        agg = pa.TableGroupBy(t2, ["host", "lang"]).aggregate([("one", "sum")])
+        return agg.rename_columns(["host", "lang", "p_n"])
+
+    counts = (pages_ds.map_batches(partial, batch_format="pyarrow",
+                                   batch_size=4096)
+              .groupby(["host", "lang"]).aggregate(Sum("p_n", alias_name="n")))
+
+    def pick(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[("n", "descending"),
+                                                  ("lang", "ascending")])
+        top = group.take(order[:1])
+        return pa.table({
+            "host": top.column("host"),
+            "top_lang": top.column("lang"),
+            "n_top": top.column("n").cast(pa.int64()),
+            "n_langs": pa.array([group.num_rows], pa.int64()),
+        })
+
+    return counts.groupby("host").map_groups(pick, batch_format="pyarrow")
+
+
 def hot_hosts(pages_ds, top_k: int = 10, num_salts: int = 16):
     """Skew diagnosis: the top-k hosts by page count (partial top-k over
     the salted aggregate — never a full sort)."""

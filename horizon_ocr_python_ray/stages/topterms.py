@@ -180,6 +180,99 @@ def _topk_in_doc(group: pa.Table, k: int) -> pa.Table:
         "rank", pa.array(range(1, kept.num_rows + 1), pa.int64()))
 
 
+def _partial_tf(batch: pa.Table) -> pa.Table:
+    """Batch-local combiner counting token OCCURRENCES (not DF): one
+    output row per distinct term per batch."""
+    counts: Counter = Counter()
+    for text in batch.column("text").to_pylist():
+        counts.update(_doc_terms(text))
+    terms = sorted(counts)
+    return pa.Table.from_arrays(
+        [pa.array(terms, pa.string()),
+         pa.array([counts[t] for t in terms], pa.int64())],
+        names=["term", "partial_df"],   # reuse the fold's column contract
+    )
+
+
+def build_rank_table(docs_ds) -> "pa.Table":
+    """Corpus frequency ranks: (term, rank) with rank 1 = most frequent,
+    ties broken by term ASC — the integer-exact stand-in for a unigram
+    LM's log-probability order (CCNet-style quality scoring without a
+    transcendental in the compare surface). Same driver fold + vocab
+    guard as :func:`build_df_table`."""
+    import numpy as np
+    import ray
+
+    empty = pa.table(
+        {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
+
+    def _fold(tables: list[pa.Table]) -> pa.Table:
+        merged = (pa.concat_tables(tables)
+                  .group_by("term").aggregate([("df", "sum")])
+                  .select(["term", "df_sum"]).rename_columns(["term", "df"]))
+        if merged.num_rows > BROADCAST_VOCAB_MAX:
+            raise ValueError(
+                f"vocabulary {merged.num_rows} exceeds broadcast bound "
+                f"{BROADCAST_VOCAB_MAX}; shuffle-join the rank table on "
+                "term instead (the doc_top_terms plan='join' shape)")
+        return merged
+
+    partials = docs_ds.map_batches(_partial_tf, batch_format="pyarrow")
+    acc = [empty]
+    for ref in partials.to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows:
+            acc.append(t.rename_columns(["term", "df"]))
+        if len(acc) >= 64:
+            acc = [_fold(acc)]
+    tf = _fold(acc) if len(acc) > 1 else acc[0]
+    if not tf.num_rows:
+        return pa.table({"term": pa.array([], pa.string()),
+                         "rank": pa.array([], pa.int64())})
+    import pyarrow.compute as pc
+
+    order = pc.sort_indices(tf, sort_keys=[("df", "descending"),
+                                           ("term", "ascending")])
+    ranked = tf.take(order)
+    return pa.table({"term": ranked.column("term"),
+                     "rank": pa.array(np.arange(1, ranked.num_rows + 1),
+                                      pa.int64())})
+
+
+def doc_mean_rank(docs_ds, rank_docs_ds=None):
+    """Corpus-relative fluency score per document: the sum (and count)
+    of each token occurrence's corpus frequency RANK — a low mean rank
+    means the document is made of common words (fluent-ish), a high one
+    flags gibberish/rare-token soup. The integer (rank_sum, n_tokens)
+    pair is the compare surface; consumers divide for the mean.
+
+    Two passes: the rank table folds from per-batch occurrence
+    combiners on the driver (vocab-guarded, the top-terms pattern) and
+    broadcasts via ``ray.put``; scoring is then one stateless
+    ``map_batches`` — zero shuffles end to end."""
+    import ray
+
+    rank_tbl = build_rank_table(rank_docs_ds or docs_ds)
+    rref = ray.put(rank_tbl)
+
+    def score(batch: pa.Table) -> pa.Table:
+        tbl = ray.get(rref)
+        ranks = dict(zip(tbl.column("term").to_pylist(),
+                         tbl.column("rank").to_pylist()))
+        ids, ns, sums = [], [], []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            toks = [t.lower() for t in tokens(text)]
+            ids.append(doc_id)
+            ns.append(len(toks))
+            sums.append(sum(ranks[t] for t in toks))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_tokens": pa.array(ns, pa.int64()),
+                         "rank_sum": pa.array(sums, pa.int64())})
+
+    return docs_ds.map_batches(score, batch_format="pyarrow", batch_size=256)
+
+
 def doc_top_terms(docs_ds, k: int = 3, concurrency: tuple[int, int] = (1, 4),
                   plan: str = "auto", num_partitions: int = 8):
     """documents (doc_id, text) → top-k terms per doc by
