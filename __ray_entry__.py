@@ -324,6 +324,29 @@ def _events_hourly_users(sf_dir: str):
     return events_hourly_users(events, width_s=3600)
 
 
+def _events_retention(sf_dir: str):
+    """Cohort retention matrix: (first-activity day, day offset) →
+    distinct retained users; one user-bucket shuffle
+    (``stages/window.py:events_retention``)."""
+    import ray.data
+    from horizon_ocr_python_ray.stages.window import events_retention
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["ts", "user_id"])
+    return events_retention(events)
+
+
+def _events_pivot(sf_dir: str):
+    """Long→wide pivot: per-user count column per event type
+    (``stages/window.py:events_pivot``)."""
+    import ray.data
+    from horizon_ocr_python_ray.stages.window import events_pivot
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["user_id", "event_type"])
+    return events_pivot(events)
+
+
 def _events_rollup(sf_dir: str):
     """Three-level ROLLUP(event_type, hour) — raw table scanned once,
     coarser levels fold from the finest aggregate."""
@@ -1113,6 +1136,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": _events_funnel,
         "events_lag": _events_lag,
         "events_hourly_users": _events_hourly_users,
+        "events_retention": _events_retention,
+        "events_pivot": _events_pivot,
         "events_rollup": _events_rollup,
         "events_quantiles": _events_quantiles,
         "events_distinct_users": _events_distinct_users,
@@ -2284,6 +2309,33 @@ def oracle_sql() -> dict[str, str]:
         # ROLLUP cascade vs the native SQL ROLLUP: per-event e4 fixed
         # point BEFORE summing on both sides, sentinel ('ALL', epoch-0)
         # for rolled-up dimensions instead of NULLs.
+        # Cohort retention: first-activity day per user, distinct
+        # user-days per (cohort, offset). DuckDB epoch_us // k (floor
+        # per the verify-skill gotcha: epoch() rounds).
+        "events_retention": """
+            WITH p AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // 86400000000 AS day
+              FROM events
+            ), f AS (
+              SELECT user_id, min(day) AS cohort FROM p GROUP BY user_id
+            )
+            SELECT f.cohort AS cohort_day,
+                   p.day - f.cohort AS day_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM p JOIN f USING (user_id)
+            GROUP BY 1, 2
+        """,
+        # Long→wide pivot: FILTER counts per event type, one row per user.
+        "events_pivot": """
+            SELECT user_id,
+                   CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+                   CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+                   CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+                   CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+                   CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+            FROM events GROUP BY user_id
+        """,
         "events_rollup": """
             WITH e AS (
               SELECT event_type, (epoch_us(ts) // 3600000000) AS wh,

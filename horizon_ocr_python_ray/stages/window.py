@@ -538,3 +538,96 @@ def events_funnel(events_ds, first: str = "view", then: str = "purchase",
 
     return grouped_reduce(events_ds, "user_id", funnel_bucket,
                           batch_format="pandas")
+
+
+def events_retention(events_ds, day_s: int = 86400):
+    """Cohort retention matrix: users grouped by first-activity day
+    (their cohort), counted as retained on each later day they appear —
+    the (cohort_day, day_offset) → distinct-user-count surface every
+    product-analytics stack computes, and a self-join shape (events ⋈
+    first-event-per-user) the other window ops don't cover.
+
+    ONE user-bucket shuffle does everything: the batch combiner first
+    dedups to distinct (user_id, day) pairs (the shuffle never carries
+    more than one row per user-day per batch), the bucket reduce then
+    derives each user's cohort = min(day) LOCALLY (all of a user's days
+    share the bucket) and emits (cohort, offset) partial counts — a
+    distinct user-day is by construction one retained user — and a tiny
+    ``groupby((cohort, offset)).sum`` finishes. No join operator, no
+    second shuffle; the same co-location argument as
+    :func:`events_hourly_users`."""
+    from .hashagg import grouped_reduce
+
+    day_us = day_s * 1_000_000
+
+    def day_pairs(t: pa.Table) -> pa.Table:
+        epoch = t.column("ts").cast(pa.int64())
+        day = pc.floor(pc.divide(pc.cast(epoch, pa.float64()),
+                                 float(day_us))).cast(pa.int64())
+        t2 = pa.table({"user_id": t.column("user_id"), "day": day})
+        return (pa.TableGroupBy(t2, ["user_id", "day"]).aggregate([])
+                .rename_columns(["user_id", "day"]))
+
+    def bucket_counts(t: pa.Table) -> pa.Table:
+        d = t.group_by(["user_id", "day"]).aggregate([])
+        cohort = (d.group_by("user_id").aggregate([("day", "min")])
+                  .rename_columns(["user_id", "cohort"]))
+        j = d.join(cohort, keys="user_id")
+        off = pc.subtract(j.column("day"), j.column("cohort"))
+        g = pa.table({"cohort_day": j.column("cohort"), "day_offset": off})
+        agg = pa.TableGroupBy(g, ["cohort_day", "day_offset"]).aggregate(
+            [([], "count_all")])
+        return agg.rename_columns(["cohort_day", "day_offset", "part"])
+
+    parts = grouped_reduce(
+        events_ds.map_batches(day_pairs, batch_format="pyarrow"),
+        "user_id", bucket_counts)
+    out = parts.groupby(["cohort_day", "day_offset"]).aggregate(
+        Sum("part", alias_name="n_users"))
+    return out.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t.column("cohort_day").cast(pa.int64()),
+             t.column("day_offset").cast(pa.int64()),
+             t.column("n_users").cast(pa.int64())],
+            names=["cohort_day", "day_offset", "n_users"]),
+        batch_format="pyarrow")
+
+
+def events_pivot(events_ds):
+    """Long→wide pivot: one row per user with a count column per event
+    type (the one-hot / feature-table shape model-training pipelines
+    feed from event logs). Event types are discovered by a tiny
+    distinct pass (sorted, deterministic column order), then each batch
+    combines to per-user wide partial counts and ONE high-cardinality
+    ``grouped_aggregate`` sum finishes — the pivot itself never
+    shuffles strings, only int64 count columns."""
+    from .hashagg import grouped_aggregate
+
+    types = sorted(events_ds.select_columns(["event_type"])
+                   .unique("event_type"))
+    cols = [f"n_{t}" for t in types]
+
+    def widen(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        users = t.column("user_id").to_numpy()
+        ets = t.column("event_type").to_pylist()
+        uu, inv = np.unique(users, return_inverse=True)
+        mat = np.zeros((len(uu), len(types)), np.int64)
+        tidx = {et: i for i, et in enumerate(types)}
+        np.add.at(mat, (inv, np.fromiter((tidx[e] for e in ets), np.int64,
+                                         len(ets))), 1)
+        data = {"user_id": pa.array(uu, pa.int64())}
+        for i, c in enumerate(cols):
+            data[c] = pa.array(mat[:, i], pa.int64())
+        return pa.table(data)
+
+    wide = events_ds.select_columns(["user_id", "event_type"]).map_batches(
+        widen, batch_format="pyarrow")
+    out = grouped_aggregate(wide, "user_id",
+                            [(c, "sum", c) for c in cols])
+    return out.map_batches(
+        lambda t: pa.table(
+            {"user_id": t.column("user_id").cast(pa.int64()),
+             **{c: t.column(c).cast(pa.int64()) for c in cols}}),
+        batch_format="pyarrow")
