@@ -324,6 +324,31 @@ def _events_hourly_users(sf_dir: str):
     return events_hourly_users(events, width_s=3600)
 
 
+def _events_attribution(sf_dir: str):
+    """Last-touch attribution: two-stream as-of join (purchase ← most
+    recent strictly-earlier view by the same user;
+    ``stages/window.py:events_attribution``)."""
+    import ray.data
+    from horizon_ocr_python_ray.stages.window import events_attribution
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "user_id", "event_id", "event_type"])
+    return events_attribution(events)
+
+
+def _emb_nn_join(sf_dir: str):
+    """Exact 1-NN self-join over the embedding table (SemDeDup's
+    nearest-neighbor-distance primitive;
+    ``stages/ann.py:emb_nn_join``)."""
+    import ray.data
+    from horizon_ocr_python_ray.stages.ann import emb_nn_join
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    return emb_nn_join(emb)
+
+
 def _events_retention(sf_dir: str):
     """Cohort retention matrix: (first-activity day, day offset) →
     distinct retained users; one user-bucket shuffle
@@ -1138,6 +1163,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_users": _events_hourly_users,
         "events_retention": _events_retention,
         "events_pivot": _events_pivot,
+        "events_attribution": _events_attribution,
+        "emb_nn_join": _emb_nn_join,
         "events_rollup": _events_rollup,
         "events_quantiles": _events_quantiles,
         "events_distinct_users": _events_distinct_users,
@@ -2309,6 +2336,44 @@ def oracle_sql() -> dict[str, str]:
         # ROLLUP cascade vs the native SQL ROLLUP: per-event e4 fixed
         # point BEFORE summing on both sides, sentinel ('ALL', epoch-0)
         # for rolled-up dimensions instead of NULLs.
+        # Two-stream as-of join: most recent strictly-earlier view per
+        # purchase, equal-ts ties to the largest view event_id.
+        "events_attribution": """
+            WITH v AS (
+              SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'view'
+            ), p AS (
+              SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'purchase'
+            )
+            SELECT p.event_id AS purchase_id, p.user_id,
+                   p.ts AS purchase_ts,
+                   v.event_id AS view_id, v.ts AS view_ts
+            FROM p JOIN v ON v.user_id = p.user_id AND v.ts < p.ts
+            QUALIFY row_number() OVER (
+              PARTITION BY p.event_id
+              ORDER BY v.ts DESC, v.event_id DESC) = 1
+        """,
+        # Exact 1-NN self-join: e6 integer squared-L2, ties to the
+        # smaller neighbor id.
+        "emb_nn_join": """
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding::DOUBLE[],
+                                    x -> CAST(round(x * 1000000) AS BIGINT)) AS v
+              FROM embeddings
+            ), d AS (
+              SELECT a.vec_id, b.vec_id AS nn_id,
+                     CAST(list_sum(list_transform(
+                       range(1, len(a.v) + 1),
+                       i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))) AS BIGINT)
+                       AS dist
+              FROM e a JOIN e b ON a.vec_id <> b.vec_id
+            )
+            SELECT vec_id, nn_id, dist FROM d
+            QUALIFY row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, nn_id) = 1
+        """,
         # Cohort retention: first-activity day per user, distinct
         # user-days per (cohort, offset). DuckDB epoch_us // k (floor
         # per the verify-skill gotcha: epoch() rounds).

@@ -532,3 +532,80 @@ def embedding_near_dup_pairs(emb_ds, threshold: float = 0.95):
         pair_finder_task, fn_kwargs={"refs_ref": refs_ref, "threshold": threshold},
         batch_format="pyarrow", batch_size=4096,
     )
+
+
+#: e6 fixed-point shard cache for the exact 1-NN sweep (ids sorted, so
+#: in-shard argmin ties resolve to the smaller vec_id for free).
+_INT_SHARD_CACHE: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _int_shard(ref) -> tuple[np.ndarray, np.ndarray]:
+    key = ref.hex()
+    got = _INT_SHARD_CACHE.get(key)
+    if got is None:
+        from .vecagg import EMB_SCALE, _round_half_away
+
+        ids, emb = _batch_matrix(ray.get(ref))
+        x = _round_half_away(emb.astype(np.float64) * EMB_SCALE)
+        order = np.argsort(ids)
+        got = (ids[order].astype(np.int64), x[order])
+        _INT_SHARD_CACHE[key] = got
+    return got
+
+
+def emb_nn_join(emb_ds):
+    """Exact 1-NN self-join: for every vector, its nearest OTHER vector
+    by squared L2 — SemDeDup's core primitive (dedup decisions key off
+    each point's nearest-neighbor distance) and the kNN-join shape
+    (every left row probes, unlike the fixed-query ``brute_force_topk``).
+
+    Distances are exact integers in e6 units: elements are fixed-pointed
+    (``round(x·1e6)``, the vecagg contract) and the float64 BLAS matmul
+    that computes ``‖a‖² + ‖b‖² − 2a·b`` is EXACT here — every partial
+    product and sum is an integer below 2⁵³ (64 dims × (1.2e6)² ≈ 9e13)
+    — so ties are well-defined and break to the smaller neighbor id.
+
+    Plan: the same driver-free block-sweep as
+    :func:`embedding_near_dup_pairs` — each left batch folds a running
+    (best_dist, best_id) over the materialized shard refs (per-worker
+    shard cache; shards stored id-sorted so in-shard ``argmin`` ties
+    already favor the smaller id). O(n²) work is inherent to the exact
+    answer; the scale path composes :func:`ivf_topk`'s coarse clusters
+    (or :mod:`.kmeans`) to restrict each sweep to same-cluster shards.
+    """
+    shard_refs = emb_ds.select_columns(["vec_id", "embedding"]).to_arrow_refs()
+    refs_ref = ray.put(shard_refs)
+
+    def nn_task(batch: pa.Table, refs_ref) -> pa.Table:
+        from .vecagg import EMB_SCALE, _round_half_away
+
+        bids, bemb = _batch_matrix(batch)
+        if not len(bids):
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "nn_id": pa.array([], pa.int64()),
+                             "dist": pa.array([], pa.int64())})
+        x = _round_half_away(bemb.astype(np.float64) * EMB_SCALE)
+        xx = (x * x).sum(axis=1)
+        best_d = np.full(len(bids), np.inf)
+        best_id = np.full(len(bids), -1, np.int64)
+        for ref in ray.get(refs_ref):
+            sids, y = _int_shard(ref)
+            if not len(sids):
+                continue
+            d2 = xx[:, None] + (y * y).sum(axis=1)[None, :] - 2.0 * (x @ y.T)
+            d2[bids[:, None] == sids[None, :]] = np.inf  # mask self
+            j = d2.argmin(axis=1)                        # first min → smaller id
+            d = d2[np.arange(len(bids)), j]
+            cand_id = sids[j]
+            better = (d < best_d) | ((d == best_d) & (cand_id < best_id))
+            best_d = np.where(better, d, best_d)
+            best_id = np.where(better, cand_id, best_id)
+        keep = np.isfinite(best_d)                       # singleton corpus guard
+        return pa.table({
+            "vec_id": pa.array(bids[keep].astype(np.int64), pa.int64()),
+            "nn_id": pa.array(best_id[keep], pa.int64()),
+            "dist": pa.array(best_d[keep].astype(np.int64), pa.int64()),
+        })
+
+    return emb_ds.map_batches(nn_task, fn_kwargs={"refs_ref": refs_ref},
+                              batch_format="pyarrow", batch_size=4096)

@@ -631,3 +631,69 @@ def events_pivot(events_ds):
             {"user_id": t.column("user_id").cast(pa.int64()),
              **{c: t.column(c).cast(pa.int64()) for c in cols}}),
         batch_format="pyarrow")
+
+
+def events_attribution(events_ds, convert: str = "purchase",
+                       touch: str = "view"):
+    """Last-touch attribution: each conversion event joined to the most
+    recent STRICTLY earlier touch event by the same user — the as-of
+    join between two event streams (``events_lag`` is the self-lag
+    special case; this is the two-stream form marketing/causal
+    pipelines run). Conversions with no prior touch are dropped (inner
+    as-of semantics). Ties among equal-timestamp touches resolve to the
+    largest event_id (the latest writer wins — pinned and mirrored in
+    the oracle).
+
+    ONE user-bucket shuffle: both streams are filtered and projected in
+    the batch combiner, co-located by ``hash(user_id)``, and each
+    bucket runs a single vectorized ``pd.merge_asof`` (global sort on
+    ts + ``by=user_id``, C-speed, no per-user Python)."""
+    import pandas as pd
+
+    from .hashagg import grouped_reduce
+
+    def project(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("event_type"),
+                        value_set=pa.array([convert, touch]))
+        t = t.filter(keep)
+        return pa.table({"user_id": t.column("user_id"),
+                         "ts": t.column("ts"),
+                         "event_id": t.column("event_id"),
+                         "event_type": t.column("event_type")})
+
+    def asof_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        conv = df[df["event_type"] == convert]
+        tch = df[df["event_type"] == touch]
+        if conv.empty or tch.empty:
+            return pd.DataFrame({
+                "purchase_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "purchase_ts": pd.Series([], dtype="datetime64[us]"),
+                "view_id": pd.Series([], dtype="int64"),
+                "view_ts": pd.Series([], dtype="datetime64[us]"),
+            })
+        conv = conv.sort_values(["ts", "event_id"], kind="stable")
+        tch = tch.sort_values(["ts", "event_id"], kind="stable")
+        # merge_asof drops the right join key; carry it as a data column.
+        tch = pd.DataFrame({"ts": tch["ts"], "user_id": tch["user_id"],
+                            "view_id": tch["event_id"],
+                            "view_ts": tch["ts"]})
+        j = pd.merge_asof(
+            conv, tch, on="ts", by="user_id",
+            direction="backward", allow_exact_matches=False,
+        )
+        # merge_asof keeps the LAST right row at the matched ts — the
+        # (ts, event_id) ascending sort makes that the max event_id.
+        # Unmatched conversions carry NaN — drop (inner as-of).
+        j = j.dropna(subset=["view_id"])
+        return pd.DataFrame({
+            "purchase_id": j["event_id"].astype("int64"),
+            "user_id": j["user_id"].astype("int64"),
+            "purchase_ts": j["ts"],
+            "view_id": j["view_id"].astype("int64"),
+            "view_ts": j["view_ts"],
+        })
+
+    return grouped_reduce(
+        events_ds.map_batches(project, batch_format="pyarrow"),
+        "user_id", asof_bucket, batch_format="pandas")
