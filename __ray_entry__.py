@@ -1139,6 +1139,37 @@ def _cust_idle(sf_dir: str):
     return cust_idle_q22(sf_dir)
 
 
+def _pages_outlinks(sf_dir: str):
+    """Per-page absolute-anchor harvest (web-graph front-end): one
+    map_batches pass over html-sniffed payloads, no shuffle."""
+    from horizon_ocr_python_ray import ensure_corpus, read_pages, sf_from_dir
+    from horizon_ocr_python_ray.stages.linkgraph import page_outlinks
+
+    corpus = ensure_corpus(sf_from_dir(sf_dir))
+    return page_outlinks(read_pages(corpus))
+
+
+def _host_linkgraph(sf_dir: str):
+    """(src_host, dst_host, n_links) link-frequency table — combiner
+    partials then one narrow groupby."""
+    from horizon_ocr_python_ray import ensure_corpus, read_pages, sf_from_dir
+    from horizon_ocr_python_ray.stages.linkgraph import host_link_counts
+
+    corpus = ensure_corpus(sf_from_dir(sf_dir))
+    return host_link_counts(read_pages(corpus))
+
+
+def _host_pagerank(sf_dir: str):
+    """3-iteration integer-exact PageRank over the distinct non-self
+    host edge set (rank_e12 int64; bit-identical across plans and the
+    SQL replay)."""
+    from horizon_ocr_python_ray import ensure_corpus, read_pages, sf_from_dir
+    from horizon_ocr_python_ray.stages.linkgraph import host_pagerank
+
+    corpus = ensure_corpus(sf_from_dir(sf_dir))
+    return host_pagerank(read_pages(corpus))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pages_extract": _pages_extract,
@@ -1231,6 +1262,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_small_qty": _part_small_qty,
         "big_orders": _big_orders,
         "cust_idle": _cust_idle,
+        "pages_outlinks": _pages_outlinks,
+        "host_linkgraph": _host_linkgraph,
+        "host_pagerank": _host_pagerank,
     }
 
 
@@ -2833,5 +2867,81 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_cust,
                    CAST(sum(acct_e2) AS BIGINT) AS total_acct_e2
             FROM idle GROUP BY 1
+        """,
+        # Outlink harvest vs the planted golden anchors (v14 corpus):
+        # the generator records every absolute cross-host anchor it
+        # writes into the trailing "related" nav block; the engine must
+        # recover exactly those (href + normalized anchor text) from
+        # the raw bytes. Host = lowercased netloc sans userinfo/port —
+        # the same rule as functions/links.py:host_of.
+        "pages_outlinks": f"""
+            WITH g AS (
+              SELECT url, unnest(outlinks) AS l
+              FROM read_parquet('{golden_sf0_01}')
+            )
+            SELECT url,
+                   lower(regexp_extract(url, '^https?://(?:[^@/]*@)?([^/:?#]+)', 1)) AS src_host,
+                   l.href AS href, l.anchor AS anchor,
+                   lower(regexp_extract(l.href, '^https?://(?:[^@/]*@)?([^/:?#]+)', 1)) AS dst_host
+            FROM g
+        """,
+        # Link-frequency table: plain group-count over the same golden
+        # anchor set (self-links and duplicate pages included).
+        "host_linkgraph": f"""
+            WITH g AS (
+              SELECT url, unnest(outlinks) AS l
+              FROM read_parquet('{golden_sf0_01}')
+            )
+            SELECT lower(regexp_extract(url, '^https?://(?:[^@/]*@)?([^/:?#]+)', 1)) AS src_host,
+                   lower(regexp_extract(l.href, '^https?://(?:[^@/]*@)?([^/:?#]+)', 1)) AS dst_host,
+                   CAST(count(*) AS BIGINT) AS n_links
+            FROM g GROUP BY 1, 2
+        """,
+        # Integer-exact PageRank replay: 3 chained CTE iterations of
+        #   r' = 150e9 + Σ_in (85·r) // (100·outdeg)
+        # over the DISTINCT non-self host edge set — floor division on
+        # BIGINTs makes every iteration bit-reproducible, so the hash
+        # compare proves the engine's distributed iteration EXACTLY
+        # (stages/linkgraph.py pins the same rule).
+        "host_pagerank": f"""
+            WITH raw AS (
+              SELECT lower(regexp_extract(url, '^https?://(?:[^@/]*@)?([^/:?#]+)', 1)) AS s,
+                     lower(regexp_extract(l.href, '^https?://(?:[^@/]*@)?([^/:?#]+)', 1)) AS d
+              FROM (SELECT url, unnest(outlinks) AS l
+                    FROM read_parquet('{golden_sf0_01}'))
+            ), edges AS (
+              SELECT DISTINCT s, d FROM raw WHERE s <> d
+            ), outdeg AS (
+              SELECT s, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1
+            ), nodes AS (
+              SELECT s AS h FROM edges UNION SELECT d FROM edges
+            ), it0 AS (
+              SELECT h, CAST(1000000000000 AS BIGINT) AS r FROM nodes
+            ), it1 AS (
+              SELECT n.h,
+                     CAST(150000000000 + COALESCE(SUM((85 * r.r) // (100 * o.deg)), 0) AS BIGINT) AS r
+              FROM nodes n
+              LEFT JOIN edges e ON e.d = n.h
+              LEFT JOIN it0 r ON r.h = e.s
+              LEFT JOIN outdeg o ON o.s = e.s
+              GROUP BY n.h
+            ), it2 AS (
+              SELECT n.h,
+                     CAST(150000000000 + COALESCE(SUM((85 * r.r) // (100 * o.deg)), 0) AS BIGINT) AS r
+              FROM nodes n
+              LEFT JOIN edges e ON e.d = n.h
+              LEFT JOIN it1 r ON r.h = e.s
+              LEFT JOIN outdeg o ON o.s = e.s
+              GROUP BY n.h
+            ), it3 AS (
+              SELECT n.h,
+                     CAST(150000000000 + COALESCE(SUM((85 * r.r) // (100 * o.deg)), 0) AS BIGINT) AS r
+              FROM nodes n
+              LEFT JOIN edges e ON e.d = n.h
+              LEFT JOIN it2 r ON r.h = e.s
+              LEFT JOIN outdeg o ON o.s = e.s
+              GROUP BY n.h
+            )
+            SELECT h AS host, r AS rank_e12 FROM it3
         """,
     }

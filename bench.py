@@ -85,7 +85,8 @@ def run_bench() -> dict:
                  "doc_simhash_near_dup", "pages_redact", "pages_line_dedup",
                  "doc_decontam", "doc_chunks", "doc_packing", "doc_normalize",
                  "doc_incremental_dedup", "events_approx_users", "pages_bloom_probe",
-                 "doc_repeated_ngrams", "doc_quality_gate", "cust_order_dist"):
+                 "doc_repeated_ngrams", "doc_quality_gate", "cust_order_dist",
+                 "pages_outlinks", "host_pagerank"):
         t0 = time.monotonic()
         res = q[name](sf_dir)
         if hasattr(res, "count"):

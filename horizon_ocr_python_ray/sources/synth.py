@@ -94,6 +94,14 @@ STYLE_FIXTURE_TYPE = pa.list_(
     ])
 )
 
+#: Golden planted outlinks (v14): the absolute cross-host anchors the
+#: generator writes into each html page's trailing "related" nav block
+#: (boilerplate — never part of extracted text), in document order —
+#: the oracle for the link-extraction / host-graph / PageRank ops.
+LINK_FIXTURE_TYPE = pa.list_(
+    pa.struct([("href", pa.string()), ("anchor", pa.string())])
+)
+
 PAGES_SCHEMA = pa.schema(
     [
         ("url", pa.string()),
@@ -115,6 +123,7 @@ GOLDEN_SCHEMA = pa.schema(
         ("fields", FIELD_FIXTURE_TYPE),
         ("styles", STYLE_FIXTURE_TYPE),
         ("has_error", pa.bool_()),
+        ("outlinks", LINK_FIXTURE_TYPE),
     ]
 )
 
@@ -135,7 +144,7 @@ _TRACKING_SUFFIXES = (
 )
 
 #: Bumped whenever generated bytes change (cache key of /tmp corpora).
-CORPUS_FORMAT_VERSION = 13
+CORPUS_FORMAT_VERSION = 14
 
 _PAGE_W, _PAGE_H = 1000.0, 1400.0
 
@@ -255,7 +264,9 @@ def _spans_from_parts(parts: list[tuple[str, str]]) -> tuple[str, list[dict]]:
 # Route payload builders — each returns (html_bytes|None, text_col, golden_parts)
 # ---------------------------------------------------------------------------
 
-def _build_html(rng: random.Random, i: int, lang: str = "unknown") -> tuple[bytes, str, list[tuple[str, str]]]:
+def _build_html(
+    rng: random.Random, i: int, lang: str = "unknown"
+) -> tuple[bytes, str, list[tuple[str, str]], list[tuple[str, str]]]:
     title = _title(rng)
     golden: list[tuple[str, str]] = [(title, "title")]
     nav_links = "".join(
@@ -312,12 +323,28 @@ def _build_html(rng: random.Random, i: int, lang: str = "unknown") -> tuple[byte
         f'<aside><p>{_paragraph(rng, lang=lang)}</p></aside>'
         f"<footer><p>Copyright {2020 + i % 6} host. All rights reserved notice.</p></footer>"
     )
+    # v14: planted cross-host outlinks in a trailing "related" nav block.
+    # Destination hosts reuse the Zipf-skewed host pool (heavy hosts get
+    # most in-links — realistic web-graph skew); anchors are two plain
+    # words. The block lives inside <nav> (a drop tag), so extracted
+    # text and spans are untouched — only the link-extraction ops see it.
+    # Drawn AFTER every other draw so pre-v14 content is byte-stable.
+    outlinks: list[tuple[str, str]] = []
+    for _ in range(rng.randint(2, 5)):
+        dst = _pick_host(rng)
+        anchor = f"{rng.choice(_WORDS)} {rng.choice(_WORDS)}"
+        href = f"https://{dst}/p/{rng.randint(0, 99_999_999):08d}"
+        outlinks.append((href, anchor))
+    related = "".join(
+        f'<li><a href="{h}">{a}</a></li>' for h, a in outlinks
+    )
+    body.append(f'<nav class="related"><ul>{related}</ul></nav>')
     html = (
         "<!DOCTYPE html><html><head><title>" + title + "</title></head><body>"
         + "".join(body)
         + "</body></html>"
     )
-    return html.encode("utf-8"), "", golden
+    return html.encode("utf-8"), "", golden, outlinks
 
 
 def _grid_lines(
@@ -650,18 +677,19 @@ def _build_row(i: int, seed: int, route: str):
     rng.random()  # route draw
     lang = _lang_of(i)
     if route == "html":
-        return (*_build_html(rng, i, lang), [], [], [])
+        html_b, text_col, parts, links = _build_html(rng, i, lang)
+        return html_b, text_col, parts, [], [], [], links
     if route == "doc":
         if rng.random() < 0.015:
             # corrupt payload: valid doc magic, unparseable body — the
             # engine must surface a per-row error, never throw. Unique
             # bytes per row so content dedup can't collapse them.
             garbage = DOC_MAGIC + f'{{"pages": corrupt-{i}-{rng.random()}'.encode()
-            return garbage, "", [], [], [], []
-        return _build_doc(rng, i, lang)
+            return garbage, "", [], [], [], [], []
+        return (*_build_doc(rng, i, lang), [])
     if route == "image":
-        return _build_image(rng, i, lang)
-    return (*_build_empty(rng, i, lang), [], [])
+        return (*_build_image(rng, i, lang), [])
+    return (*_build_empty(rng, i, lang), [], [], [])
 
 
 def _build_chunk(args):
@@ -672,14 +700,15 @@ def _build_chunk(args):
     out = []
     for i, route, src, src_route in items:
         if route == "dup":
-            html_b, text_col, parts, gtables, gfields, gstyles = _build_row(src, seed, src_route)
+            html_b, text_col, parts, gtables, gfields, gstyles, glinks = _build_row(src, seed, src_route)
             eff_route = src_route
         else:
-            html_b, text_col, parts, gtables, gfields, gstyles = _build_row(i, seed, route)
+            html_b, text_col, parts, gtables, gfields, gstyles, glinks = _build_row(i, seed, route)
             eff_route = route
         extracted, spans = _spans_from_parts(parts)
         out.append((html_b, text_col, extracted, spans, eff_route,
-                    _sha256(html_b, text_col), gtables, gfields, gstyles))
+                    _sha256(html_b, text_col), gtables, gfields, gstyles,
+                    glinks))
     return out
 
 
@@ -712,9 +741,9 @@ def gen_corpus(n_rows: int, seed: int = 42) -> tuple[pa.Table, pa.Table]:
 
     urls, tss, htmls, texts, langs = [], [], [], [], []
     g_text, g_spans, g_route, g_hash, g_tables = [], [], [], [], []
-    g_fields, g_styles, g_err = [], [], []
+    g_fields, g_styles, g_err, g_links = [], [], [], []
     for i, (html_b, text_col, extracted, spans, eff_route, h, gtables,
-            gfields, gstyles) in enumerate(built):
+            gfields, gstyles, glinks) in enumerate(built):
         if routes[i] == "dup":
             if i % 7 == 0:
                 # Syndicated copy: identical bytes republished under an
@@ -748,6 +777,7 @@ def gen_corpus(n_rows: int, seed: int = 42) -> tuple[pa.Table, pa.Table]:
         # corrupt payloads are the ONLY doc rows with empty text (every
         # built doc page emits at least footer + page-number lines)
         g_err.append(eff_route == "doc" and extracted == "")
+        g_links.append([{"href": h_, "anchor": a_} for h_, a_ in glinks])
 
     pages = pa.Table.from_arrays(
         [
@@ -770,6 +800,7 @@ def gen_corpus(n_rows: int, seed: int = 42) -> tuple[pa.Table, pa.Table]:
             pa.array(g_fields, FIELD_FIXTURE_TYPE),
             pa.array(g_styles, STYLE_FIXTURE_TYPE),
             pa.array(g_err, pa.bool_()),
+            pa.array(g_links, LINK_FIXTURE_TYPE),
         ],
         schema=GOLDEN_SCHEMA,
     )
