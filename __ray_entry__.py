@@ -1170,6 +1170,47 @@ def _host_pagerank(sf_dir: str):
     return host_pagerank(read_pages(corpus))
 
 
+def _host_anchor_terms(sf_dir: str):
+    """Top-3 anchor terms per destination host (search-relevance
+    signal): combiner → one narrow groupby → per-host top-k with a
+    total-order rank."""
+    from horizon_ocr_python_ray import ensure_corpus, read_pages, sf_from_dir
+    from horizon_ocr_python_ray.stages.linkgraph import host_anchor_terms
+
+    corpus = ensure_corpus(sf_from_dir(sf_dir))
+    return host_anchor_terms(read_pages(corpus), k=3)
+
+
+def _waiting_supplier(sf_dir: str):
+    """Q21-shaped double-correlated EXISTS/NOT EXISTS, decorrelated to
+    pure aggregation (arithmetic argmax for the sole-problem supplier)."""
+    from horizon_ocr_python_ray.pipelines.subqueries import waiting_supplier_q21
+
+    return waiting_supplier_q21(sf_dir)
+
+
+def _returned_top_customers(sf_dir: str):
+    """Q10-shaped returned-item revenue per customer, top-20 with
+    name/nation display columns."""
+    from horizon_ocr_python_ray.pipelines.subqueries import returned_top_customers_q10
+
+    return returned_top_customers_q10(sf_dir)
+
+
+def _doc_dsir(sf_dir: str):
+    """DSIR-style hashed-unigram importance scores (target = lang 'en'):
+    fixed-size histogram combiner → driver fold → broadcast weight
+    vector → streaming score pass; zero shuffles."""
+    import ray.data
+
+    from horizon_ocr_python_ray.stages.dsir import dsir_scores
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return dsir_scores(docs, target_lang="en")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pages_extract": _pages_extract,
@@ -1265,6 +1306,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_outlinks": _pages_outlinks,
         "host_linkgraph": _host_linkgraph,
         "host_pagerank": _host_pagerank,
+        "host_anchor_terms": _host_anchor_terms,
+        "doc_dsir": _doc_dsir,
+        "waiting_supplier": _waiting_supplier,
+        "returned_top_customers": _returned_top_customers,
     }
 
 
@@ -2943,5 +2988,97 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY n.h
             )
             SELECT h AS host, r AS rank_e12 FROM it3
+        """,
+        # Top-3 anchor terms per destination host: whitespace tokens of
+        # the golden anchors, ranked by (n desc, term asc) — a total
+        # order, so row_number is deterministic on both sides.
+        "host_anchor_terms": f"""
+            WITH g AS (
+              SELECT unnest(outlinks) AS l
+              FROM read_parquet('{golden_sf0_01}')
+            ), tok AS (
+              SELECT lower(regexp_extract(l.href, '^https?://(?:[^@/]*@)?([^/:?#]+)', 1)) AS dst_host,
+                     unnest(regexp_split_to_array(trim(lower(l.anchor)), '\\s+')) AS term
+              FROM g
+              WHERE trim(l.anchor) <> ''
+            ), cnt AS (
+              SELECT dst_host, term, CAST(count(*) AS BIGINT) AS n
+              FROM tok GROUP BY 1, 2
+            )
+            SELECT dst_host, term, n,
+                   CAST(row_number() OVER (PARTITION BY dst_host
+                                           ORDER BY n DESC, term) AS BIGINT) AS rk
+            FROM cnt
+            QUALIFY rk <= 3
+        """,
+        # DSIR importance scores: the SQL replays the exact integer
+        # pipeline — md5-low64 unigram buckets (B=4096), add-one
+        # smoothed target/raw bucket ratio at e6 (floor division), and
+        # the per-doc Σ w[bucket] with multiplicity. Empty docs score 0.
+        "doc_dsir": """
+            WITH tok AS (
+              SELECT doc_id, lang,
+                     unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+              FROM documents WHERE trim(text) <> ''
+            ), b AS (
+              SELECT doc_id, lang,
+                     CAST(md5_number_lower(term) % 4096 AS BIGINT) AS bkt
+              FROM tok
+            ), nr AS (
+              SELECT bkt, count(*) AS n_raw FROM b GROUP BY 1
+            ), nt AS (
+              SELECT bkt, count(*) AS n_t FROM b WHERE lang = 'en' GROUP BY 1
+            ), w AS (
+              SELECT nr.bkt,
+                     (COALESCE(nt.n_t, 0) + 1) * 1000000 // (nr.n_raw + 1) AS w
+              FROM nr LEFT JOIN nt USING (bkt)
+            ), s AS (
+              SELECT b.doc_id, SUM(w.w) AS sc FROM b JOIN w USING (bkt) GROUP BY 1
+            )
+            SELECT d.doc_id, CAST(COALESCE(s.sc, 0) AS BIGINT) AS dsir_score_e6
+            FROM documents d LEFT JOIN s USING (doc_id)
+        """,
+        # Q21 shape in its CLASSIC correlated form (EXISTS another
+        # supplier; NOT EXISTS another problem supplier) — the engine's
+        # aggregation decorrelation must reproduce it. One deliberate
+        # deviation from TPC-H: numwait counts DISTINCT orders (not
+        # problem lineitems), pinned on both sides.
+        "waiting_supplier": """
+            SELECT s.s_name AS s_name,
+                   CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+            FROM supplier s, lineitem l1, orders o
+            WHERE s.s_suppkey = l1.l_suppkey
+              AND o.o_orderkey = l1.l_orderkey
+              AND o.o_orderstatus = 'F'
+              AND l1.l_returnflag = 'R'
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_returnflag = 'R')
+            GROUP BY s.s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 10
+        """,
+        # Q10 shape: returned-item revenue per customer over one
+        # quarter, exact e4 integer revenue, top-20 by a total order.
+        "returned_top_customers": """
+            SELECT c.c_custkey AS c_custkey, c.c_name AS c_name,
+                   n.n_name AS n_name,
+                   CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS revenue_e4
+            FROM customer c, orders o, lineitem l, nation n
+            WHERE c.c_custkey = o.o_custkey
+              AND l.l_orderkey = o.o_orderkey
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1996-04-01'
+              AND l.l_returnflag = 'R'
+              AND c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2, 3
+            ORDER BY revenue_e4 DESC, c_custkey
+            LIMIT 20
         """,
     }

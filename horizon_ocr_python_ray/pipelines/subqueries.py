@@ -34,7 +34,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Max, Sum
 
 from .analytics import (
     BROADCAST_BUILD_MAX_ROWS,
@@ -507,3 +507,215 @@ def cust_idle_q22(sf_dir: str, since: str = "2000-01-01",
             "n_cust": t.column("n_cust").cast(pa.int64()),
             "total_acct_e2": t.column("total_acct_e2").cast(pa.int64()),
         }), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Q21 shape: double-correlated EXISTS / NOT EXISTS on the same fact
+# ---------------------------------------------------------------------------
+
+def waiting_supplier_q21(sf_dir: str, num_partitions: int = 8,
+                         plan: str = "auto", k: int = 10):
+    """TPC-H Q21 shape: suppliers who were the SOLE problem in
+    multi-supplier finished orders. A lineitem is a "problem" when
+    ``l_returnflag = 'R'`` (this schema's stand-in for Q21's
+    receiptdate > commitdate); an order qualifies when o_orderstatus =
+    'F', it involves ≥2 distinct suppliers (the EXISTS), and exactly
+    ONE of them has a problem line (the NOT EXISTS). Count qualifying
+    orders per problem supplier; top-k by (numwait desc, s_name asc).
+
+    Decorrelation is pure aggregation — no per-group Python:
+
+    1. per-batch combiner + ``groupby((orderkey, suppkey)).max(p)``
+       reduces lines to one row per order-supplier with its
+       any-problem flag;
+    2. per-batch combiner + ``groupby(orderkey)`` computes
+       ``n_supp = count``, ``n_prob = Σp`` and ``s_dot = Σ suppkey·p``
+       — when ``n_prob = 1``, ``s_dot`` IS the sole problem supplier
+       (the arithmetic argmax that replaces the correlated NOT
+       EXISTS);
+    3. filter ``n_prob = 1 AND n_supp ≥ 2``, then a supplier-dimension
+       ``groupby(suppkey).sum`` and a tiny driver top-k fold.
+
+    The 'F'-status order filter follows the size-aware planner:
+    broadcast sorted-key probe inside the lineitem scan, or a
+    partitioned hash join."""
+    plan = _resolve_join_plan(plan, sf_dir, ["orders"])
+    li = _tbl(sf_dir, "lineitem",
+              ["l_orderkey", "l_suppkey", "l_returnflag"])
+    orders = _tbl(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+
+    def f_keys_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("o_orderstatus"), "F"))
+        return pa.table({"o_orderkey": pa.array(
+            np.unique(t.column("o_orderkey").to_numpy()), pa.int64())})
+
+    fkeys = orders.map_batches(f_keys_partial, batch_format="pyarrow")
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        """(orderkey, suppkey) → any-problem flag, batch-local."""
+        g = pa.table({
+            "l_orderkey": t.column("l_orderkey").cast(pa.int64()),
+            "l_suppkey": t.column("l_suppkey").cast(pa.int64()),
+            "p": pc.cast(pc.equal(t.column("l_returnflag"), "R"), pa.int64()),
+        })
+        agg = pa.TableGroupBy(g, ["l_orderkey", "l_suppkey"]).aggregate(
+            [("p", "max")])
+        return agg.rename_columns(["l_orderkey", "l_suppkey", "p"])
+
+    if plan == "broadcast":
+        parts = [t for t in ray.get(fkeys.to_arrow_refs()) if t.num_rows]
+        keys = (np.unique(np.concatenate(
+            [t.column("o_orderkey").to_numpy() for t in parts]))
+            if parts else np.empty(0, np.int64))
+        assert keys.size <= BROADCAST_BUILD_MAX_ROWS, "guard: use partitioned"
+        kref = ray.put(keys)
+
+        def pair_in_f(t: pa.Table) -> pa.Table:
+            ks = ray.get(kref)
+            mask, _ = _probe(ks, ks, t.column("l_orderkey").to_numpy())
+            return pair_partial(t.filter(pa.array(mask)))
+
+        pair_src = li.map_batches(pair_in_f, batch_format="pyarrow",
+                                  batch_size=65536)
+    else:
+        f_ds = fkeys.groupby("o_orderkey").count().select_columns(["o_orderkey"])
+        joined = li.join(f_ds, join_type="inner",
+                         num_partitions=num_partitions,
+                         on=("l_orderkey",), right_on=("o_orderkey",))
+        pair_src = joined.map_batches(pair_partial, batch_format="pyarrow")
+
+    pairs = (pair_src.groupby(["l_orderkey", "l_suppkey"])
+             .aggregate(Max("p", alias_name="p")))
+
+    def order_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "l_orderkey": t.column("l_orderkey"),
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+            "p": t.column("p").cast(pa.int64()),
+            "sp": pc.multiply(t.column("l_suppkey").cast(pa.int64()),
+                              t.column("p").cast(pa.int64())),
+        })
+        agg = pa.TableGroupBy(g, "l_orderkey").aggregate(
+            [("one", "sum"), ("p", "sum"), ("sp", "sum")])
+        return agg.rename_columns(["l_orderkey", "p_n", "p_p", "p_sp"])
+
+    per_order = (pairs.map_batches(order_partial, batch_format="pyarrow")
+                 .groupby("l_orderkey")
+                 .aggregate(Sum("p_n", alias_name="n_supp"),
+                            Sum("p_p", alias_name="n_prob"),
+                            Sum("p_sp", alias_name="s_dot")))
+
+    def winners(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.equal(t.column("n_prob"), pa.scalar(1, pa.int64())),
+                       pc.greater_equal(t.column("n_supp"),
+                                        pa.scalar(2, pa.int64())))
+        t = t.filter(mask)
+        g = pa.table({"s_suppkey": t.column("s_dot").cast(pa.int64()),
+                      "one": pa.array(np.ones(t.num_rows, np.int64))})
+        agg = pa.TableGroupBy(g, "s_suppkey").aggregate([("one", "sum")])
+        return agg.rename_columns(["s_suppkey", "p_w"])
+
+    waits = (per_order.map_batches(winners, batch_format="pyarrow")
+             .groupby("s_suppkey").aggregate(Sum("p_w", alias_name="numwait")))
+
+    # supplier dimension is tiny relative to the facts: fold + name + top-k
+    wdf = waits.to_pandas()
+    sdf = _tbl(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    out = wdf.merge(sdf, on="s_suppkey")
+    out["numwait"] = out["numwait"].astype("int64")
+    out = (out.sort_values(["numwait", "s_name"], ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    return out[["s_name", "numwait"]]
+
+
+# ---------------------------------------------------------------------------
+# Q10 shape: returned-item revenue top-k join
+# ---------------------------------------------------------------------------
+
+def returned_top_customers_q10(sf_dir: str, quarter: str = "1996-01-01",
+                               num_partitions: int = 8, plan: str = "auto",
+                               k: int = 20):
+    """TPC-H Q10 shape: revenue lost to returns per customer over one
+    quarter, top-k by (revenue desc, custkey asc), with customer and
+    nation display columns.
+
+    Revenue is exact int64 e4 (``price_e2 · (100 − disc_e2)``). Plan:
+    returned-lineitem partial sums per orderkey (combiner, no shuffle)
+    → order window filter maps orderkey→custkey (broadcast probe or
+    hash join by the planner) → ``groupby(custkey).sum`` (one narrow
+    shuffle) → tiny top-k fold → broadcast name/nation attach."""
+    plan = _resolve_join_plan(plan, sf_dir, ["orders"])
+    li = _tbl(sf_dir, "lineitem",
+              ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"])
+    lo, hi = _TS(quarter), _TS(
+        str(pd.Timestamp(quarter) + pd.DateOffset(months=3)))
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("l_returnflag"), "R"))
+        rev = pc.multiply(
+            _e2(t.column("l_extendedprice")),
+            pc.subtract(pa.scalar(100, pa.int64()),
+                        _e2(t.column("l_discount"))))
+        g = pa.table({"l_orderkey": t.column("l_orderkey").cast(pa.int64()),
+                      "r": rev})
+        agg = pa.TableGroupBy(g, "l_orderkey").aggregate([("r", "sum")])
+        return agg.rename_columns(["l_orderkey", "p_r"])
+
+    li_sums = li.map_batches(rev_partial, batch_format="pyarrow",
+                             batch_size=65536)
+
+    orders = _tbl(sf_dir, "orders",
+                  ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def window_orders(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate")
+        t = t.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+            "o_custkey": t.column("o_custkey").cast(pa.int64()),
+        })
+
+    win = orders.map_batches(window_orders, batch_format="pyarrow")
+
+    if plan == "broadcast":
+        parts = [t for t in ray.get(win.to_arrow_refs()) if t.num_rows]
+        ok = (pa.concat_tables(parts) if parts
+              else pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "o_custkey": pa.array([], pa.int64())}))
+        odf = ok.to_pandas().sort_values("o_orderkey")
+        assert len(odf) <= BROADCAST_BUILD_MAX_ROWS, "guard: use partitioned"
+        oref = ray.put((odf["o_orderkey"].to_numpy(np.int64),
+                        odf["o_custkey"].to_numpy(np.int64)))
+
+        def to_cust(t: pa.Table) -> pa.Table:
+            keys, ck = ray.get(oref)
+            mask, cv = _probe(keys, ck, t.column("l_orderkey").to_numpy())
+            t = t.filter(pa.array(mask))
+            return pa.table({"c_custkey": pa.array(cv[mask], pa.int64()),
+                             "p_r": t.column("p_r")})
+
+        by_cust_src = li_sums.map_batches(to_cust, batch_format="pyarrow")
+    else:
+        joined = li_sums.join(win, join_type="inner",
+                              num_partitions=num_partitions,
+                              on=("l_orderkey",), right_on=("o_orderkey",))
+        by_cust_src = joined.map_batches(
+            lambda t: pa.table({"c_custkey": t.column("o_custkey").cast(pa.int64()),
+                                "p_r": t.column("p_r")}),
+            batch_format="pyarrow")
+
+    by_cust = by_cust_src.groupby("c_custkey").aggregate(
+        Sum("p_r", alias_name="revenue_e4"))
+
+    cdf = by_cust.to_pandas()  # customer-dimension cardinality: tiny fold
+    cdf["revenue_e4"] = cdf["revenue_e4"].astype("int64")
+    cdf = (cdf.sort_values(["revenue_e4", "c_custkey"],
+                           ascending=[False, True]).head(k))
+    names = _tbl(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_nationkey"]).to_pandas()
+    nation = _tbl(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    out = (cdf.merge(names, on="c_custkey")
+           .merge(nation, left_on="c_nationkey", right_on="n_nationkey"))
+    out = out.sort_values(["revenue_e4", "c_custkey"],
+                          ascending=[False, True]).reset_index(drop=True)
+    return out[["c_custkey", "c_name", "n_name", "revenue_e4"]]

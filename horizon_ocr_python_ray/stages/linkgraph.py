@@ -99,6 +99,49 @@ def host_link_counts(pages: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
+def host_anchor_terms(pages: ray.data.Dataset, k: int = 3) -> ray.data.Dataset:
+    """Top-k anchor terms per DESTINATION host → (dst_host, term, n, rk).
+
+    The classic search-relevance signal: what the web calls a page
+    (anchor text) beats what the page calls itself. Terms are
+    lowercased whitespace tokens of the anchor text. Batch-local
+    (dst_host, term) combiner → one narrow groupby → per-host top-k
+    (rank by n desc, term asc — total order, so every plan and the SQL
+    replay agree). The per-host group is vocabulary-sized, never
+    corpus-sized."""
+
+    def term_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(t.column("anchor")), r"\s+"
+        )
+        idx = pc.list_parent_indices(toks)
+        flat = pc.list_flatten(toks)
+        g = pa.table({
+            "dst_host": pc.take(t.column("dst_host"), idx),
+            "term": flat,
+        })
+        g = g.filter(pc.not_equal(g.column("term"), pa.scalar("")))
+        out = pa.TableGroupBy(g, ["dst_host", "term"]).aggregate(
+            [([], "count_all")]
+        )
+        return out.rename_columns(["dst_host", "term", "p_n"])
+
+    counts = (
+        _html_links(pages)
+        .map_batches(term_partial, batch_format="pyarrow")
+        .groupby(["dst_host", "term"])
+        .aggregate(Sum("p_n", alias_name="n"))
+    )
+
+    def topk(df):
+        df = df.sort_values(["n", "term"], ascending=[False, True]).head(k)
+        df = df.reset_index(drop=True)
+        df["rk"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    return counts.groupby("dst_host").map_groups(topk, batch_format="pandas")
+
+
 def _edge_partials(pages: ray.data.Dataset) -> ray.data.Dataset:
     """Batch-local distinct (src,dst) pairs, self-loops dropped — the
     combiner in front of the global distinct."""

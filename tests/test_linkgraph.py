@@ -13,6 +13,7 @@ from horizon_ocr_python_ray.stages.linkgraph import (
     RANK_BASE,
     RANK_SCALE,
     _pagerank_vec,
+    host_anchor_terms,
     host_link_counts,
     host_pagerank,
     page_outlinks,
@@ -124,6 +125,27 @@ def test_link_counts_sum_to_link_rows(pages_ds, corpus_dir):
     assert counts.n_links.sum() == len(links)
     grp = links.groupby(["src_host", "dst_host"]).size()
     assert dict(zip(zip(counts.src_host, counts.dst_host), counts.n_links)) == grp.to_dict()
+
+
+def test_anchor_terms_topk_rank(pages_ds, corpus_dir):
+    from horizon_ocr_python_ray import read_pages
+
+    links = page_outlinks(pages_ds).to_pandas()
+    got = host_anchor_terms(read_pages(corpus_dir), k=3).to_pandas()
+    # recompute expected per-host top-3 with the same total order
+    import pandas as pd
+
+    toks = links.assign(term=links.anchor.str.lower().str.split()).explode("term")
+    cnt = toks.groupby(["dst_host", "term"]).size().reset_index(name="n")
+    cnt = cnt.sort_values(["dst_host", "n", "term"],
+                          ascending=[True, False, True])
+    cnt["rk"] = cnt.groupby("dst_host").cumcount() + 1
+    want = cnt[cnt.rk <= 3].reset_index(drop=True)
+    g = got.sort_values(["dst_host", "rk"]).reset_index(drop=True)
+    w = want.sort_values(["dst_host", "rk"]).reset_index(drop=True)
+    assert (g[["dst_host", "term", "rk"]].values == w[["dst_host", "term", "rk"]].values).all()
+    assert (g.n.to_numpy() == w.n.to_numpy()).all()
+    assert (g.groupby("dst_host").size() <= 3).all()
 
 
 def test_pagerank_plans_bit_identical(corpus_dir):

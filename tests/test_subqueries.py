@@ -25,6 +25,8 @@ def _df(res) -> pd.DataFrame:
     subqueries.part_small_qty_q17,
     subqueries.big_orders_q18,
     subqueries.cust_idle_q22,
+    subqueries.waiting_supplier_q21,
+    subqueries.returned_top_customers_q10,
 ])
 def test_plans_agree(ray_session, fn):
     a = _df(fn(SF, plan="broadcast"))
@@ -77,6 +79,46 @@ def test_q18_threshold_filters(ray_session):
     out = _df(subqueries.big_orders_q18(SF))
     assert (out["sum_qty_e2"] > 30000).all()
     assert out["o_orderkey"].is_unique
+
+
+def test_q21_sole_problem_supplier_semantics(ray_session):
+    """Brute-force replay: an order counts for supplier s iff s is the
+    ONLY supplier with a returned line and the order has ≥2 suppliers
+    and status 'F'."""
+    import pyarrow.parquet as pq
+
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_orderkey", "l_suppkey", "l_returnflag"]).to_pandas()
+    orders = pq.read_table(f"{SF}/orders.parquet",
+                           columns=["o_orderkey", "o_orderstatus"]).to_pandas()
+    fset = set(orders.loc[orders.o_orderstatus == "F", "o_orderkey"])
+    li = li[li.l_orderkey.isin(fset)]
+    wins: dict[int, int] = {}
+    for ok, g in li.groupby("l_orderkey"):
+        supps = set(g.l_suppkey)
+        prob = set(g.loc[g.l_returnflag == "R", "l_suppkey"])
+        if len(prob) == 1 and len(supps) >= 2:
+            s = next(iter(prob))
+            wins[s] = wins.get(s, 0) + 1
+    sup = pq.read_table(f"{SF}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"]).to_pandas()
+    name = dict(zip(sup.s_suppkey, sup.s_name))
+    want = sorted(((wins[s], name[s]) for s in wins),
+                  key=lambda t: (-t[0], t[1]))[:10]
+    out = subqueries.waiting_supplier_q21(SF)
+    got = list(zip(out.numwait, out.s_name))
+    assert got == want
+
+
+def test_q10_revenue_is_exact_integer(ray_session):
+    out = subqueries.returned_top_customers_q10(SF)
+    assert len(out) <= 20
+    assert out.revenue_e4.dtype.kind == "i"
+    # sorted by (revenue desc, custkey asc)
+    assert (out.revenue_e4.is_monotonic_decreasing
+            or len(out.revenue_e4.unique()) < len(out))
+    pairs = list(zip(-out.revenue_e4, out.c_custkey))
+    assert pairs == sorted(pairs)
 
 
 def test_q22_buckets_cover_output(ray_session):
