@@ -1181,6 +1181,43 @@ def _host_anchor_terms(sf_dir: str):
     return host_anchor_terms(read_pages(corpus), k=3)
 
 
+def _events_cumsum(sf_dir: str):
+    """Per-user running totals + sequence numbers (SUM OVER window
+    surface): one user-bucket shuffle, segmented vectorized cumsum."""
+    import ray.data
+
+    from horizon_ocr_python_ray.stages.window import events_cumsum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"])
+    return events_cumsum(ev)
+
+
+def _doc_global_rank(sf_dir: str):
+    """Exact global rank by (n_tokens desc, doc_id) WITHOUT a global
+    sort: histogram fold for value offsets + tie-sized groupby."""
+    import ray.data
+
+    from horizon_ocr_python_ray.stages.ranking import doc_global_rank
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return doc_global_rank(docs)
+
+
+def _corpus_tfidf_topk(sf_dir: str):
+    """Integer-exact TF-IDF retrieval: corpus top-3-DF terms as the
+    query, idf_e6 floor-div weights, per-batch partial top-k fold."""
+    import ray.data
+
+    from horizon_ocr_python_ray.stages.ranking import tfidf_topk
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return tfidf_topk(docs, n_query=3, k=20)
+
+
 def _waiting_supplier(sf_dir: str):
     """Q21-shaped double-correlated EXISTS/NOT EXISTS, decorrelated to
     pure aggregation (arithmetic argmax for the sole-problem supplier)."""
@@ -1310,6 +1347,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dsir": _doc_dsir,
         "waiting_supplier": _waiting_supplier,
         "returned_top_customers": _returned_top_customers,
+        "events_cumsum": _events_cumsum,
+        "doc_global_rank": _doc_global_rank,
+        "corpus_tfidf_topk": _corpus_tfidf_topk,
     }
 
 
@@ -3079,6 +3119,63 @@ def oracle_sql() -> dict[str, str]:
               AND c.c_nationkey = n.n_nationkey
             GROUP BY 1, 2, 3
             ORDER BY revenue_e4 DESC, c_custkey
+            LIMIT 20
+        """,
+        # Running per-user totals: the SQL window replay of the
+        # segmented-cumsum bucket kernel (stable (ts, event_id) order,
+        # e2 integer values).
+        "events_cumsum": """
+            SELECT event_id, user_id,
+                   CAST(row_number() OVER w AS BIGINT) AS seq,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_value_e2
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        # Exact global rank by (n_tokens desc, doc_id) — the engine
+        # computes it sort-free (histogram offsets + tie groupby); the
+        # oracle is the plain window row_number over the total order.
+        "doc_global_rank": f"""
+            WITH t AS (
+              SELECT doc_id, {ntok} AS n_tokens FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(row_number() OVER (ORDER BY n_tokens DESC, doc_id)
+                        AS BIGINT) AS rank
+            FROM t
+        """,
+        # Integer TF-IDF retrieval: query = corpus top-3-DF terms
+        # (df desc, term asc), idf_e6 = (N*1e6)//df floor division,
+        # score = Σ tf·idf_e6, top-20 by (score desc, doc_id).
+        "corpus_tfidf_topk": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest({tok}) AS term
+              FROM documents WHERE trim(text) <> ''
+            ), df AS (
+              SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              FROM tok GROUP BY 1
+            ), q AS (
+              SELECT term, df FROM df
+              ORDER BY df DESC, term LIMIT 3
+            ), n AS (
+              SELECT count(*) AS n_docs FROM documents
+            ), tf AS (
+              SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM tok GROUP BY 1, 2
+            ), sc AS (
+              SELECT tf.doc_id,
+                     SUM(tf.tf * ((n.n_docs * 1000000) // q.df)) AS score_e6
+              FROM tf JOIN q USING (term), n
+              GROUP BY 1
+            ), lens AS (
+              SELECT doc_id, {ntok} AS n_tokens FROM documents
+            )
+            SELECT sc.doc_id, CAST(sc.score_e6 AS BIGINT) AS score_e6,
+                   lens.n_tokens
+            FROM sc JOIN lens USING (doc_id)
+            WHERE sc.score_e6 > 0
+            ORDER BY sc.score_e6 DESC, sc.doc_id
             LIMIT 20
         """,
     }

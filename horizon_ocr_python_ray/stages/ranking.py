@@ -1,0 +1,156 @@
+"""Global order statistics + sparse retrieval ranking.
+
+- :func:`doc_global_rank` — EXACT global rank of every document by
+  ``(n_tokens desc, doc_id asc)`` without a global sort: the total
+  order's first component has a bounded value domain (token counts),
+  so a fixed-size histogram fold yields each value's global rank
+  OFFSET, and one narrow ``groupby(n_tokens)`` ranks the ties by
+  doc_id inside each value group. A 10^12-row global sort becomes one
+  histogram fold + one shuffle whose groups are tie-sized. (The same
+  trick powers the adaptive quality gate's exact corpus quantile —
+  ``stages/gate.py``; here it is exposed as a ranking surface.)
+
+- :func:`tfidf_topk` — integer-exact sparse retrieval: the query is
+  the corpus's own top-``n_query`` document-frequency terms (total
+  order ``df desc, term asc``), each weighted ``idf_e6 = (N·1e6)//df``
+  (floor division — exact in SQL); a document scores
+  ``Σ tf(term)·idf_e6`` and the top-k by ``(score desc, doc_id)``
+  return. DF pass = per-batch distinct-term combiner → one narrow
+  term shuffle; score pass streams with the tiny query broadcast;
+  top-k folds per-batch partial top-k rows only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+from ray.data.aggregate import Sum
+
+
+def _token_counts(text: str) -> int:
+    return len((text or "").lower().split())
+
+
+def doc_global_rank(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, n_tokens, rank) — rank 1 = most tokens; ties broken by
+    doc_id ascending; every document ranked (empty docs rank last)."""
+
+    def project(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        return pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "n_tokens": pa.array([_token_counts(x) for x in texts], pa.int64()),
+        })
+
+    keyed = docs.map_batches(project, batch_format="pyarrow").materialize()
+
+    # Pass 1: value histogram (bounded by the token-count domain, not
+    # the corpus) — per-batch bincount partials folded on the driver.
+    def hist_partial(t: pa.Table) -> pa.Table:
+        v, c = np.unique(t.column("n_tokens").to_numpy(), return_counts=True)
+        return pa.table({"v": pa.array(v, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    hist: dict[int, int] = {}
+    for ref in keyed.map_batches(hist_partial, batch_format="pyarrow").to_arrow_refs():
+        t = ray.get(ref)
+        for v, c in zip(t.column("v").to_pylist(), t.column("c").to_pylist()):
+            hist[v] = hist.get(v, 0) + c
+    vals = np.array(sorted(hist, reverse=True), np.int64)  # desc = rank order
+    counts = np.array([hist[v] for v in vals], np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])  # docs ranked above
+    off_ref = ray.put((vals, offsets))
+
+    # Pass 2: tie-break by doc_id inside each value group (groups are
+    # tie-sized; the shuffle key is the histogram value).
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        vs, offs = ray.get(off_ref)
+        v = int(g["n_tokens"].iloc[0])
+        base = int(offs[np.searchsorted(-vs, -v)])
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        g["rank"] = base + np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return keyed.groupby("n_tokens").map_groups(rank_group, batch_format="pandas")
+
+
+def tfidf_topk(
+    docs: ray.data.Dataset, n_query: int = 3, k: int = 20
+) -> ray.data.Dataset:
+    """Top-k documents for the corpus's own top-``n_query``-DF terms.
+
+    Returns (doc_id, score_e6, n_tokens) for the k best by
+    ``(score_e6 desc, doc_id asc)``; zero-score docs never surface."""
+    import pyarrow.compute as pc
+
+    # ---- DF pass: distinct terms per doc (combiner) → term shuffle --
+    def df_partial(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        terms: list[str] = []
+        for x in texts:
+            terms.extend(set((x or "").lower().split()))
+        if not terms:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "p_df": pa.array([], pa.int64())})
+        v, c = np.unique(np.array(terms, object), return_counts=True)
+        return pa.table({"term": pa.array(v.tolist(), pa.string()),
+                         "p_df": pa.array(c, pa.int64())})
+
+    df_ds = (docs.map_batches(df_partial, batch_format="pyarrow")
+             .groupby("term").aggregate(Sum("p_df", alias_name="df")))
+    # top-n_query by (df desc, term asc): fold per-block partial top-k
+    best: list[tuple[int, str]] = []
+    for ref in df_ds.to_arrow_refs():
+        t = ray.get(ref)
+        for term, df in zip(t.column("term").to_pylist(),
+                            t.column("df").to_pylist()):
+            best.append((-int(df), term))
+    best.sort()
+    query = best[:n_query]
+
+    n_docs = docs.count()
+    idf = {term: (n_docs * 1_000_000) // (-ndf) for ndf, term in query}
+    q_ref = ray.put(idf)
+
+    # ---- score pass: stream docs, Σ tf·idf over the tiny query ------
+    def score_partial(t: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        texts = t.column("text").to_pylist()
+        ids = t.column("doc_id").to_numpy()
+        out_id: list[int] = []
+        out_s: list[int] = []
+        out_n: list[int] = []
+        for i, x in enumerate(texts):
+            toks = (x or "").lower().split()
+            s = 0
+            for tok in toks:
+                w = q.get(tok)
+                if w:
+                    s += w
+            if s:
+                out_id.append(int(ids[i]))
+                out_s.append(s)
+                out_n.append(len(toks))
+        part = pd.DataFrame({"doc_id": out_id, "score_e6": out_s,
+                             "n_tokens": out_n})
+        # partial top-k: only k candidate rows leave each batch
+        part = part.sort_values(["score_e6", "doc_id"],
+                                ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(part[["doc_id", "score_e6", "n_tokens"]],
+                                    preserve_index=False).cast(
+            pa.schema([("doc_id", pa.int64()), ("score_e6", pa.int64()),
+                       ("n_tokens", pa.int64())]))
+
+    parts = [t for t in ray.get(
+        docs.map_batches(score_partial, batch_format="pyarrow").to_arrow_refs()
+    ) if t.num_rows]
+    merged = (pa.concat_tables(parts).to_pandas() if parts
+              else pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "score_e6": pd.Series(dtype="int64"),
+                                 "n_tokens": pd.Series(dtype="int64")}))
+    merged = (merged.sort_values(["score_e6", "doc_id"],
+                                 ascending=[False, True])
+              .head(k).reset_index(drop=True))
+    return ray.data.from_arrow(pa.Table.from_pandas(merged, preserve_index=False))

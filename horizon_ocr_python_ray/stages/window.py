@@ -143,6 +143,52 @@ def session_window(events_ds, gap_s: int = 1800):
                           batch_format="pandas")
 
 
+def events_cumsum(events_ds):
+    """Per-user running aggregates: 1-based sequence number and the
+    running e2 fixed-point value total in stable ``(ts, event_id)``
+    order — the ``SUM() OVER (PARTITION BY … ROWS UNBOUNDED
+    PRECEDING)`` window surface.
+
+    Same shape as :func:`events_lag`: one hash shuffle on a coarse
+    ``user_id`` bucket, then ONE vectorized sort + segmented cumsum per
+    bucket (global cumsum minus the value at each user's segment
+    start) — no per-user Python. Value summation is int64 cents, so
+    the running totals are order-independent across plans and bit-equal
+    to the SQL window replay."""
+    import numpy as np
+    import pandas as pd
+
+    from .hashagg import grouped_reduce
+
+    def cumsum_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        v = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        uid = pd.factorize(g["user_id"])[0]
+        n = len(g)
+        # segment starts: first row of each user run
+        start = np.zeros(n, dtype=bool)
+        if n:
+            start[0] = True
+            start[1:] = uid[1:] != uid[:-1]
+        idx = np.arange(n, dtype=np.int64)
+        seg_first = idx[start]
+        seg_id = np.cumsum(start) - 1
+        seq = idx - seg_first[seg_id] + 1
+        cum = np.cumsum(v)
+        base = np.where(seg_first > 0, cum[seg_first - 1], 0)
+        run = cum - base[seg_id]
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": g["user_id"].to_numpy(),
+            "seq": seq,
+            "cum_value_e2": run,
+        })
+
+    keyed = events_ds.select_columns(["event_id", "user_id", "ts", "value"])
+    return grouped_reduce(keyed, "user_id", cumsum_in_bucket,
+                          batch_format="pandas")
+
+
 def events_lag(events_ds):
     """Per-user self AS-OF join: each event gets its user's previous
     event (stable ``(ts, event_id)`` order) and the time gap — the

@@ -1,0 +1,82 @@
+"""Global rank (sort-free) + integer TF-IDF retrieval + running totals."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from horizon_ocr_python_ray.stages.ranking import doc_global_rank, tfidf_topk
+from horizon_ocr_python_ray.stages.window import events_cumsum
+
+
+def _docs():
+    rows = [
+        (1, "a b c d"),        # 4 tokens
+        (2, "a b"),            # 2
+        (3, "x y z w"),        # 4 (tie with 1 → doc_id breaks)
+        (4, ""),               # 0
+        (5, "a a a"),          # 3
+    ]
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    })
+
+
+def test_global_rank_total_order(ray_session):
+    import ray.data
+
+    out = (doc_global_rank(ray.data.from_arrow(_docs()))
+           .to_pandas().sort_values("rank").reset_index(drop=True))
+    assert out.doc_id.tolist() == [1, 3, 5, 2, 4]
+    assert out["rank"].tolist() == [1, 2, 3, 4, 5]
+    assert out.n_tokens.tolist() == [4, 4, 3, 2, 0]
+
+
+def test_global_rank_sharding_invariant(ray_session):
+    import ray.data
+
+    one = (doc_global_rank(ray.data.from_arrow(_docs()))
+           .to_pandas().sort_values("doc_id"))
+    many = (doc_global_rank(ray.data.from_arrow(_docs()).repartition(4))
+            .to_pandas().sort_values("doc_id"))
+    assert one["rank"].tolist() == many["rank"].tolist()
+
+
+def test_tfidf_query_is_top_df_and_scores_exact(ray_session):
+    import ray.data
+
+    # df: a→3 docs, b→2, c/d/x/y/z/w→1 → query = (a, b, c) by (df desc, term)
+    out = tfidf_topk(ray.data.from_arrow(_docs()), n_query=3, k=10).to_pandas()
+    n = 5
+    idf_a, idf_b, idf_c = (n * 10**6) // 3, (n * 10**6) // 2, (n * 10**6) // 1
+    want = {
+        1: idf_a + idf_b + idf_c,   # "a b c d"
+        2: idf_a + idf_b,           # "a b"
+        5: 3 * idf_a,               # "a a a"
+    }
+    got = dict(zip(out.doc_id, out.score_e6))
+    assert got == want
+    # ordering: (score desc, doc_id asc)
+    pairs = list(zip(-out.score_e6, out.doc_id))
+    assert pairs == sorted(pairs)
+
+
+def test_events_cumsum_segmented(ray_session):
+    import ray.data
+
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "user_id": pa.array([7, 7, 8, 7, 8], pa.int64()),
+        "ts": pa.array([100, 200, 150, 300, 50], pa.timestamp("us")),
+        "value": pa.array([1.0, 2.5, 10.0, 0.5, 4.0], pa.float64()),
+    })
+    out = (events_cumsum(ray.data.from_arrow(t))
+           .to_pandas().sort_values(["user_id", "seq"]).reset_index(drop=True))
+    u7 = out[out.user_id == 7]
+    assert u7.event_id.tolist() == [1, 2, 4]
+    assert u7.cum_value_e2.tolist() == [100, 350, 400]
+    u8 = out[out.user_id == 8]
+    assert u8.event_id.tolist() == [5, 3]  # ts order: 50 then 150
+    assert u8.cum_value_e2.tolist() == [400, 1400]
+    assert u8.seq.tolist() == [1, 2]
