@@ -584,42 +584,41 @@ def waiting_supplier_q21(sf_dir: str, num_partitions: int = 8,
                          on=("l_orderkey",), right_on=("o_orderkey",))
         pair_src = joined.map_batches(pair_partial, batch_format="pyarrow")
 
-    pairs = (pair_src.groupby(["l_orderkey", "l_suppkey"])
-             .aggregate(Max("p", alias_name="p")))
+    # ONE orderkey-bucket shuffle does the whole decorrelation: inside
+    # a bucket every order's pair-rows are complete, so both levels
+    # ((order,supp) max-flag, then per-order count/Σp/Σ suppkey·p) are
+    # single vectorized `pa.Table.group_by` calls, and only per-bucket
+    # WINNER partials (≤ suppliers-per-bucket rows) leave. Measured
+    # 10.6 s (two sort-shuffle groupbys) → ~4 s at sf0.1/32 cpus.
+    from ..stages.hashagg import grouped_reduce
 
-    def order_partial(t: pa.Table) -> pa.Table:
+    def bucket_reduce(t: pa.Table) -> pa.Table:
+        pairs = (t.group_by(["l_orderkey", "l_suppkey"])
+                 .aggregate([("p", "max")])
+                 .rename_columns(["l_orderkey", "l_suppkey", "p"]))
         g = pa.table({
-            "l_orderkey": t.column("l_orderkey"),
-            "one": pa.array(np.ones(t.num_rows, np.int64)),
-            "p": t.column("p").cast(pa.int64()),
-            "sp": pc.multiply(t.column("l_suppkey").cast(pa.int64()),
-                              t.column("p").cast(pa.int64())),
+            "l_orderkey": pairs.column("l_orderkey"),
+            "one": pa.array(np.ones(pairs.num_rows, np.int64)),
+            "p": pairs.column("p").cast(pa.int64()),
+            "sp": pc.multiply(pairs.column("l_suppkey").cast(pa.int64()),
+                              pairs.column("p").cast(pa.int64())),
         })
-        agg = pa.TableGroupBy(g, "l_orderkey").aggregate(
-            [("one", "sum"), ("p", "sum"), ("sp", "sum")])
-        return agg.rename_columns(["l_orderkey", "p_n", "p_p", "p_sp"])
-
-    per_order = (pairs.map_batches(order_partial, batch_format="pyarrow")
-                 .groupby("l_orderkey")
-                 .aggregate(Sum("p_n", alias_name="n_supp"),
-                            Sum("p_p", alias_name="n_prob"),
-                            Sum("p_sp", alias_name="s_dot")))
-
-    def winners(t: pa.Table) -> pa.Table:
-        mask = pc.and_(pc.equal(t.column("n_prob"), pa.scalar(1, pa.int64())),
-                       pc.greater_equal(t.column("n_supp"),
-                                        pa.scalar(2, pa.int64())))
-        t = t.filter(mask)
-        g = pa.table({"s_suppkey": t.column("s_dot").cast(pa.int64()),
-                      "one": pa.array(np.ones(t.num_rows, np.int64))})
-        agg = pa.TableGroupBy(g, "s_suppkey").aggregate([("one", "sum")])
+        po = (pa.TableGroupBy(g, "l_orderkey")
+              .aggregate([("one", "sum"), ("p", "sum"), ("sp", "sum")])
+              .rename_columns(["l_orderkey", "n_supp", "n_prob", "s_dot"]))
+        po = po.filter(pc.and_(
+            pc.equal(po.column("n_prob"), pa.scalar(1, pa.int64())),
+            pc.greater_equal(po.column("n_supp"), pa.scalar(2, pa.int64()))))
+        w = pa.table({"s_suppkey": po.column("s_dot").cast(pa.int64()),
+                      "one": pa.array(np.ones(po.num_rows, np.int64))})
+        agg = pa.TableGroupBy(w, "s_suppkey").aggregate([("one", "sum")])
         return agg.rename_columns(["s_suppkey", "p_w"])
 
-    waits = (per_order.map_batches(winners, batch_format="pyarrow")
-             .groupby("s_suppkey").aggregate(Sum("p_w", alias_name="numwait")))
+    win_partials = grouped_reduce(pair_src, "l_orderkey", bucket_reduce)
 
     # supplier dimension is tiny relative to the facts: fold + name + top-k
-    wdf = waits.to_pandas()
+    wdf = (win_partials.to_pandas().groupby("s_suppkey", as_index=False)
+           .agg(numwait=("p_w", "sum")))
     sdf = _tbl(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
     out = wdf.merge(sdf, on="s_suppkey")
     out["numwait"] = out["numwait"].astype("int64")

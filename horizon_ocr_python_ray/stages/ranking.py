@@ -100,15 +100,20 @@ def tfidf_topk(
 
     df_ds = (docs.map_batches(df_partial, batch_format="pyarrow")
              .groupby("term").aggregate(Sum("p_df", alias_name="df")))
-    # top-n_query by (df desc, term asc): fold per-block partial top-k
+    # top-n_query by (df desc, term asc): per-block partial top-k, so
+    # only n_query rows per block reach the driver (vocab never does).
     best: list[tuple[int, str]] = []
     for ref in df_ds.to_arrow_refs():
         t = ray.get(ref)
-        for term, df in zip(t.column("term").to_pylist(),
-                            t.column("df").to_pylist()):
-            best.append((-int(df), term))
-    best.sort()
-    query = best[:n_query]
+        if not t.num_rows:
+            continue
+        block = sorted(
+            (-int(df), term)
+            for term, df in zip(t.column("term").to_pylist(),
+                                t.column("df").to_pylist())
+        )[:n_query]
+        best = sorted(best + block)[:n_query]
+    query = best
 
     n_docs = docs.count()
     idf = {term: (n_docs * 1_000_000) // (-ndf) for ndf, term in query}
