@@ -1181,6 +1181,28 @@ def _host_anchor_terms(sf_dir: str):
     return host_anchor_terms(read_pages(corpus), k=3)
 
 
+def _events_gapfill(sf_dir: str):
+    """Dense hourly spine per event_type (sparse→dense gap fill),
+    zero-filled; integer floor-div windows."""
+    import ray.data
+
+    from horizon_ocr_python_ray.stages.window import events_gapfill
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    return events_gapfill(ev)
+
+
+def _host_components(sf_dir: str):
+    """Weakly-connected host components, fixed 4-sweep min-label
+    propagation (lexicographic min within 4 hops, pinned)."""
+    from horizon_ocr_python_ray import ensure_corpus, read_pages, sf_from_dir
+    from horizon_ocr_python_ray.stages.linkgraph import host_components
+
+    corpus = ensure_corpus(sf_from_dir(sf_dir))
+    return host_components(read_pages(corpus), sweeps=4)
+
+
 def _events_cumsum(sf_dir: str):
     """Per-user running totals + sequence numbers (SUM OVER window
     surface): one user-bucket shuffle, segmented vectorized cumsum."""
@@ -1350,6 +1372,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cumsum": _events_cumsum,
         "doc_global_rank": _doc_global_rank,
         "corpus_tfidf_topk": _corpus_tfidf_topk,
+        "events_gapfill": _events_gapfill,
+        "host_components": _host_components,
     }
 
 
@@ -3177,5 +3201,75 @@ def oracle_sql() -> dict[str, str]:
             WHERE sc.score_e6 > 0
             ORDER BY sc.score_e6 DESC, sc.doc_id
             LIMIT 20
+        """,
+        # Dense calendar spine: generate_series over the global hour
+        # range × distinct types, zero-filled counts; integer floor-div
+        # windows on both sides.
+        "events_gapfill": """
+            WITH b AS (
+              SELECT min(epoch_us(ts) // 3600000000) AS lo,
+                     max(epoch_us(ts) // 3600000000) AS hi
+              FROM events
+            ), types AS (
+              SELECT DISTINCT event_type FROM events
+            ), spine AS (
+              SELECT t.event_type,
+                     CAST(3600000000 * u.h AS BIGINT) AS window_start_us
+              FROM types t, b, unnest(range(b.lo, b.hi + 1)) AS u(h)
+            ), cnt AS (
+              SELECT event_type,
+                     CAST(3600000000 * (epoch_us(ts) // 3600000000) AS BIGINT) AS w,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            )
+            SELECT s.event_type, s.window_start_us,
+                   CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+            FROM spine s LEFT JOIN cnt c
+              ON c.event_type = s.event_type AND c.w = s.window_start_us
+        """,
+        # 4-sweep synchronous min-label propagation over the undirected
+        # distinct host graph — the SQL replays each sweep as a CTE
+        # (label = least(own, min over neighbors), Jacobi update).
+        "host_components": f"""
+            WITH raw AS (
+              SELECT lower(regexp_extract(url, '^https?://(?:[^@/]*@)?([^/:?#]+)', 1)) AS s,
+                     lower(regexp_extract(l.href, '^https?://(?:[^@/]*@)?([^/:?#]+)', 1)) AS d
+              FROM (SELECT url, unnest(outlinks) AS l
+                    FROM read_parquet('{golden_sf0_01}'))
+            ), edges AS (
+              SELECT DISTINCT s, d FROM raw WHERE s <> d
+            ), adj AS (
+              SELECT s AS u, d AS v FROM edges
+              UNION SELECT d AS u, s AS v FROM edges
+            ), nodes AS (
+              SELECT s AS h FROM edges UNION SELECT d FROM edges
+            ), it0 AS (
+              SELECT h, h AS l FROM nodes
+            ), it1 AS (
+              SELECT n.h, least(r.l, COALESCE(MIN(r2.l), r.l)) AS l
+              FROM nodes n JOIN it0 r ON r.h = n.h
+              LEFT JOIN adj a ON a.u = n.h
+              LEFT JOIN it0 r2 ON r2.h = a.v
+              GROUP BY n.h, r.l
+            ), it2 AS (
+              SELECT n.h, least(r.l, COALESCE(MIN(r2.l), r.l)) AS l
+              FROM nodes n JOIN it1 r ON r.h = n.h
+              LEFT JOIN adj a ON a.u = n.h
+              LEFT JOIN it1 r2 ON r2.h = a.v
+              GROUP BY n.h, r.l
+            ), it3 AS (
+              SELECT n.h, least(r.l, COALESCE(MIN(r2.l), r.l)) AS l
+              FROM nodes n JOIN it2 r ON r.h = n.h
+              LEFT JOIN adj a ON a.u = n.h
+              LEFT JOIN it2 r2 ON r2.h = a.v
+              GROUP BY n.h, r.l
+            ), it4 AS (
+              SELECT n.h, least(r.l, COALESCE(MIN(r2.l), r.l)) AS l
+              FROM nodes n JOIN it3 r ON r.h = n.h
+              LEFT JOIN adj a ON a.u = n.h
+              LEFT JOIN it3 r2 ON r2.h = a.v
+              GROUP BY n.h, r.l
+            )
+            SELECT h AS host, l AS comp_label FROM it4
         """,
     }

@@ -182,6 +182,53 @@ def _rank_table(hosts: np.ndarray, r: np.ndarray) -> ray.data.Dataset:
     )
 
 
+def host_components(
+    pages: ray.data.Dataset, sweeps: int = 4, plan: str = "auto"
+) -> ray.data.Dataset:
+    """Weakly-connected host components by FIXED-SWEEP min-label
+    propagation → (host, comp_label).
+
+    Each sweep sets ``label(v) = min(label(v), min_{u~v} label(u))``
+    over the undirected adjacency (labels start as the host's own name;
+    the final label is the lexicographic min reached within ``sweeps``
+    hops — a pinned, SQL-replayable semantics; sweeps ≥ graph diameter
+    gives true components). Same two plans as :func:`host_pagerank`;
+    internally labels are indexes into the SORTED host array, so
+    integer min ≡ lexicographic string min. The engine's converged
+    variant for arbitrary graphs is `stages/dedup_docs.py`'s
+    distributed label propagation (iterate-until-fixpoint); this one
+    pins the sweep count so the oracle can replay it exactly."""
+    partials = _edge_partials(pages)
+    tables = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
+    edges = (
+        pa.concat_tables(tables).group_by(["src_host", "dst_host"]).aggregate([])
+        if tables
+        else pa.table({"src_host": pa.array([], pa.string()),
+                       "dst_host": pa.array([], pa.string())})
+    )
+    if edges.num_rows > BROADCAST_MAX_EDGES and plan != "broadcast":
+        raise NotImplementedError(
+            "past the broadcast cap, run the converged distributed label "
+            "propagation (stages/dedup_docs.py:near_dup_clusters_distributed "
+            "pattern) — the fixed-sweep oracle form is a small-graph surface")
+    s = edges.column("src_host").to_numpy(zero_copy_only=False)
+    d = edges.column("dst_host").to_numpy(zero_copy_only=False)
+    hosts = np.unique(np.concatenate([s, d])) if len(s) else np.array([], object)
+    si = np.searchsorted(hosts, s).astype(np.int64)
+    di = np.searchsorted(hosts, d).astype(np.int64)
+    u = np.concatenate([si, di])  # undirected: both directions
+    v = np.concatenate([di, si])
+    lab = np.arange(len(hosts), dtype=np.int64)
+    for _ in range(sweeps):
+        nxt = lab.copy()
+        np.minimum.at(nxt, v, lab[u])
+        lab = np.minimum(lab, nxt)
+    return ray.data.from_arrow(pa.table({
+        "host": pa.array(hosts.tolist(), pa.string()),
+        "comp_label": pa.array([hosts[i] for i in lab], pa.string()),
+    }))
+
+
 def host_pagerank(
     pages: ray.data.Dataset, iters: int = 3, plan: str = "auto"
 ) -> ray.data.Dataset:

@@ -143,6 +143,68 @@ def session_window(events_ds, gap_s: int = 1800):
                           batch_format="pandas")
 
 
+def events_gapfill(events_ds, width_s: int = 3600):
+    """Dense calendar spine: every (event_type, window) in the global
+    hour range, zero-filled — the sparse→dense gap-fill every
+    time-series feature store needs before windowed models.
+
+    Sparse counts reduce through the usual combiner + bucketed hash
+    aggregate; the spine bounds (global min/max hour) and the type set
+    fold from tiny partials. The DENSE result is spine-sized
+    (|types| × hours — bounded by the time range, not the corpus), so
+    materializing it driver-side for the merge is the honest cost of
+    asking for a dense output; windows use integer floor division
+    (``epoch_us // width_us``), bit-equal to the SQL replay."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from .hashagg import grouped_aggregate
+
+    width_us = width_s * 1_000_000
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        ep = batch.column("ts").cast(pa.int64())
+        win = pc.multiply(
+            pc.divide(ep, pa.scalar(width_us, pa.int64())).cast(pa.int64()),
+            pa.scalar(width_us, pa.int64()))
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "window_start_us": win})
+        agg = pa.TableGroupBy(t, ["event_type", "window_start_us"]).aggregate(
+            [([], "count_all")])
+        return agg.rename_columns(["event_type", "window_start_us", "p_n"])
+
+    counts = grouped_aggregate(
+        events_ds.map_batches(count_partial, batch_format="pyarrow",
+                              batch_size=65536),
+        ["event_type", "window_start_us"],
+        [("p_n", "sum", "n_events")],
+        bucket_on="window_start_us")
+
+    # dense spine from the folded counts (spine-sized by construction:
+    # bounds and types are already in the reduced table)
+    cdf = counts.to_pandas()
+    if not len(cdf):
+        return ray.data.from_arrow(pa.table({
+            "event_type": pa.array([], pa.string()),
+            "window_start_us": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64())}))
+    lo, hi = int(cdf.window_start_us.min()), int(cdf.window_start_us.max())
+    hours = np.arange(lo, hi + 1, width_us, dtype=np.int64)
+    types = sorted(cdf.event_type.unique())
+    spine = pd.DataFrame({
+        "event_type": np.repeat(types, len(hours)),
+        "window_start_us": np.tile(hours, len(types)),
+    })
+    out = spine.merge(cdf, on=["event_type", "window_start_us"], how="left")
+    out["n_events"] = out["n_events"].fillna(0).astype("int64")
+    return ray.data.from_arrow(pa.Table.from_pandas(out, preserve_index=False)
+                               .cast(pa.schema([
+                                   ("event_type", pa.string()),
+                                   ("window_start_us", pa.int64()),
+                                   ("n_events", pa.int64())])))
+
+
 def events_cumsum(events_ds):
     """Per-user running aggregates: 1-based sequence number and the
     running e2 fixed-point value total in stable ``(ts, event_id)``

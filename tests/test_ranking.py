@@ -62,6 +62,25 @@ def test_tfidf_query_is_top_df_and_scores_exact(ray_session):
     assert pairs == sorted(pairs)
 
 
+def test_events_gapfill_dense_and_zero_filled(ray_session):
+    import ray.data
+
+    from horizon_ocr_python_ray.stages.window import events_gapfill
+
+    H = 3_600_000_000
+    t = pa.table({
+        "event_type": pa.array(["a", "a", "b"], pa.string()),
+        # hours 0, 2 for a; hour 1 for b → spine hours {0,1,2} × {a,b}
+        "ts": pa.array([10, 2 * H + 5, H + 7], pa.timestamp("us")),
+    })
+    out = (events_gapfill(ray.data.from_arrow(t))
+           .to_pandas().sort_values(["event_type", "window_start_us"])
+           .reset_index(drop=True))
+    assert len(out) == 6
+    assert out.n_events.tolist() == [1, 0, 1, 0, 1, 0]
+    assert out.window_start_us.tolist() == [0, H, 2 * H] * 2
+
+
 def test_events_cumsum_segmented(ray_session):
     import ray.data
 
