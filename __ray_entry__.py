@@ -1181,6 +1181,42 @@ def _host_anchor_terms(sf_dir: str):
     return host_anchor_terms(read_pages(corpus), k=3)
 
 
+def _doc_mix_rebalance(sf_dir: str):
+    """Equal-share language rebalancing: per-stratum count fold → quota
+    = minority count → hash-order min-k per stratum."""
+    import ray.data
+
+    from horizon_ocr_python_ray.stages.sampling import mix_rebalance
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return mix_rebalance(docs)
+
+
+def _doc_safe_split(sf_dir: str):
+    """Leakage-safe split: exact duplicates share a split via their
+    content group's min-id representative."""
+    import ray.data
+
+    from horizon_ocr_python_ray.stages.sampling import safe_split
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return safe_split(docs, eval_permille=100)
+
+
+def _emb_semdedup(sf_dir: str):
+    """SemDeDup composite: broadcast k-means model → streaming assign →
+    one cluster groupby bounds the quadratic cosine scan."""
+    import ray.data
+
+    from horizon_ocr_python_ray.stages.kmeans import emb_semdedup
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return emb_semdedup(emb, k=8, threshold=0.4)
+
+
 def _events_gapfill(sf_dir: str):
     """Dense hourly spine per event_type (sparse→dense gap fill),
     zero-filled; integer floor-div windows."""
@@ -1374,6 +1410,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_tfidf_topk": _corpus_tfidf_topk,
         "events_gapfill": _events_gapfill,
         "host_components": _host_components,
+        "emb_semdedup": _emb_semdedup,
+        "doc_mix_rebalance": _doc_mix_rebalance,
+        "doc_safe_split": _doc_safe_split,
     }
 
 
@@ -3271,5 +3310,99 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY n.h, r.l
             )
             SELECT h AS host, l AS comp_label FROM it4
+        """,
+        # SemDeDup: the emb_kmeans oracle's assignment CTEs + a
+        # correlated same-cluster smaller-id cosine probe (θ = 0.4,
+        # keep-the-smallest-id rule).
+        "emb_semdedup": """
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding::DOUBLE[],
+                                    x -> CAST(round(x * 1000000) AS BIGINT)) AS v
+              FROM embeddings
+            ), seeds AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS sid, v
+              FROM e ORDER BY vec_id LIMIT 8
+            ), a1 AS (
+              SELECT e.vec_id, s.sid,
+                     CAST(list_sum(list_transform(
+                       range(1, len(e.v) + 1),
+                       i -> (e.v[i] - s.v[i]) * (e.v[i] - s.v[i]))) AS BIGINT) AS d2
+              FROM e CROSS JOIN seeds s
+            ), asg1 AS (
+              SELECT vec_id, sid FROM a1
+              QUALIFY row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d2, sid) = 1
+            ), el AS (
+              SELECT a.sid, generate_subscripts(e.v, 1) AS i,
+                     unnest(e.v) AS x
+              FROM asg1 a JOIN e USING (vec_id)
+            ), sums AS (
+              SELECT sid, i,
+                     CAST(floor(sum(x)::DOUBLE / count(*)) AS BIGINT) AS c
+              FROM el GROUP BY sid, i
+            ), cents AS (
+              SELECT s.sid, coalesce(u.v2, s.v) AS v
+              FROM seeds s LEFT JOIN (
+                SELECT sid, list(c ORDER BY i) AS v2 FROM sums GROUP BY sid
+              ) u USING (sid)
+            ), a2 AS (
+              SELECT e.vec_id, c.sid,
+                     CAST(list_sum(list_transform(
+                       range(1, len(e.v) + 1),
+                       i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))) AS BIGINT) AS d2
+              FROM e CROSS JOIN cents c
+            ), asg2 AS (
+              SELECT vec_id, sid AS cluster FROM a2
+              QUALIFY row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d2, sid) = 1
+            )
+            SELECT a.vec_id, a.cluster,
+                   EXISTS (
+                     SELECT 1 FROM asg2 b
+                     JOIN embeddings eb ON eb.vec_id = b.vec_id
+                     WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
+                       AND list_cosine_similarity(
+                             ea.embedding::DOUBLE[],
+                             eb.embedding::DOUBLE[]) >= 0.4
+                   ) AS is_dup
+            FROM asg2 a JOIN embeddings ea ON ea.vec_id = a.vec_id
+        """,
+        # Equal-share rebalance: quota = minority-language count; the
+        # per-stratum selection replays the md5 hash order.
+        "doc_mix_rebalance": """
+            WITH q AS (
+              SELECT min(n) AS quota FROM (
+                SELECT count(*) AS n FROM documents GROUP BY lang)
+            ), h AS (
+              SELECT lang, doc_id,
+                     md5_number_lower(CAST(doc_id AS VARCHAR)) AS sample_hash
+              FROM documents
+            ), r AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY lang ORDER BY sample_hash, doc_id
+                     ) AS sample_rank
+              FROM h
+            )
+            SELECT lang, doc_id, sample_hash,
+                   CAST(sample_rank AS BIGINT) AS sample_rank
+            FROM r, q WHERE sample_rank <= q.quota
+        """,
+        # Leakage-safe split: the split key is the content group's
+        # min-doc_id representative; identical texts always co-split.
+        "doc_safe_split": """
+            WITH g AS (
+              SELECT doc_id, md5(COALESCE(text, '')) AS content_md5
+              FROM documents
+            ), rep AS (
+              SELECT doc_id, content_md5,
+                     min(doc_id) OVER (PARTITION BY content_md5) AS group_rep
+              FROM g
+            )
+            SELECT doc_id, content_md5, group_rep,
+                   CASE WHEN md5_number_lower(CAST(group_rep AS VARCHAR))
+                             % 1000 < 100
+                        THEN 'eval' ELSE 'train' END AS split
+            FROM rep
         """,
     }

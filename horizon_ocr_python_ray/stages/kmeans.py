@@ -81,11 +81,11 @@ def _seed_centroids(emb_ds, k: int, id_col: str, emb_col: str) -> np.ndarray:
     return np.asarray([r["e6"] for r in rows[:k]], dtype=np.int64)
 
 
-def emb_kmeans(emb_ds, k: int = 8, id_col: str = "vec_id",
-               emb_col: str = "embedding"):
-    """Two-iteration integer-exact Lloyd k-means; returns one
-    ``(vec_id, cluster, dist)`` row per vector (``dist`` = int64
-    squared L2 in e6 units against the iteration-2 centroids)."""
+def kmeans_centroids(emb_ds, k: int = 8, id_col: str = "vec_id",
+                     emb_col: str = "embedding") -> np.ndarray:
+    """Iteration-2 centroid matrix (k × d int64 e6) of the pinned
+    two-iteration Lloyd algorithm — the broadcastable cluster model
+    behind :func:`emb_kmeans` and :func:`emb_semdedup`."""
     seeds = _seed_centroids(emb_ds, k, id_col, emb_col)
     k = len(seeds)
     sref = ray.put(seeds)
@@ -127,7 +127,15 @@ def emb_kmeans(emb_ds, k: int = 8, id_col: str = "vec_id",
         cnt[r["cluster"]] = r["n"]
     nonempty = cnt > 0
     cents[nonempty] = acc[nonempty] // cnt[nonempty, None]  # floor div
-    cref = ray.put(cents)
+    return cents
+
+
+def emb_kmeans(emb_ds, k: int = 8, id_col: str = "vec_id",
+               emb_col: str = "embedding"):
+    """Two-iteration integer-exact Lloyd k-means; returns one
+    ``(vec_id, cluster, dist)`` row per vector (``dist`` = int64
+    squared L2 in e6 units against the iteration-2 centroids)."""
+    cref = ray.put(kmeans_centroids(emb_ds, k, id_col, emb_col))
 
     def final_assign(t: pa.Table) -> pa.Table:
         x = _scaled(t, emb_col)
@@ -142,3 +150,56 @@ def emb_kmeans(emb_ds, k: int = 8, id_col: str = "vec_id",
                          "dist": pa.array(d2, pa.int64())})
 
     return emb_ds.map_batches(final_assign, batch_format="pyarrow")
+
+
+def emb_semdedup(emb_ds, k: int = 8, threshold: float = 0.4,
+                 id_col: str = "vec_id", emb_col: str = "embedding"):
+    """SemDeDup (Abbas et al., 2023, arXiv:2303.09540): cluster the
+    embedding space, then mark within-cluster near-duplicates — a row
+    is a DUP when some SAME-CLUSTER row with a smaller id has cosine ≥
+    ``threshold`` (keep-the-smallest-id rule, pinned). Returns
+    ``(vec_id, cluster, is_dup)`` for every vector.
+
+    This is the composite the paper runs at web scale: the k-means
+    model (k×d ints) broadcasts; assignment streams; ONE
+    ``groupby(cluster)`` co-locates each cluster so the quadratic
+    cosine scan is bounded by the largest CLUSTER, never the corpus —
+    exactly why SemDeDup clusters before comparing. Cosine matches
+    :func:`stages.ann.embedding_near_dup_pairs` (float64 normalize +
+    matmul ≡ DuckDB ``list_cosine_similarity``)."""
+    import pandas as pd
+
+    from .ann import _normalize
+
+    cref = ray.put(kmeans_centroids(emb_ds, k, id_col, emb_col))
+
+    def assign_keep_emb(t: pa.Table) -> pa.Table:
+        x = _scaled(t, emb_col)
+        if x.size == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64()),
+                             emb_col: pa.array([], t.column(emb_col).type)})
+        cl, _ = _assign(x, ray.get(cref))
+        return pa.table({id_col: t.column(id_col).cast(pa.int64()),
+                         "cluster": pa.array(cl, pa.int64()),
+                         emb_col: t.column(emb_col)})
+
+    assigned = emb_ds.map_batches(assign_keep_emb, batch_format="pyarrow")
+
+    def cluster_scan(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        order = np.argsort(ids)  # ids are unique: total order
+        ids = ids[order]
+        mat = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in g[emb_col].to_numpy()[order]])
+        n = _normalize(mat)
+        sims = n @ n.T
+        # dup ⇔ any strictly-lower-id row (strict lower triangle) ≥ θ
+        tri = np.tril(sims >= threshold, k=-1)
+        is_dup = tri.any(axis=1)
+        return pd.DataFrame({id_col: ids,
+                             "cluster": g["cluster"].to_numpy()[order],
+                             "is_dup": is_dup})
+
+    return assigned.groupby("cluster").map_groups(cluster_scan,
+                                                  batch_format="pandas")

@@ -154,3 +154,68 @@ def stratified_sample(ds, stratum: str = "lang", key: str = "doc_id",
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
     pruned = hashed.map_batches(local_prune, batch_format="pyarrow")
     return pruned.groupby(stratum).map_groups(take_k, batch_format="pyarrow")
+
+
+def mix_rebalance(ds, stratum: str = "lang", key: str = "doc_id"):
+    """Equal-share class rebalancing: downsample every stratum to the
+    MINORITY stratum's count, members chosen by the re-shard-stable
+    ``(md5_low64(key), key)`` hash order — the deterministic form of
+    "balance the language mix before training".
+
+    The quota comes from a tiny per-stratum count fold (combiner → one
+    narrow groupby, stratum-cardinality rows); the selection then
+    reuses :func:`stratified_sample`'s min-k machinery with
+    ``k = quota``. Output: (stratum, key, sample_hash, sample_rank),
+    exactly ``quota`` rows per stratum."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(t.select([stratum]), stratum).aggregate(
+            [([], "count_all")])
+        return agg.rename_columns([stratum, "p_n"])
+
+    counts = (ds.map_batches(count_partial, batch_format="pyarrow")
+              .groupby(stratum).aggregate(Sum("p_n", alias_name="n")))
+    quota = min(int(r["n"]) for r in counts.take_all())
+    return stratified_sample(ds, stratum=stratum, key=key, k=quota)
+
+
+def safe_split(ds, text_col: str = "text", key: str = "doc_id",
+               eval_permille: int = EVAL_PERMILLE_DEFAULT):
+    """Leakage-safe train/eval split: byte-identical documents (same
+    ``md5(text)``) ALWAYS land in the same split — the split key is the
+    content group's representative (min ``key``), not the row. A plain
+    per-row hash split leaks exact duplicates across the boundary;
+    grouping first is the standard eval-hygiene fix.
+
+    One content-hash bucket shuffle (``hashagg.grouped_reduce``); in a
+    bucket the representative is a vectorized groupby-min and every
+    member inherits ``split(md5_low64(str(rep)) % 1000)``. Output:
+    (key, content_md5, group_rep, split)."""
+    import hashlib as _hl
+
+    import pandas as pd
+
+    from .hashagg import grouped_reduce
+
+    def add_md5(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        hs = [_hl.md5((x or "").encode("utf-8")).hexdigest() for x in texts]
+        return pa.table({key: t.column(key).cast(pa.int64()),
+                         "content_md5": pa.array(hs, pa.string())})
+
+    def bucket_split(g: pd.DataFrame) -> pd.DataFrame:
+        rep = g.groupby("content_md5")[key].transform("min")
+        split = [
+            "eval" if _md5_low64(str(r)) % 1000 < eval_permille else "train"
+            for r in rep
+        ]
+        return pd.DataFrame({key: g[key].to_numpy(),
+                             "content_md5": g["content_md5"].to_numpy(),
+                             "group_rep": rep.to_numpy(),
+                             "split": split})
+
+    hashed = ds.map_batches(add_md5, batch_format="pyarrow")
+    return grouped_reduce(hashed, "content_md5", bucket_split,
+                          batch_format="pandas")
