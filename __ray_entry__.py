@@ -1181,6 +1181,17 @@ def _host_anchor_terms(sf_dir: str):
     return host_anchor_terms(read_pages(corpus), k=3)
 
 
+def _pages_host_join(sf_dir: str):
+    """Skewed fact-enrichment join: per-host page counts attached back
+    onto the page stream (broadcast plan; salted replicate-build plan
+    tested row-equal for the hot-key path)."""
+    from horizon_ocr_python_ray import ensure_corpus, read_pages, sf_from_dir
+    from horizon_ocr_python_ray.stages.skew import host_enrich_join
+
+    corpus = ensure_corpus(sf_from_dir(sf_dir))
+    return host_enrich_join(read_pages(corpus, columns=["url"]))
+
+
 def _doc_mix_rebalance(sf_dir: str):
     """Equal-share language rebalancing: per-stratum count fold → quota
     = minority count → hash-order min-k per stratum."""
@@ -1413,6 +1424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_semdedup": _emb_semdedup,
         "doc_mix_rebalance": _doc_mix_rebalance,
         "doc_safe_split": _doc_safe_split,
+        "pages_host_join": _pages_host_join,
     }
 
 
@@ -3404,5 +3416,15 @@ def oracle_sql() -> dict[str, str]:
                              % 1000 < 100
                         THEN 'eval' ELSE 'train' END AS split
             FROM rep
+        """,
+        # Skewed enrichment join: per-host page count attached to every
+        # page — the window COUNT() replay of the broadcast/salted join.
+        "pages_host_join": f"""
+            SELECT url,
+                   lower(regexp_extract(url, '^https?://(?:[^@/]*@)?([^/:?#]+)', 1)) AS host,
+                   CAST(count(*) OVER (
+                     PARTITION BY lower(regexp_extract(url, '^https?://(?:[^@/]*@)?([^/:?#]+)', 1))
+                   ) AS BIGINT) AS host_n_pages
+            FROM read_parquet('{golden_sf0_01}')
         """,
     }

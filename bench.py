@@ -86,7 +86,9 @@ def run_bench() -> dict:
                  "doc_decontam", "doc_chunks", "doc_packing", "doc_normalize",
                  "doc_incremental_dedup", "events_approx_users", "pages_bloom_probe",
                  "doc_repeated_ngrams", "doc_quality_gate", "cust_order_dist",
-                 "pages_outlinks", "host_pagerank"):
+                 "pages_outlinks", "host_pagerank", "emb_semdedup",
+                 "doc_dsir", "waiting_supplier", "corpus_tfidf_topk",
+                 "events_cumsum"):
         t0 = time.monotonic()
         res = q[name](sf_dir)
         if hasattr(res, "count"):

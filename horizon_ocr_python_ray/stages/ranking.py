@@ -46,34 +46,75 @@ def doc_global_rank(docs: ray.data.Dataset) -> ray.data.Dataset:
 
     keyed = docs.map_batches(project, batch_format="pyarrow").materialize()
 
-    # Pass 1: value histogram (bounded by the token-count domain, not
-    # the corpus) — per-batch bincount partials folded on the driver.
+    # Pass 1: (value, id-range-bucket) histogram. The doc_id range is
+    # split into ~N_ID_BUCKETS contiguous buckets so the tie-break
+    # shuffle key is (value, bucket) — a tie group of T docs lands in
+    # T/B-sized pieces instead of one reducer (value-only keys skew:
+    # common lengths tie millions of docs at corpus scale). The fold is
+    # bounded by |values| × B non-empty cells, corpus-independent.
+    N_ID_BUCKETS = 4096
+    mm = keyed.map_batches(
+        lambda t: pa.table({
+            "lo": pa.array([int(t.column("doc_id").to_numpy().min())
+                            if t.num_rows else 2**62], pa.int64()),
+            "hi": pa.array([int(t.column("doc_id").to_numpy().max())
+                            if t.num_rows else -2**62], pa.int64()),
+        }), batch_format="pyarrow").to_pandas()
+    id_lo, id_hi = int(mm.lo.min()), int(mm.hi.max())
+    width = max(1, (id_hi - id_lo) // N_ID_BUCKETS + 1)
+
     def hist_partial(t: pa.Table) -> pa.Table:
-        v, c = np.unique(t.column("n_tokens").to_numpy(), return_counts=True)
-        return pa.table({"v": pa.array(v, pa.int64()),
+        v = t.column("n_tokens").to_numpy()
+        b = (t.column("doc_id").to_numpy() - id_lo) // width
+        key = v * (N_ID_BUCKETS + 1) + b  # composite for np.unique
+        uk, c = np.unique(key, return_counts=True)
+        return pa.table({"v": pa.array(uk // (N_ID_BUCKETS + 1), pa.int64()),
+                         "b": pa.array(uk % (N_ID_BUCKETS + 1), pa.int64()),
                          "c": pa.array(c, pa.int64())})
 
-    hist: dict[int, int] = {}
+    hist: dict[tuple[int, int], int] = {}
     for ref in keyed.map_batches(hist_partial, batch_format="pyarrow").to_arrow_refs():
         t = ray.get(ref)
-        for v, c in zip(t.column("v").to_pylist(), t.column("c").to_pylist()):
-            hist[v] = hist.get(v, 0) + c
-    vals = np.array(sorted(hist, reverse=True), np.int64)  # desc = rank order
-    counts = np.array([hist[v] for v in vals], np.int64)
-    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])  # docs ranked above
-    off_ref = ray.put((vals, offsets))
+        for v, b, c in zip(t.column("v").to_pylist(), t.column("b").to_pylist(),
+                           t.column("c").to_pylist()):
+            hist[(v, b)] = hist.get((v, b), 0) + c
+    # offsets: docs ranked strictly above (higher v) plus, within the
+    # value, docs in LOWER id-buckets (rank is (v desc, doc_id asc));
+    # keyed by the composite gkey so the reducer's lookup is one map.
+    cells = sorted(hist, key=lambda vb: (-vb[0], vb[1]))
+    offset_map: dict[int, int] = {}
+    run = 0
+    for v, b in cells:
+        offset_map[v * (N_ID_BUCKETS + 1) + b] = run
+        run += hist[(v, b)]
+    off_ref = ray.put(offset_map)
 
-    # Pass 2: tie-break by doc_id inside each value group (groups are
-    # tie-sized; the shuffle key is the histogram value).
-    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
-        vs, offs = ray.get(off_ref)
-        v = int(g["n_tokens"].iloc[0])
-        base = int(offs[np.searchsorted(-vs, -v)])
-        g = g.sort_values("doc_id").reset_index(drop=True)
-        g["rank"] = base + np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+    # Pass 2: ONE coarse-bucket shuffle on gkey (hashagg.grouped_reduce
+    # — 64 Python calls total, not one per (value, bucket) cell); each
+    # call ranks every complete cell it holds via a vectorized
+    # sort + groupby-cumcount + offset map.
+    from .hashagg import grouped_reduce
 
-    return keyed.groupby("n_tokens").map_groups(rank_group, batch_format="pandas")
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(off_ref)
+        g = g.sort_values(["gkey", "doc_id"]).reset_index(drop=True)
+        pos = g.groupby("gkey", sort=False).cumcount().to_numpy() + 1
+        base = g["gkey"].map(offs).to_numpy()
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "n_tokens": g["n_tokens"].to_numpy(),
+            "rank": base + pos,
+        })
+
+    bucketed = keyed.map_batches(
+        lambda t: t.append_column(
+            "gkey",
+            pa.array(t.column("n_tokens").to_numpy() * (N_ID_BUCKETS + 1)
+                     + (t.column("doc_id").to_numpy() - id_lo) // width,
+                     pa.int64())),
+        batch_format="pyarrow")
+    return grouped_reduce(bucketed, "gkey", rank_bucket,
+                          batch_format="pandas")
 
 
 def tfidf_topk(

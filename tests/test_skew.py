@@ -111,3 +111,20 @@ def test_events_distinct_users_two_phase(ray_session):
         ray.data.from_arrow(t).repartition(3)).to_pandas().set_index("event_type")
     assert out.loc["a", "n_users"] == 2
     assert out.loc["b", "n_users"] == 1
+
+
+def test_host_enrich_join_plans_row_equal(ray_session, corpus_dir):
+    from horizon_ocr_python_ray import read_pages
+    from horizon_ocr_python_ray.stages.skew import host_enrich_join
+
+    b = (host_enrich_join(read_pages(corpus_dir, columns=["url"]),
+                          plan="broadcast")
+         .to_pandas().sort_values("url").reset_index(drop=True))
+    s = (host_enrich_join(read_pages(corpus_dir, columns=["url"]),
+                          plan="salted", num_partitions=2)
+         .to_pandas().sort_values("url").reset_index(drop=True))
+    assert b.equals(s)
+    # the count really is the per-host row count
+    sizes = b.groupby("host").size()
+    assert (b.set_index("url").host_n_pages
+            == b.set_index("url").host.map(sizes)).all()
