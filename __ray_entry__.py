@@ -1181,6 +1181,18 @@ def _host_anchor_terms(sf_dir: str):
     return host_anchor_terms(read_pages(corpus), k=3)
 
 
+def _corpus_and_search(sf_dir: str):
+    """Conjunctive (AND) retrieval for the corpus top-3-DF terms:
+    broadcast query set, per-doc containment in the scan, no shuffle."""
+    import ray.data
+
+    from horizon_ocr_python_ray.stages.ranking import and_search
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return and_search(docs, n_query=3)
+
+
 def _pages_host_join(sf_dir: str):
     """Skewed fact-enrichment join: per-host page counts attached back
     onto the page stream (broadcast plan; salted replicate-build plan
@@ -1425,6 +1437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_mix_rebalance": _doc_mix_rebalance,
         "doc_safe_split": _doc_safe_split,
         "pages_host_join": _pages_host_join,
+        "corpus_and_search": _corpus_and_search,
     }
 
 
@@ -3426,5 +3439,27 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY lower(regexp_extract(url, '^https?://(?:[^@/]*@)?([^/:?#]+)', 1))
                    ) AS BIGINT) AS host_n_pages
             FROM read_parquet('{golden_sf0_01}')
+        """,
+        # Conjunctive retrieval: docs containing ALL of the top-3-DF
+        # terms (same self-derived query as corpus_tfidf_topk).
+        "corpus_and_search": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest({tok}) AS term
+              FROM documents WHERE trim(text) <> ''
+            ), df AS (
+              SELECT term, count(DISTINCT doc_id) AS df
+              FROM tok GROUP BY 1
+            ), q AS (
+              SELECT term FROM df ORDER BY df DESC, term LIMIT 3
+            ), hits AS (
+              SELECT t.doc_id
+              FROM (SELECT DISTINCT doc_id, term FROM tok) t
+              JOIN q USING (term)
+              GROUP BY t.doc_id HAVING count(*) = 3
+            ), lens AS (
+              SELECT doc_id, {ntok} AS n_tokens FROM documents
+            )
+            SELECT h.doc_id, lens.n_tokens
+            FROM hits h JOIN lens USING (doc_id)
         """,
     }

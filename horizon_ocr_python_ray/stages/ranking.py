@@ -117,16 +117,15 @@ def doc_global_rank(docs: ray.data.Dataset) -> ray.data.Dataset:
                           batch_format="pandas")
 
 
-def tfidf_topk(
-    docs: ray.data.Dataset, n_query: int = 3, k: int = 20
-) -> ray.data.Dataset:
-    """Top-k documents for the corpus's own top-``n_query``-DF terms.
+def top_df_terms(docs: ray.data.Dataset, n: int) -> list[tuple[int, str]]:
+    """The corpus's top-``n`` document-frequency terms as
+    ``[(−df, term)]`` sorted by ``(df desc, term asc)`` — the
+    deterministic self-derived "query" used by the retrieval ops.
 
-    Returns (doc_id, score_e6, n_tokens) for the k best by
-    ``(score_e6 desc, doc_id asc)``; zero-score docs never surface."""
-    import pyarrow.compute as pc
+    DF pass = distinct terms per doc (combiner) → one term shuffle;
+    the fold keeps only ``n`` rows per block (vocab never reaches the
+    driver)."""
 
-    # ---- DF pass: distinct terms per doc (combiner) → term shuffle --
     def df_partial(t: pa.Table) -> pa.Table:
         texts = t.column("text").to_pylist()
         terms: list[str] = []
@@ -141,8 +140,6 @@ def tfidf_topk(
 
     df_ds = (docs.map_batches(df_partial, batch_format="pyarrow")
              .groupby("term").aggregate(Sum("p_df", alias_name="df")))
-    # top-n_query by (df desc, term asc): per-block partial top-k, so
-    # only n_query rows per block reach the driver (vocab never does).
     best: list[tuple[int, str]] = []
     for ref in df_ds.to_arrow_refs():
         t = ray.get(ref)
@@ -152,9 +149,19 @@ def tfidf_topk(
             (-int(df), term)
             for term, df in zip(t.column("term").to_pylist(),
                                 t.column("df").to_pylist())
-        )[:n_query]
-        best = sorted(best + block)[:n_query]
-    query = best
+        )[:n]
+        best = sorted(best + block)[:n]
+    return best
+
+
+def tfidf_topk(
+    docs: ray.data.Dataset, n_query: int = 3, k: int = 20
+) -> ray.data.Dataset:
+    """Top-k documents for the corpus's own top-``n_query``-DF terms.
+
+    Returns (doc_id, score_e6, n_tokens) for the k best by
+    ``(score_e6 desc, doc_id asc)``; zero-score docs never surface."""
+    query = top_df_terms(docs, n_query)
 
     n_docs = docs.count()
     idf = {term: (n_docs * 1_000_000) // (-ndf) for ndf, term in query}
@@ -200,3 +207,31 @@ def tfidf_topk(
                                  ascending=[False, True])
               .head(k).reset_index(drop=True))
     return ray.data.from_arrow(pa.Table.from_pandas(merged, preserve_index=False))
+
+
+def and_search(docs: ray.data.Dataset, n_query: int = 3) -> ray.data.Dataset:
+    """Conjunctive (boolean AND) retrieval: every document containing
+    ALL of the corpus's top-``n_query``-DF terms → (doc_id, n_tokens).
+
+    Plan: the query set broadcasts and the membership test runs inside
+    the document scan — a per-doc set containment, NO shuffle at all
+    (the predicate-pushdown plan; a precomputed postings index would
+    instead intersect ``n_query`` posting lists — `stages/postings.py`
+    holds that surface)."""
+    query = {term for _, term in top_df_terms(docs, n_query)}
+    q_ref = ray.put(query)
+
+    def probe(t: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        texts = t.column("text").to_pylist()
+        ids = t.column("doc_id").to_numpy()
+        out_id, out_n = [], []
+        for i, x in enumerate(texts):
+            toks = (x or "").lower().split()
+            if q and q.issubset(toks):
+                out_id.append(int(ids[i]))
+                out_n.append(len(toks))
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "n_tokens": pa.array(out_n, pa.int64())})
+
+    return docs.map_batches(probe, batch_format="pyarrow")

@@ -96,9 +96,12 @@ def repeated_ngram_stats(docs_ds, n: int = DEFAULT_N):
     totals = (docs_ds.map_batches(_totals_batch, batch_format="pyarrow",
                                   fn_kwargs={"n": n})
               .map_batches(total_rows, batch_format="pyarrow"))
-    summed = totals.union(uniq).groupby("doc_id").aggregate(
-        Sum("n_grams", alias_name="n_grams"),
-        Sum("n_unique", alias_name="n_unique"))
+    # doc_id cardinality is corpus-sized too: same bucketed hash
+    # aggregate as the gram reduce (sort-based groupby measured ~1.5 s
+    # slower at sf0.1)
+    summed = grouped_aggregate(
+        totals.union(uniq), "doc_id",
+        [("n_grams", "sum", "n_grams"), ("n_unique", "sum", "n_unique")])
 
     def finish(t: pa.Table) -> pa.Table:
         ng = t.column("n_grams").cast(pa.int64())

@@ -62,6 +62,17 @@ def test_tfidf_query_is_top_df_and_scores_exact(ray_session):
     assert pairs == sorted(pairs)
 
 
+def test_and_search_requires_all_terms(ray_session):
+    import ray.data
+
+    from horizon_ocr_python_ray.stages.ranking import and_search
+
+    out = and_search(ray.data.from_arrow(_docs()), n_query=2).to_pandas()
+    # top-2 DF terms are (a: 3 docs, b: 2) → only docs with BOTH a and b
+    assert sorted(out.doc_id) == [1, 2]
+    assert dict(zip(out.doc_id, out.n_tokens)) == {1: 4, 2: 2}
+
+
 def test_events_gapfill_dense_and_zero_filled(ray_session):
     import ray.data
 
