@@ -706,7 +706,21 @@ def returned_top_customers_q10(sf_dir: str, quarter: str = "1996-01-01",
     by_cust = by_cust_src.groupby("c_custkey").aggregate(
         Sum("p_r", alias_name="revenue_e4"))
 
-    cdf = by_cust.to_pandas()  # customer-dimension cardinality: tiny fold
+    # Customer is NOT a bounded dimension at 100×: never fold the full
+    # per-customer aggregate. (revenue_e4 desc, c_custkey asc) is a
+    # total order over exactly the folded columns, so per-block partial
+    # top-k is exact — only k rows per block reach the driver.
+    def topk_partial(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("revenue_e4", "descending"),
+                                            ("c_custkey", "ascending")])
+        return t.take(idx[:k])
+
+    parts = [t for t in ray.get(
+        by_cust.map_batches(topk_partial, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_rows]
+    cdf = (pa.concat_tables(parts).to_pandas() if parts
+           else pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
+                              "revenue_e4": pd.Series(dtype="int64")}))
     cdf["revenue_e4"] = cdf["revenue_e4"].astype("int64")
     cdf = (cdf.sort_values(["revenue_e4", "c_custkey"],
                            ascending=[False, True]).head(k))
