@@ -1181,6 +1181,22 @@ def _host_anchor_terms(sf_dir: str):
     return host_anchor_terms(read_pages(corpus), k=3)
 
 
+def _cust_year_orders(sf_dir: str):
+    """FULL OUTER JOIN shape as union-tagged aggregates: per-customer
+    order counts in 1996 vs 1997, either-side customers kept."""
+    from horizon_ocr_python_ray.pipelines.subqueries import cust_year_orders_fullouter
+
+    return cust_year_orders_fullouter(sf_dir)
+
+
+def _doc_lang_moments(sf_dir: str):
+    """Per-language length moments as exact int64 sufficient statistics
+    (n, Σx, Σx²) — the mergeable form of grouped mean/variance."""
+    from horizon_ocr_python_ray.pipelines.subqueries import doc_lang_moments
+
+    return doc_lang_moments(sf_dir)
+
+
 def _corpus_and_search(sf_dir: str):
     """Conjunctive (AND) retrieval for the corpus top-3-DF terms:
     broadcast query set, per-doc containment in the scan, no shuffle."""
@@ -1438,6 +1454,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_safe_split": _doc_safe_split,
         "pages_host_join": _pages_host_join,
         "corpus_and_search": _corpus_and_search,
+        "cust_year_orders": _cust_year_orders,
+        "doc_lang_moments": _doc_lang_moments,
     }
 
 
@@ -3461,5 +3479,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT h.doc_id, lens.n_tokens
             FROM hits h JOIN lens USING (doc_id)
+        """,
+        # Full-outer shape: the engine's union-tagged aggregate must
+        # reproduce the literal FULL OUTER JOIN of the two year counts.
+        "cust_year_orders": """
+            WITH a AS (
+              SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+              FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1997-01-01'
+              GROUP BY 1
+            ), b AS (
+              SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+              FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                AND o_orderdate < TIMESTAMP '1998-01-01'
+              GROUP BY 1
+            )
+            SELECT COALESCE(a.o_custkey, b.o_custkey) AS c_custkey,
+                   CAST(COALESCE(a.n, 0) AS BIGINT) AS n_y1,
+                   CAST(COALESCE(b.n, 0) AS BIGINT) AS n_y2
+            FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+        """,
+        # Grouped moments: exact integer sufficient statistics.
+        "doc_lang_moments": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_len,
+                   CAST(sum(n_chars * n_chars) AS BIGINT) AS sumsq_len
+            FROM documents GROUP BY 1
         """,
     }

@@ -732,3 +732,93 @@ def returned_top_customers_q10(sf_dir: str, quarter: str = "1996-01-01",
     out = out.sort_values(["revenue_e4", "c_custkey"],
                           ascending=[False, True]).reset_index(drop=True)
     return out[["c_custkey", "c_name", "n_name", "revenue_e4"]]
+
+
+# ---------------------------------------------------------------------------
+# Full-outer-join shape: union-tagged aggregates (no join operator)
+# ---------------------------------------------------------------------------
+
+def cust_year_orders_fullouter(sf_dir: str, y1: str = "1996", y2: str = "1997"):
+    """FULL OUTER JOIN of two keyed aggregates — per-customer order
+    counts in two years, keeping customers present in EITHER year
+    (missing side = 0) → (c_custkey, n_y1, n_y2).
+
+    The engine expresses the full outer of two ALREADY-KEYED row
+    streams as union + one grouped sum of side-tagged partials
+    ((key, n, 0) ∪ (key, 0, n) → groupby(key).sum) — the same
+    union-reduce that powers `stages/repgrams.py`; no join operator,
+    no null handling, and the single shuffle is the unavoidable
+    co-location of the two sides. Counts are exact int64."""
+    orders = _tbl(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    lo1, hi1 = _TS(f"{y1}-01-01"), _TS(f"{int(y1) + 1}-01-01")
+    lo2, hi2 = _TS(f"{y2}-01-01"), _TS(f"{int(y2) + 1}-01-01")
+
+    def tagged_partial(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate")
+        out = []
+        for lo, hi, side in ((lo1, hi1, 0), (lo2, hi2, 1)):
+            f = t.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
+            g = pa.TableGroupBy(f.select(["o_custkey"]), "o_custkey").aggregate(
+                [([], "count_all")]).rename_columns(["c_custkey", "n"])
+            n = g.column("n").cast(pa.int64())
+            zero = pa.nulls(g.num_rows, pa.int64()).fill_null(0)
+            out.append(pa.table({
+                "c_custkey": g.column("c_custkey").cast(pa.int64()),
+                "p_1": n if side == 0 else zero,
+                "p_2": zero if side == 0 else n,
+            }))
+        return pa.concat_tables(out)
+
+    from ..stages.hashagg import grouped_aggregate
+
+    summed = grouped_aggregate(
+        orders.map_batches(tagged_partial, batch_format="pyarrow",
+                           batch_size=65536),
+        "c_custkey",
+        [("p_1", "sum", "n_y1"), ("p_2", "sum", "n_y2")])
+    return summed.map_batches(
+        lambda t: pa.table({"c_custkey": t.column("c_custkey"),
+                            "n_y1": t.column("n_y1").cast(pa.int64()),
+                            "n_y2": t.column("n_y2").cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Grouped moments: integer-exact per-group mean/variance inputs
+# ---------------------------------------------------------------------------
+
+def doc_lang_moments(sf_dir: str):
+    """Per-language length moments — (lang, n_docs, sum_len, sumsq_len)
+    in exact int64 (mean and variance derive exactly as rationals; the
+    integer sums are the mergeable sufficient statistics, the form a
+    distributed engine should ship between stages). One combiner pass →
+    a languages-cardinality groupby."""
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["lang", "n_chars"])
+
+    def moment_partial(t: pa.Table) -> pa.Table:
+        x = t.column("n_chars").cast(pa.int64())
+        g = pa.table({
+            "lang": t.column("lang"),
+            "one": pa.nulls(t.num_rows, pa.int64()).fill_null(1),
+            "x": x,
+            "xx": pc.multiply(x, x),
+        })
+        agg = pa.TableGroupBy(g, "lang").aggregate(
+            [("one", "sum"), ("x", "sum"), ("xx", "sum")])
+        return agg.rename_columns(["lang", "p_n", "p_s", "p_ss"])
+
+    out = (docs.map_batches(moment_partial, batch_format="pyarrow",
+                            batch_size=65536)
+           .groupby("lang").aggregate(Sum("p_n", alias_name="n_docs"),
+                                      Sum("p_s", alias_name="sum_len"),
+                                      Sum("p_ss", alias_name="sumsq_len")))
+    return out.map_batches(
+        lambda t: pa.table({
+            "lang": t.column("lang"),
+            "n_docs": t.column("n_docs").cast(pa.int64()),
+            "sum_len": t.column("sum_len").cast(pa.int64()),
+            "sumsq_len": t.column("sumsq_len").cast(pa.int64()),
+        }), batch_format="pyarrow")

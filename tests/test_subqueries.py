@@ -121,6 +121,27 @@ def test_q10_revenue_is_exact_integer(ray_session):
     assert pairs == sorted(pairs)
 
 
+def test_fullouter_union_keeps_either_side(ray_session):
+    import pyarrow.parquet as pq
+
+    out = _df(subqueries.cust_year_orders_fullouter(SF))
+    orders = pq.read_table(f"{SF}/orders.parquet",
+                           columns=["o_custkey", "o_orderdate"]).to_pandas()
+    y1 = orders[(orders.o_orderdate >= "1996-01-01")
+                & (orders.o_orderdate < "1997-01-01")]
+    y2 = orders[(orders.o_orderdate >= "1997-01-01")
+                & (orders.o_orderdate < "1998-01-01")]
+    want_keys = set(y1.o_custkey) | set(y2.o_custkey)
+    assert set(out.c_custkey) == want_keys
+    m = out.set_index("c_custkey")
+    c1, c2 = y1.groupby("o_custkey").size(), y2.groupby("o_custkey").size()
+    for k in list(want_keys)[:50]:
+        assert m.loc[k, "n_y1"] == c1.get(k, 0)
+        assert m.loc[k, "n_y2"] == c2.get(k, 0)
+    # either-side-only customers exist and carry a zero
+    assert ((m.n_y1 == 0) | (m.n_y2 == 0)).any()
+
+
 def test_q22_buckets_cover_output(ray_session):
     out = _df(subqueries.cust_idle_q22(SF))
     assert set(out["cgroup"]) <= set(range(8))
