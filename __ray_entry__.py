@@ -1181,6 +1181,18 @@ def _host_anchor_terms(sf_dir: str):
     return host_anchor_terms(read_pages(corpus), k=3)
 
 
+def _doc_lang_drift(sf_dir: str):
+    """Per-language distribution drift: integer TV-distance numerator
+    of the slice's hashed-unigram histogram vs the corpus's."""
+    import ray.data
+
+    from horizon_ocr_python_ray.stages.dsir import lang_drift
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "lang"])
+    return lang_drift(docs)
+
+
 def _cust_year_orders(sf_dir: str):
     """FULL OUTER JOIN shape as union-tagged aggregates: per-customer
     order counts in 1996 vs 1997, either-side customers kept."""
@@ -1456,6 +1468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_and_search": _corpus_and_search,
         "cust_year_orders": _cust_year_orders,
         "doc_lang_moments": _doc_lang_moments,
+        "doc_lang_drift": _doc_lang_drift,
     }
 
 
@@ -3500,6 +3513,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(a.n, 0) AS BIGINT) AS n_y1,
                    CAST(COALESCE(b.n, 0) AS BIGINT) AS n_y2
             FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+        """,
+        # Distribution drift: per-language TV-distance numerator over
+        # md5-hashed unigram buckets (B=4096), cleared of denominators
+        # so every term is exact int64 on both sides.
+        "doc_lang_drift": """
+            WITH tok AS (
+              SELECT lang,
+                     unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+              FROM documents WHERE trim(text) <> ''
+            ), b AS (
+              SELECT lang, CAST(md5_number_lower(term) % 4096 AS BIGINT) AS bkt
+              FROM tok
+            ), cl AS (
+              SELECT lang, bkt, count(*) AS c FROM b GROUP BY 1, 2
+            ), ct AS (
+              SELECT bkt, count(*) AS c FROM b GROUP BY 1
+            ), nl AS (
+              SELECT lang, count(*) AS n FROM b GROUP BY 1
+            ), nt AS (
+              SELECT count(*) AS n FROM b
+            ), grid AS (
+              SELECT nl.lang, ct.bkt, ct.c AS c_tot, nl.n AS n_lang
+              FROM nl CROSS JOIN ct
+            ), j AS (
+              SELECT g.lang, g.bkt, COALESCE(cl.c, 0) AS c_lang,
+                     g.c_tot, g.n_lang
+              FROM grid g LEFT JOIN cl ON cl.lang = g.lang AND cl.bkt = g.bkt
+            )
+            SELECT j.lang, CAST(max(j.n_lang) AS BIGINT) AS n_tokens,
+                   CAST(SUM(abs(j.c_lang * nt.n - j.c_tot * j.n_lang))
+                        AS BIGINT) AS tv_num
+            FROM j, nt GROUP BY 1
         """,
         # Grouped moments: exact integer sufficient statistics.
         "doc_lang_moments": """

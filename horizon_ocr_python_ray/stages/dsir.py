@@ -131,3 +131,71 @@ def dsir_scores(docs: ray.data.Dataset, target_lang: str = "en") -> ray.data.Dat
         })
 
     return docs.map_batches(score_batch, batch_format="pyarrow")
+
+
+def lang_drift(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Distribution-drift monitor: per-language total-variation distance
+    between the slice's hashed-unigram distribution and the corpus's →
+    (lang, n_tokens, tv_num) with
+
+        tv_num = Σ_b |c_lang[b]·N_corpus − c_corpus[b]·N_lang|
+
+    i.e. the TV-distance numerator cleared of both denominators
+    (TV = tv_num / (2·N_lang·N_corpus)) — exact int64, so the compare
+    and the SQL replay are bit-equal while the monitored quantity stays
+    a real divergence. One streaming pass builds fixed-size per-(lang,
+    bucket) histogram partials (≤ |langs|·B rows per batch); the fold
+    is corpus-size-independent."""
+    import pandas as pd
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        acc: dict[str, np.ndarray] = {}
+        for text, lang in zip(texts, langs):
+            bks = _doc_buckets(text)
+            if not bks:
+                continue
+            a = acc.get(lang)
+            if a is None:
+                a = acc[lang] = np.zeros(N_BUCKETS, np.int64)
+            a += np.bincount(bks, minlength=N_BUCKETS)
+        out_l, out_b, out_c = [], [], []
+        for lang, a in acc.items():
+            nz = np.flatnonzero(a)
+            out_l.extend([lang] * len(nz))
+            out_b.extend(nz.tolist())
+            out_c.extend(a[nz].tolist())
+        return pa.table({"lang": pa.array(out_l, pa.string()),
+                         "bkt": pa.array(out_b, pa.int64()),
+                         "c": pa.array(out_c, pa.int64())})
+
+    partials = docs.map_batches(hist_partial, batch_format="pyarrow")
+    per_lang: dict[str, np.ndarray] = {}
+    for ref in partials.to_arrow_refs():
+        t = ray.get(ref)
+        if not t.num_rows:
+            continue
+        for lang, b, c in zip(t.column("lang").to_pylist(),
+                              t.column("bkt").to_pylist(),
+                              t.column("c").to_pylist()):
+            a = per_lang.get(lang)
+            if a is None:
+                a = per_lang[lang] = np.zeros(N_BUCKETS, np.int64)
+            a[b] += c
+    total = np.zeros(N_BUCKETS, np.int64)
+    for a in per_lang.values():
+        total += a
+    n_tot = int(total.sum())
+    rows = []
+    for lang in sorted(per_lang):
+        a = per_lang[lang]
+        n_lang = int(a.sum())
+        tv_num = int(np.abs(a.astype(object) * n_tot
+                            - total.astype(object) * n_lang).sum())
+        rows.append((lang, n_lang, tv_num))
+    return ray.data.from_arrow(pa.table({
+        "lang": pa.array([r[0] for r in rows], pa.string()),
+        "n_tokens": pa.array([r[1] for r in rows], pa.int64()),
+        "tv_num": pa.array([r[2] for r in rows], pa.int64()),
+    }))

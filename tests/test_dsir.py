@@ -70,6 +70,28 @@ def test_scores_match_bruteforce_and_empty_is_zero(ray_session):
     assert got.loc[1, "dsir_score_e6"] > got.loc[3, "dsir_score_e6"]
 
 
+def test_lang_drift_identical_slices_share_distribution(ray_session):
+    import ray.data
+
+    from horizon_ocr_python_ray.stages.dsir import lang_drift
+
+    # two langs with IDENTICAL token multisets → identical distributions
+    # → tv_num = 0 for both; a third, disjoint lang drifts.
+    t = pa.table({
+        "text": pa.array(["alpha beta", "alpha beta", "gamma gamma"],
+                         pa.string()),
+        "lang": pa.array(["en", "de", "fr"], pa.string()),
+    })
+    out = lang_drift(ray.data.from_arrow(t)).to_pandas().set_index("lang")
+    # en and de are each half of the alpha/beta mass; fr is all gamma.
+    assert out.loc["en", "tv_num"] == out.loc["de", "tv_num"]
+    assert out.loc["fr", "tv_num"] > out.loc["en", "tv_num"]
+    assert out.loc["fr", "n_tokens"] == 2
+    # exact value check: N=6, fr has c=(gamma:2), total gamma=2,
+    # alpha=2, beta=2 → tv = |2*6-2*2| + |0*6-2*2| + |0*6-2*2| = 16
+    assert out.loc["fr", "tv_num"] == 16
+
+
 def test_sharding_invariance(ray_session):
     import ray.data
 
