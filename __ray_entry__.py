@@ -1181,6 +1181,18 @@ def _host_anchor_terms(sf_dir: str):
     return host_anchor_terms(read_pages(corpus), k=3)
 
 
+def _events_anomaly(sf_dir: str):
+    """Integer-exact 3σ anomaly flags over the dense hourly spine
+    (trailing-24 baseline, denominators cleared)."""
+    import ray.data
+
+    from horizon_ocr_python_ray.stages.window import events_anomaly
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    return events_anomaly(ev)
+
+
 def _doc_lang_drift(sf_dir: str):
     """Per-language distribution drift: integer TV-distance numerator
     of the slice's hashed-unigram histogram vs the corpus's."""
@@ -1469,6 +1481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cust_year_orders": _cust_year_orders,
         "doc_lang_moments": _doc_lang_moments,
         "doc_lang_drift": _doc_lang_drift,
+        "events_anomaly": _events_anomaly,
     }
 
 
@@ -3513,6 +3526,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(a.n, 0) AS BIGINT) AS n_y1,
                    CAST(COALESCE(b.n, 0) AS BIGINT) AS n_y2
             FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+        """,
+        # Anomaly flags: window functions replay the trailing-24
+        # integer baseline over the SAME dense spine.
+        "events_anomaly": """
+            WITH b AS (
+              SELECT min(epoch_us(ts) // 3600000000) AS lo,
+                     max(epoch_us(ts) // 3600000000) AS hi
+              FROM events
+            ), types AS (
+              SELECT DISTINCT event_type FROM events
+            ), spine AS (
+              SELECT t.event_type,
+                     CAST(3600000000 * u.h AS BIGINT) AS window_start_us
+              FROM types t, b, unnest(range(b.lo, b.hi + 1)) AS u(h)
+            ), cnt AS (
+              SELECT event_type,
+                     CAST(3600000000 * (epoch_us(ts) // 3600000000) AS BIGINT) AS w,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ), dense AS (
+              SELECT s.event_type, s.window_start_us,
+                     CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+              FROM spine s LEFT JOIN cnt c
+                ON c.event_type = s.event_type AND c.w = s.window_start_us
+            ), w AS (
+              SELECT event_type, window_start_us, n_events,
+                     CAST(COALESCE(SUM(n_events) OVER tw, 0) AS BIGINT) AS ts,
+                     CAST(COALESCE(SUM(n_events * n_events) OVER tw, 0) AS BIGINT) AS tss,
+                     COUNT(*) OVER tw AS m
+              FROM dense
+              WINDOW tw AS (PARTITION BY event_type ORDER BY window_start_us
+                            ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT event_type, window_start_us, n_events,
+                   CAST(24 * n_events - ts AS BIGINT) AS dev24,
+                   CAST(24 * tss - ts * ts AS BIGINT) AS var_num,
+                   (24 * n_events - ts) * (24 * n_events - ts)
+                     > 9 * (24 * tss - ts * ts) AS is_anomaly
+            FROM w WHERE m = 24
         """,
         # Distribution drift: per-language TV-distance numerator over
         # md5-hashed unigram buckets (B=4096), cleared of denominators

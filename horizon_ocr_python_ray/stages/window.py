@@ -205,6 +205,58 @@ def events_gapfill(events_ds, width_s: int = 3600):
                                    ("n_events", pa.int64())])))
 
 
+def events_anomaly(events_ds, width_s: int = 3600, trail: int = 24):
+    """Streaming anomaly flags: an hourly count is anomalous when it
+    deviates from its type's trailing-``trail``-window baseline by more
+    than 3σ — evaluated ENTIRELY in integers by clearing denominators:
+
+        z² > 9  ⇔  (W·n − Σ)² > 9·(W·Σx² − Σ²)      (W = trail)
+
+    (population variance over the trailing window, current excluded;
+    zero-variance history flags ANY deviation). Only windows with a
+    full ``trail`` history emit. Built on the DENSE spine
+    (:func:`events_gapfill`) so silent hours count as 0 — a gap IS an
+    anomaly signal; the per-type trailing pass is one vectorized
+    cumsum over the spine (grouped by type, spine-sized)."""
+    import numpy as np
+    import pandas as pd
+
+    from .hashagg import grouped_reduce
+
+    dense = events_gapfill(events_ds, width_s=width_s)
+
+    def trail_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for etype, d in g.groupby("event_type", sort=False):
+            d = d.sort_values("window_start_us").reset_index(drop=True)
+            n = d["n_events"].to_numpy(np.int64)
+            cs = np.concatenate([[0], np.cumsum(n)])
+            cs2 = np.concatenate([[0], np.cumsum(n * n)])
+            i = np.arange(len(n))
+            ok = i >= trail
+            ts = cs[i] - cs[np.maximum(i - trail, 0)]
+            tss = cs2[i] - cs2[np.maximum(i - trail, 0)]
+            dev = trail * n - ts
+            var_num = trail * tss - ts * ts
+            flag = dev * dev > 9 * var_num
+            out.append(pd.DataFrame({
+                "event_type": etype,
+                "window_start_us": d["window_start_us"].to_numpy()[ok],
+                "n_events": n[ok],
+                "dev24": dev[ok],
+                "var_num": var_num[ok],
+                "is_anomaly": flag[ok],
+            }))
+        return (pd.concat(out, ignore_index=True) if out
+                else pd.DataFrame({c: pd.Series(dtype=t) for c, t in (
+                    ("event_type", "object"), ("window_start_us", "int64"),
+                    ("n_events", "int64"), ("dev24", "int64"),
+                    ("var_num", "int64"), ("is_anomaly", "bool"))}))
+
+    return grouped_reduce(dense, "event_type", trail_in_bucket,
+                          batch_format="pandas")
+
+
 def events_cumsum(events_ds):
     """Per-user running aggregates: 1-based sequence number and the
     running e2 fixed-point value total in stable ``(ts, event_id)``

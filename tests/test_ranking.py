@@ -92,6 +92,36 @@ def test_events_gapfill_dense_and_zero_filled(ray_session):
     assert out.window_start_us.tolist() == [0, H, 2 * H] * 2
 
 
+def test_events_anomaly_flags_spike_on_constant_history(ray_session):
+    import ray.data
+
+    from horizon_ocr_python_ray.stages.window import events_anomaly
+
+    H = 3_600_000_000
+    # 24 hours of exactly 2 events, then a spike hour of 10 and a calm
+    # hour of 2 → the spike flags (zero-variance history), the calm
+    # hour (history now has variance from the spike) evaluates exactly.
+    rows = []
+    for h in range(24):
+        rows += [("a", h * H + 1), ("a", h * H + 2)]
+    rows += [("a", 24 * H + i) for i in range(10)]
+    rows += [("a", 25 * H + 1), ("a", 25 * H + 2)]
+    t = pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+    })
+    out = (events_anomaly(ray.data.from_arrow(t))
+           .to_pandas().sort_values("window_start_us").reset_index(drop=True))
+    assert len(out) == 2  # only windows 24 and 25 have full history
+    spike, calm = out.iloc[0], out.iloc[1]
+    assert spike.n_events == 10 and bool(spike.is_anomaly)
+    assert spike.var_num == 0 and spike.dev24 == 24 * 10 - 48
+    # calm hour: trail = 23×2 + 1×10 = 56; dev = 48-56 = -8;
+    # var_num = 24·(23·4+100) − 56² = 24·192 − 3136 = 1472; 64 < 9·1472
+    assert calm.dev24 == -8 and calm.var_num == 1472
+    assert not bool(calm.is_anomaly)
+
+
 def test_events_cumsum_segmented(ray_session):
     import ray.data
 
