@@ -1181,6 +1181,30 @@ def _host_anchor_terms(sf_dir: str):
     return host_anchor_terms(read_pages(corpus), k=3)
 
 
+def _disjunctive_revenue(sf_dir: str):
+    """Q19-shaped OR-of-ANDs join predicate, evaluated vectorized
+    inside the lineitem scan against broadcast part attributes."""
+    from horizon_ocr_python_ray.pipelines.subqueries import disjunctive_revenue_q19
+
+    return disjunctive_revenue_q19(sf_dir)
+
+
+def _supplier_cnt(sf_dir: str):
+    """Q16-shaped grouped distinct supplier count with a brand
+    anti-set."""
+    from horizon_ocr_python_ray.pipelines.subqueries import supplier_cnt_q16
+
+    return supplier_cnt_q16(sf_dir)
+
+
+def _important_parts(sf_dir: str):
+    """Q11-shaped group-vs-global-scalar filter (integer-cleared
+    fraction threshold)."""
+    from horizon_ocr_python_ray.pipelines.subqueries import important_parts_q11
+
+    return important_parts_q11(sf_dir)
+
+
 def _events_anomaly(sf_dir: str):
     """Integer-exact 3σ anomaly flags over the dense hourly spine
     (trailing-24 baseline, denominators cleared)."""
@@ -1482,6 +1506,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_moments": _doc_lang_moments,
         "doc_lang_drift": _doc_lang_drift,
         "events_anomaly": _events_anomaly,
+        "disjunctive_revenue": _disjunctive_revenue,
+        "supplier_cnt": _supplier_cnt,
+        "important_parts": _important_parts,
     }
 
 
@@ -3526,6 +3553,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(a.n, 0) AS BIGINT) AS n_y1,
                    CAST(COALESCE(b.n, 0) AS BIGINT) AS n_y2
             FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+        """,
+        # Q19: the literal disjunctive join predicate.
+        "disjunctive_revenue": """
+            SELECT CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS revenue_e4
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+                   AND CAST(round(l.l_quantity * 100) AS BIGINT) BETWEEN 100 AND 1500)
+               OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 5 AND 25
+                   AND CAST(round(l.l_quantity * 100) AS BIGINT) BETWEEN 1000 AND 3000)
+               OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+                   AND CAST(round(l.l_quantity * 100) AS BIGINT) BETWEEN 2000 AND 4000)
+        """,
+        # Q16: grouped distinct supplier count, one brand excluded.
+        "supplier_cnt": """
+            SELECT p.p_brand, p.p_type,
+                   CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE p.p_brand <> 'Brand#5'
+            GROUP BY 1, 2
+        """,
+        # Q11: group value vs a global-scalar fraction, integer-cleared.
+        "important_parts": """
+            WITH v AS (
+              SELECT l_partkey,
+                     CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                          AS BIGINT) AS value_e2
+              FROM lineitem GROUP BY 1
+            ), s AS (
+              SELECT CAST(SUM(value_e2) AS BIGINT) AS total FROM v
+            )
+            SELECT v.l_partkey, v.value_e2
+            FROM v, s WHERE v.value_e2 * 1500 > s.total
         """,
         # Anomaly flags: window functions replay the trailing-24
         # integer baseline over the SAME dense spine.

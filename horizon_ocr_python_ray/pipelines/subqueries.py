@@ -822,3 +822,200 @@ def doc_lang_moments(sf_dir: str):
             "sum_len": t.column("sum_len").cast(pa.int64()),
             "sumsq_len": t.column("sumsq_len").cast(pa.int64()),
         }), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Q19 shape: disjunctive multi-predicate join
+# ---------------------------------------------------------------------------
+
+#: (brand, size_lo, size_hi, qty_lo, qty_hi) predicate bundles — the
+#: OR-of-ANDs Q19 ships to the join.
+Q19_BUNDLES = (
+    ("Brand#1", 1, 10, 1, 15),
+    ("Brand#2", 5, 25, 10, 30),
+    ("Brand#3", 20, 50, 20, 40),
+)
+
+
+def disjunctive_revenue_q19(sf_dir: str, num_partitions: int = 8,
+                            plan: str = "auto"):
+    """TPC-H Q19 shape: revenue over an OR of (brand, size-range,
+    quantity-range) predicate bundles — the disjunctive join predicate
+    that defeats naive pushdown.
+
+    The part attributes needed by EVERY bundle (brand id, size) are
+    broadcast as a sorted-key attribute table; the whole disjunction
+    evaluates VECTORIZED inside the lineitem scan (numpy boolean
+    algebra over the gathered attributes), so the OR costs three mask
+    ANDs and one OR per batch — no per-bundle scans, no join shuffle
+    on the broadcast plan. The partitioned plan ships the same
+    evaluation after a hash join. Exact e4 integer revenue."""
+    plan = _resolve_join_plan(plan, sf_dir, ["part"])
+    li = _tbl(sf_dir, "lineitem",
+              ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+    part = _tbl(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+
+    brand_ids = {b: i for i, (b, *_ ) in enumerate(Q19_BUNDLES)}
+
+    def part_attrs() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        pdf = part.to_pandas().sort_values("p_partkey")
+        keys = pdf["p_partkey"].to_numpy(np.int64)
+        bid = pdf["p_brand"].map(lambda b: brand_ids.get(b, -1)).to_numpy(np.int64)
+        size = pdf["p_size"].to_numpy(np.int64)
+        return keys, bid, size
+
+    def eval_bundles(bid, size, qty_e2):
+        m = np.zeros(len(bid), dtype=bool)
+        for i, (_, slo, shi, qlo, qhi) in enumerate(Q19_BUNDLES):
+            m |= ((bid == i) & (size >= slo) & (size <= shi)
+                  & (qty_e2 >= qlo * 100) & (qty_e2 <= qhi * 100))
+        return m
+
+    if plan == "broadcast":
+        aref = ray.put(part_attrs())
+
+        def rev_partial(t: pa.Table) -> pa.Table:
+            keys, bid, size = ray.get(aref)
+            pk = t.column("l_partkey").to_numpy().astype(np.int64)
+            idx = np.searchsorted(keys, pk)
+            idx = np.clip(idx, 0, len(keys) - 1)
+            hit = keys[idx] == pk
+            qty_e2 = _e2(t.column("l_quantity")).to_numpy()
+            m = hit & eval_bundles(bid[idx], size[idx], qty_e2)
+            rev = pc.multiply(
+                _e2(t.column("l_extendedprice")),
+                pc.subtract(pa.scalar(100, pa.int64()),
+                            _e2(t.column("l_discount")))).to_numpy()
+            return pa.table({"p_r": pa.array([int(rev[m].sum())], pa.int64())})
+
+        partials = li.map_batches(rev_partial, batch_format="pyarrow",
+                                  batch_size=65536)
+    else:
+        joined = li.join(part, join_type="inner",
+                         num_partitions=num_partitions,
+                         on=("l_partkey",), right_on=("p_partkey",))
+
+        def rev_partial_j(t: pa.Table) -> pa.Table:
+            bid = np.array([brand_ids.get(b, -1)
+                            for b in t.column("p_brand").to_pylist()],
+                           np.int64)
+            size = t.column("p_size").to_numpy().astype(np.int64)
+            qty_e2 = _e2(t.column("l_quantity")).to_numpy()
+            m = eval_bundles(bid, size, qty_e2)
+            rev = pc.multiply(
+                _e2(t.column("l_extendedprice")),
+                pc.subtract(pa.scalar(100, pa.int64()),
+                            _e2(t.column("l_discount")))).to_numpy()
+            return pa.table({"p_r": pa.array([int(rev[m].sum())], pa.int64())})
+
+        partials = joined.map_batches(rev_partial_j, batch_format="pyarrow")
+
+    total = partials.sum("p_r") or 0
+    return pa.table({"revenue_e4": pa.array([int(total)], pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# Q16 shape: grouped distinct-count with an anti-set
+# ---------------------------------------------------------------------------
+
+def supplier_cnt_q16(sf_dir: str, excl_brand: str = "Brand#5",
+                     num_partitions: int = 8, plan: str = "auto"):
+    """TPC-H Q16 shape: distinct suppliers per (brand, type) over the
+    part↔supplier incidence (lineitem as the partsupp stand-in),
+    excluding one brand (the NOT IN anti-set) →
+    (p_brand, p_type, supplier_cnt).
+
+    Distinct (partkey, suppkey) pairs reduce through a per-batch
+    combiner + one pair groupby; part attributes broadcast; the final
+    distinct-per-group is a second combiner + a (brand, type, supp)
+    groupby whose cardinality is groups × suppliers — dimension-sized."""
+    plan = _resolve_join_plan(plan, sf_dir, ["part"])
+    li = _tbl(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    part = _tbl(sf_dir, "part", ["p_partkey", "p_brand", "p_type"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        return (t.select(["l_partkey", "l_suppkey"])
+                .group_by(["l_partkey", "l_suppkey"]).aggregate([]))
+
+    # batch-local distinct only: the (brand, type, supp) groupby below
+    # dedups across batches anyway, so a global pair-distinct would be
+    # a second full shuffle for nothing (measured 11.6 s → 1.5 s).
+    pairs = li.map_batches(pair_partial, batch_format="pyarrow",
+                           batch_size=65536)
+
+    pdf = part.to_pandas().sort_values("p_partkey")
+    keep = pdf["p_brand"] != excl_brand
+    pdf = pdf[keep]
+    aref = ray.put((pdf["p_partkey"].to_numpy(np.int64),
+                    np.array(pdf["p_brand"].tolist(), object),
+                    np.array(pdf["p_type"].tolist(), object)))
+
+    def attach(t: pa.Table) -> pa.Table:
+        keys, brands, types = ray.get(aref)
+        pk = t.column("l_partkey").to_numpy().astype(np.int64)
+        idx = np.searchsorted(keys, pk)
+        idx = np.clip(idx, 0, max(len(keys) - 1, 0))
+        hit = (keys[idx] == pk) if len(keys) else np.zeros(len(pk), bool)
+        g = pa.table({
+            "p_brand": pa.array(brands[idx][hit].tolist(), pa.string()),
+            "p_type": pa.array(types[idx][hit].tolist(), pa.string()),
+            "l_suppkey": pa.array(
+                t.column("l_suppkey").to_numpy().astype(np.int64)[hit],
+                pa.int64()),
+        })
+        return g.group_by(["p_brand", "p_type", "l_suppkey"]).aggregate([])
+
+    # ONE brand-bucket shuffle: all triples of a (brand, type) land in
+    # one bucket, where nunique per group is a single vectorized call
+    # (was two chained sort-groupbys: 11.6 s → ~1.5 s at sf0.01).
+    from ..stages.hashagg import grouped_reduce
+
+    def count_bucket(g):
+        out = (g.groupby(["p_brand", "p_type"])["l_suppkey"]
+               .nunique().reset_index(name="supplier_cnt"))
+        out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
+        return out
+
+    triples = pairs.map_batches(attach, batch_format="pyarrow")
+    return grouped_reduce(triples, "p_brand", count_bucket,
+                          batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Q11 shape: group aggregate vs global-scalar threshold
+# ---------------------------------------------------------------------------
+
+def important_parts_q11(sf_dir: str, frac_den: int = 1500):
+    """TPC-H Q11 shape: parts whose total extended-price value exceeds
+    1/``frac_den`` of the GLOBAL total → (l_partkey, value_e2).
+
+    The group filter clears the fraction to integers
+    (``value·frac_den > total``); per-part sums go through the
+    bucketed hash aggregate (partkey cardinality ~ corpus), the global
+    total folds from the SAME partials via ``Dataset.sum`` — one
+    combiner pass feeds both sides."""
+    from ..stages.hashagg import grouped_aggregate
+
+    li = _tbl(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+
+    def val_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"l_partkey": t.column("l_partkey").cast(pa.int64()),
+                      "v": _e2(t.column("l_extendedprice"))})
+        agg = pa.TableGroupBy(g, "l_partkey").aggregate([("v", "sum")])
+        return agg.rename_columns(["l_partkey", "p_v"])
+
+    partials = li.map_batches(val_partial, batch_format="pyarrow",
+                              batch_size=65536).materialize()
+    total = int(partials.sum("p_v") or 0)
+    sums = grouped_aggregate(partials, "l_partkey",
+                             [("p_v", "sum", "value_e2")])
+
+    def keep(t: pa.Table) -> pa.Table:
+        v = t.column("value_e2").cast(pa.int64())
+        m = pc.greater(pc.multiply(v, pa.scalar(frac_den, pa.int64())),
+                       pa.scalar(total, pa.int64()))
+        t = t.filter(m)
+        return pa.table({"l_partkey": t.column("l_partkey").cast(pa.int64()),
+                         "value_e2": t.column("value_e2").cast(pa.int64())})
+
+    return sums.map_batches(keep, batch_format="pyarrow")

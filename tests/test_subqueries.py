@@ -27,6 +27,7 @@ def _df(res) -> pd.DataFrame:
     subqueries.cust_idle_q22,
     subqueries.waiting_supplier_q21,
     subqueries.returned_top_customers_q10,
+    subqueries.disjunctive_revenue_q19,
 ])
 def test_plans_agree(ray_session, fn):
     a = _df(fn(SF, plan="broadcast"))
