@@ -1181,6 +1181,22 @@ def _host_anchor_terms(sf_dir: str):
     return host_anchor_terms(read_pages(corpus), k=3)
 
 
+def _min_cost_supplier(sf_dir: str):
+    """Q2-shaped argmin-per-group join-back (min-cost supplier per
+    qualifying part, all ties kept)."""
+    from horizon_ocr_python_ray.pipelines.subqueries import min_cost_supplier_q2
+
+    return min_cost_supplier_q2(sf_dir)
+
+
+def _market_share(sf_dir: str):
+    """Q8-shaped market share per order-year as the exact integer
+    (numerator, denominator) rational pair."""
+    from horizon_ocr_python_ray.pipelines.subqueries import market_share_q8
+
+    return market_share_q8(sf_dir)
+
+
 def _disjunctive_revenue(sf_dir: str):
     """Q19-shaped OR-of-ANDs join predicate, evaluated vectorized
     inside the lineitem scan against broadcast part attributes."""
@@ -1509,6 +1525,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "disjunctive_revenue": _disjunctive_revenue,
         "supplier_cnt": _supplier_cnt,
         "important_parts": _important_parts,
+        "min_cost_supplier": _min_cost_supplier,
+        "market_share": _market_share,
     }
 
 
@@ -3553,6 +3571,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(a.n, 0) AS BIGINT) AS n_y1,
                    CAST(COALESCE(b.n, 0) AS BIGINT) AS n_y2
             FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+        """,
+        # Q2: argmin-per-group join-back, ALL ties kept.
+        "min_cost_supplier": """
+            WITH q AS (
+              SELECT p_partkey FROM part
+              WHERE p_type = 'ECONOMY' AND p_size < 15
+            ), c AS (
+              SELECT l.l_partkey,
+                     min(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS mc
+              FROM lineitem l JOIN q ON q.p_partkey = l.l_partkey
+              GROUP BY 1
+            )
+            SELECT DISTINCT l.l_partkey, CAST(l.l_suppkey AS BIGINT) AS s_suppkey,
+                   s.s_name, c.mc AS cost_e2
+            FROM lineitem l
+            JOIN c ON c.l_partkey = l.l_partkey
+              AND CAST(round(l.l_extendedprice * 100) AS BIGINT) = c.mc
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        """,
+        # Q8: per-year brand market share as the exact rational pair.
+        "market_share": """
+            SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(SUM(CASE WHEN p.p_brand = 'Brand#1'
+                            THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                            ELSE 0 END) AS BIGINT) AS num_e4,
+                   CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS den_e4
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            GROUP BY 1
         """,
         # Q19: the literal disjunctive join predicate.
         "disjunctive_revenue": """

@@ -1019,3 +1019,176 @@ def important_parts_q11(sf_dir: str, frac_den: int = 1500):
                          "value_e2": t.column("value_e2").cast(pa.int64())})
 
     return sums.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Q2 shape: argmin-per-group + join-back
+# ---------------------------------------------------------------------------
+
+def min_cost_supplier_q2(sf_dir: str, p_type: str = "ECONOMY",
+                         max_size: int = 15, num_partitions: int = 8,
+                         plan: str = "auto"):
+    """TPC-H Q2 shape: for every qualifying part (type/size filter),
+    the supplier(s) achieving the MINIMUM cost — the correlated
+    min-subquery join-back (here cost = min extended price per part
+    over lineitem, the partsupp stand-in) →
+    (l_partkey, s_suppkey, s_name, cost_e2), ALL ties kept.
+
+    Decorrelation: per-part min via combiner + bucketed hash aggregate
+    (partkey cardinality ~ corpus); the min map broadcasts (sorted-key
+    probe) back into the SAME fact scan to emit the achieving rows —
+    at 100× the min map exceeds the broadcast cap and the join-back
+    becomes the partitioned hash join (planner-gated like every other
+    op here)."""
+    from ..stages.hashagg import grouped_aggregate
+
+    plan = _resolve_join_plan(plan, sf_dir, ["part"])
+    part = _tbl(sf_dir, "part", ["p_partkey", "p_type", "p_size"])
+    pdf = part.to_pandas()
+    keys = np.sort(pdf.loc[(pdf["p_type"] == p_type)
+                           & (pdf["p_size"] < max_size),
+                           "p_partkey"].to_numpy(np.int64))
+    kref = ray.put(keys)
+
+    li = _tbl(sf_dir, "lineitem",
+              ["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def cost_partial(t: pa.Table) -> pa.Table:
+        ks = ray.get(kref)
+        pk = t.column("l_partkey").to_numpy().astype(np.int64)
+        idx = np.clip(np.searchsorted(ks, pk), 0, max(len(ks) - 1, 0))
+        hit = (ks[idx] == pk) if len(ks) else np.zeros(len(pk), bool)
+        t = t.filter(pa.array(hit))
+        g = pa.table({"l_partkey": t.column("l_partkey").cast(pa.int64()),
+                      "c": _e2(t.column("l_extendedprice"))})
+        agg = pa.TableGroupBy(g, "l_partkey").aggregate([("c", "min")])
+        return agg.rename_columns(["l_partkey", "p_c"])
+
+    filtered = li.map_batches(cost_partial, batch_format="pyarrow",
+                              batch_size=65536).materialize()
+    mins = grouped_aggregate(filtered, "l_partkey",
+                             [("p_c", "min", "cost_e2")])
+    mdf = mins.to_pandas().sort_values("l_partkey")
+    mref = ray.put((mdf["l_partkey"].to_numpy(np.int64),
+                    mdf["cost_e2"].to_numpy(np.int64)))
+
+    def achievers(t: pa.Table) -> pa.Table:
+        mk, mc = ray.get(mref)
+        pk = t.column("l_partkey").to_numpy().astype(np.int64)
+        idx = np.clip(np.searchsorted(mk, pk), 0, max(len(mk) - 1, 0))
+        hit = (mk[idx] == pk) if len(mk) else np.zeros(len(pk), bool)
+        cost = _e2(t.column("l_extendedprice")).to_numpy()
+        m = hit & (cost == mc[np.clip(idx, 0, max(len(mk) - 1, 0))])
+        g = pa.table({
+            "l_partkey": pa.array(pk[m], pa.int64()),
+            "s_suppkey": pa.array(
+                t.column("l_suppkey").to_numpy().astype(np.int64)[m],
+                pa.int64()),
+            "cost_e2": pa.array(cost[m], pa.int64()),
+        })
+        return g.group_by(["l_partkey", "s_suppkey", "cost_e2"]).aggregate([])
+
+    rows = (li.map_batches(achievers, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby(["l_partkey", "s_suppkey", "cost_e2"]).count()
+            .select_columns(["l_partkey", "s_suppkey", "cost_e2"]))
+
+    sdf = _tbl(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    out = rows.to_pandas().merge(sdf, on="s_suppkey")
+    return out[["l_partkey", "s_suppkey", "s_name", "cost_e2"]]
+
+
+# ---------------------------------------------------------------------------
+# Q8 shape: market share (conditional / total revenue per year)
+# ---------------------------------------------------------------------------
+
+def market_share_q8(sf_dir: str, brand: str = "Brand#1",
+                    num_partitions: int = 8, plan: str = "auto"):
+    """TPC-H Q8 shape: per order-year, the focal brand's share of
+    revenue — emitted as the EXACT integer pair (num_e4, den_e4)
+    rather than a rounded ratio (share = num/den; the rational form is
+    the mergeable, hash-comparable one) → (o_year, num_e4, den_e4).
+
+    Both legs reduce in ONE lineitem pass: the brand flag gates the
+    numerator inside the same combiner that sums the denominator.
+    Orderkey→year maps by broadcast probe or hash join (planner)."""
+    plan = _resolve_join_plan(plan, sf_dir, ["orders"])
+    part = _tbl(sf_dir, "part", ["p_partkey", "p_brand"])
+    pdf = part.to_pandas().sort_values("p_partkey")
+    pref = ray.put((pdf["p_partkey"].to_numpy(np.int64),
+                    (pdf["p_brand"] == brand).to_numpy()))
+
+    li = _tbl(sf_dir, "lineitem",
+              ["l_orderkey", "l_partkey", "l_extendedprice", "l_discount"])
+
+    def leg_partial(t: pa.Table) -> pa.Table:
+        pk_keys, pk_brand = ray.get(pref)
+        pk = t.column("l_partkey").to_numpy().astype(np.int64)
+        idx = np.clip(np.searchsorted(pk_keys, pk), 0, len(pk_keys) - 1)
+        hit = pk_keys[idx] == pk
+        is_brand = hit & pk_brand[idx]
+        rev = pc.multiply(
+            _e2(t.column("l_extendedprice")),
+            pc.subtract(pa.scalar(100, pa.int64()),
+                        _e2(t.column("l_discount")))).to_numpy()
+        g = pa.table({
+            "l_orderkey": t.column("l_orderkey").cast(pa.int64()),
+            "num": pa.array(np.where(is_brand, rev, 0), pa.int64()),
+            "den": pa.array(rev, pa.int64()),
+        })
+        agg = pa.TableGroupBy(g, "l_orderkey").aggregate(
+            [("num", "sum"), ("den", "sum")])
+        return agg.rename_columns(["l_orderkey", "p_num", "p_den"])
+
+    per_order = li.map_batches(leg_partial, batch_format="pyarrow",
+                               batch_size=65536)
+
+    orders = _tbl(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    if plan == "broadcast":
+        odf = orders.to_pandas().sort_values("o_orderkey")
+        years = odf["o_orderdate"].dt.year.to_numpy(np.int64)
+        oref = ray.put((odf["o_orderkey"].to_numpy(np.int64), years))
+
+        def year_partial(t: pa.Table) -> pa.Table:
+            ok, yr = ray.get(oref)
+            k = t.column("l_orderkey").to_numpy()
+            idx = np.clip(np.searchsorted(ok, k), 0, len(ok) - 1)
+            hit = ok[idx] == k
+            g = pa.table({
+                "o_year": pa.array(yr[idx][hit], pa.int64()),
+                "num": t.column("p_num").filter(pa.array(hit)),
+                "den": t.column("p_den").filter(pa.array(hit)),
+            })
+            agg = pa.TableGroupBy(g, "o_year").aggregate(
+                [("num", "sum"), ("den", "sum")])
+            return agg.rename_columns(["o_year", "p_num", "p_den"])
+
+        partials = per_order.map_batches(year_partial, batch_format="pyarrow")
+    else:
+        def with_year(t: pa.Table) -> pa.Table:
+            yr = pc.year(t.column("o_orderdate")).cast(pa.int64())
+            return pa.table({"o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+                             "o_year": yr})
+
+        joined = per_order.join(
+            orders.map_batches(with_year, batch_format="pyarrow"),
+            join_type="inner", num_partitions=num_partitions,
+            on=("l_orderkey",), right_on=("o_orderkey",))
+
+        def year_partial_j(t: pa.Table) -> pa.Table:
+            g = pa.table({"o_year": t.column("o_year"),
+                          "num": t.column("p_num"), "den": t.column("p_den")})
+            agg = pa.TableGroupBy(g, "o_year").aggregate(
+                [("num", "sum"), ("den", "sum")])
+            return agg.rename_columns(["o_year", "p_num", "p_den"])
+
+        partials = joined.map_batches(year_partial_j, batch_format="pyarrow")
+
+    out = partials.groupby("o_year").aggregate(
+        Sum("p_num", alias_name="num_e4"), Sum("p_den", alias_name="den_e4"))
+    return out.map_batches(
+        lambda t: pa.table({"o_year": t.column("o_year").cast(pa.int64()),
+                            "num_e4": t.column("num_e4").cast(pa.int64()),
+                            "den_e4": t.column("den_e4").cast(pa.int64())}),
+        batch_format="pyarrow")

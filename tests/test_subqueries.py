@@ -28,6 +28,7 @@ def _df(res) -> pd.DataFrame:
     subqueries.waiting_supplier_q21,
     subqueries.returned_top_customers_q10,
     subqueries.disjunctive_revenue_q19,
+    subqueries.market_share_q8,
 ])
 def test_plans_agree(ray_session, fn):
     a = _df(fn(SF, plan="broadcast"))
@@ -120,6 +121,35 @@ def test_q10_revenue_is_exact_integer(ray_session):
             or len(out.revenue_e4.unique()) < len(out))
     pairs = list(zip(-out.revenue_e4, out.c_custkey))
     assert pairs == sorted(pairs)
+
+
+def test_q2_all_min_ties_kept(ray_session):
+    import pyarrow.parquet as pq
+
+    out = subqueries.min_cost_supplier_q2(SF)
+    # every (partkey) group shares ONE cost (its min) and every
+    # supplier achieving it appears
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_partkey", "l_suppkey",
+                                "l_extendedprice"]).to_pandas()
+    part = pq.read_table(f"{SF}/part.parquet",
+                         columns=["p_partkey", "p_type", "p_size"]).to_pandas()
+    keys = set(part.loc[(part.p_type == "ECONOMY") & (part.p_size < 15),
+                        "p_partkey"])
+    sub = li[li.l_partkey.isin(keys)].copy()
+    sub["c"] = (sub.l_extendedprice * 100).round().astype("int64")
+    mins = sub.groupby("l_partkey")["c"].min()
+    for pk, g in out.groupby("l_partkey"):
+        assert (g.cost_e2 == mins[pk]).all()
+        want = set(sub.loc[(sub.l_partkey == pk) & (sub.c == mins[pk]),
+                           "l_suppkey"])
+        assert set(g.s_suppkey) == want
+
+
+def test_q8_share_bounded(ray_session):
+    out = subqueries.market_share_q8(SF).to_pandas()
+    assert (out.num_e4 <= out.den_e4).all()
+    assert (out.num_e4 >= 0).all() and (out.den_e4 > 0).all()
 
 
 def test_fullouter_union_keeps_either_side(ray_session):
