@@ -1181,6 +1181,22 @@ def _host_anchor_terms(sf_dir: str):
     return host_anchor_terms(read_pages(corpus), k=3)
 
 
+def _nation_volume(sf_dir: str):
+    """Q7-shaped two-nation shipping volume per year (pair filter and
+    rollup in one fact pass against three broadcast dimension maps)."""
+    from horizon_ocr_python_ray.pipelines.subqueries import nation_volume_q7
+
+    return nation_volume_q7(sf_dir)
+
+
+def _nation_profit(sf_dir: str):
+    """Q9-shaped profit rollup by supplier nation × year with the
+    part-name LIKE filter pushed as a broadcast key set."""
+    from horizon_ocr_python_ray.pipelines.subqueries import nation_profit_q9
+
+    return nation_profit_q9(sf_dir)
+
+
 def _min_cost_supplier(sf_dir: str):
     """Q2-shaped argmin-per-group join-back (min-cost supplier per
     qualifying part, all ties kept)."""
@@ -1527,6 +1543,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "important_parts": _important_parts,
         "min_cost_supplier": _min_cost_supplier,
         "market_share": _market_share,
+        "nation_volume": _nation_volume,
+        "nation_profit": _nation_profit,
     }
 
 
@@ -3571,6 +3589,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(a.n, 0) AS BIGINT) AS n_y1,
                    CAST(COALESCE(b.n, 0) AS BIGINT) AS n_y2
             FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+        """,
+        # Q7: both-direction nation pair volume per year.
+        "nation_volume": """
+            SELECT CAST(s.s_nationkey AS BIGINT) AS supp_nation,
+                   CAST(c.c_nationkey AS BIGINT) AS cust_nation,
+                   CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS rev_e4
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            WHERE (s.s_nationkey = 1 AND c.c_nationkey = 2)
+               OR (s.s_nationkey = 2 AND c.c_nationkey = 1)
+            GROUP BY 1, 2, 3
+        """,
+        # Q9: part-name LIKE filter, rollup by supplier nation × year.
+        "nation_profit": """
+            SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS rev_e4
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE p.p_name LIKE '%bolt%'
+            GROUP BY 1, 2
         """,
         # Q2: argmin-per-group join-back, ALL ties kept.
         "min_cost_supplier": """

@@ -1192,3 +1192,148 @@ def market_share_q8(sf_dir: str, brand: str = "Brand#1",
                             "num_e4": t.column("num_e4").cast(pa.int64()),
                             "den_e4": t.column("den_e4").cast(pa.int64())}),
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Q7 shape: two-dimension-pair volume (supp nation × cust nation × year)
+# ---------------------------------------------------------------------------
+
+def nation_volume_q7(sf_dir: str, nation_a: int = 1, nation_b: int = 2,
+                     num_partitions: int = 8, plan: str = "auto"):
+    """TPC-H Q7 shape: shipped revenue between two nations in both
+    directions, per year → (supp_nation, cust_nation, o_year, rev_e4).
+
+    Three dimension maps broadcast (suppkey→nation, orderkey→(custkey),
+    custkey→nation — the orderkey map is the big one and goes through
+    the planner); the pair filter and the (n_s, n_c, year) rollup all
+    evaluate inside ONE lineitem pass on the broadcast plan."""
+    plan = _resolve_join_plan(plan, sf_dir, ["orders"])
+    sdf = _tbl(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    sdf = sdf.sort_values("s_suppkey")
+    sref = ray.put((sdf["s_suppkey"].to_numpy(np.int64),
+                    sdf["s_nationkey"].to_numpy(np.int64)))
+    cdf = _tbl(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    cdf = cdf.sort_values("c_custkey")
+    cref = ray.put((cdf["c_custkey"].to_numpy(np.int64),
+                    cdf["c_nationkey"].to_numpy(np.int64)))
+    odf = _tbl(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
+    odf = odf.sort_values("o_orderkey")
+    oref = ray.put((odf["o_orderkey"].to_numpy(np.int64),
+                    odf["o_custkey"].to_numpy(np.int64),
+                    odf["o_orderdate"].dt.year.to_numpy(np.int64)))
+
+    li = _tbl(sf_dir, "lineitem",
+              ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def vol_partial(t: pa.Table) -> pa.Table:
+        sk, sn = ray.get(sref)
+        ck, cn = ray.get(cref)
+        ok, oc, oy = ray.get(oref)
+        lsk = t.column("l_suppkey").to_numpy().astype(np.int64)
+        lok = t.column("l_orderkey").to_numpy().astype(np.int64)
+        si = np.clip(np.searchsorted(sk, lsk), 0, len(sk) - 1)
+        oi = np.clip(np.searchsorted(ok, lok), 0, len(ok) - 1)
+        hit = (sk[si] == lsk) & (ok[oi] == lok)
+        cust = oc[oi]
+        ci = np.clip(np.searchsorted(ck, cust), 0, len(ck) - 1)
+        hit &= ck[ci] == cust
+        ns, nc = sn[si], cn[ci]
+        m = hit & (((ns == nation_a) & (nc == nation_b))
+                   | ((ns == nation_b) & (nc == nation_a)))
+        rev = pc.multiply(
+            _e2(t.column("l_extendedprice")),
+            pc.subtract(pa.scalar(100, pa.int64()),
+                        _e2(t.column("l_discount")))).to_numpy()
+        g = pa.table({
+            "supp_nation": pa.array(ns[m], pa.int64()),
+            "cust_nation": pa.array(nc[m], pa.int64()),
+            "o_year": pa.array(oy[oi][m], pa.int64()),
+            "r": pa.array(rev[m], pa.int64()),
+        })
+        agg = pa.TableGroupBy(g, ["supp_nation", "cust_nation", "o_year"]
+                              ).aggregate([("r", "sum")])
+        return agg.rename_columns(
+            ["supp_nation", "cust_nation", "o_year", "p_r"])
+
+    out = (li.map_batches(vol_partial, batch_format="pyarrow",
+                          batch_size=65536)
+           .groupby(["supp_nation", "cust_nation", "o_year"])
+           .aggregate(Sum("p_r", alias_name="rev_e4")))
+    return out.map_batches(
+        lambda t: pa.table({
+            "supp_nation": t.column("supp_nation").cast(pa.int64()),
+            "cust_nation": t.column("cust_nation").cast(pa.int64()),
+            "o_year": t.column("o_year").cast(pa.int64()),
+            "rev_e4": t.column("rev_e4").cast(pa.int64()),
+        }), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Q9 shape: profit rollup by supplier nation × year with a name filter
+# ---------------------------------------------------------------------------
+
+def nation_profit_q9(sf_dir: str, name_sub: str = "bolt",
+                     num_partitions: int = 8, plan: str = "auto"):
+    """TPC-H Q9 shape: revenue of parts whose NAME contains a substring
+    (the LIKE '%...%' filter), rolled up by supplier nation × order
+    year → (n_name, o_year, rev_e4). Same one-fact-pass broadcast
+    shape as Q7; the part-name predicate reduces to a broadcast
+    partkey SET (the dimension filter pushed to the probe side)."""
+    plan = _resolve_join_plan(plan, sf_dir, ["orders"])
+    pdf = _tbl(sf_dir, "part", ["p_partkey", "p_name"]).to_pandas()
+    keys = np.sort(pdf.loc[pdf["p_name"].str.contains(name_sub, regex=False),
+                           "p_partkey"].to_numpy(np.int64))
+    pref = ray.put(keys)
+    sdf = _tbl(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    sdf = sdf.sort_values("s_suppkey")
+    sref = ray.put((sdf["s_suppkey"].to_numpy(np.int64),
+                    sdf["s_nationkey"].to_numpy(np.int64)))
+    ndf = _tbl(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    ndf = ndf.sort_values("n_nationkey")
+    nref = ray.put((ndf["n_nationkey"].to_numpy(np.int64),
+                    np.array(ndf["n_name"].tolist(), object)))
+    odf = _tbl(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).to_pandas()
+    odf = odf.sort_values("o_orderkey")
+    oref = ray.put((odf["o_orderkey"].to_numpy(np.int64),
+                    odf["o_orderdate"].dt.year.to_numpy(np.int64)))
+
+    li = _tbl(sf_dir, "lineitem",
+              ["l_orderkey", "l_partkey", "l_suppkey",
+               "l_extendedprice", "l_discount"])
+
+    def profit_partial(t: pa.Table) -> pa.Table:
+        pk = ray.get(pref)
+        sk, sn = ray.get(sref)
+        nk, nn = ray.get(nref)
+        ok, oy = ray.get(oref)
+        lpk = t.column("l_partkey").to_numpy().astype(np.int64)
+        pi = np.clip(np.searchsorted(pk, lpk), 0, max(len(pk) - 1, 0))
+        m = (pk[pi] == lpk) if len(pk) else np.zeros(len(lpk), bool)
+        lsk = t.column("l_suppkey").to_numpy().astype(np.int64)
+        lok = t.column("l_orderkey").to_numpy().astype(np.int64)
+        si = np.clip(np.searchsorted(sk, lsk), 0, len(sk) - 1)
+        oi = np.clip(np.searchsorted(ok, lok), 0, len(ok) - 1)
+        m &= (sk[si] == lsk) & (ok[oi] == lok)
+        ni = np.clip(np.searchsorted(nk, sn[si]), 0, len(nk) - 1)
+        rev = pc.multiply(
+            _e2(t.column("l_extendedprice")),
+            pc.subtract(pa.scalar(100, pa.int64()),
+                        _e2(t.column("l_discount")))).to_numpy()
+        g = pa.table({
+            "n_name": pa.array(nn[ni][m].tolist(), pa.string()),
+            "o_year": pa.array(oy[oi][m], pa.int64()),
+            "r": pa.array(rev[m], pa.int64()),
+        })
+        agg = pa.TableGroupBy(g, ["n_name", "o_year"]).aggregate([("r", "sum")])
+        return agg.rename_columns(["n_name", "o_year", "p_r"])
+
+    out = (li.map_batches(profit_partial, batch_format="pyarrow",
+                          batch_size=65536)
+           .groupby(["n_name", "o_year"])
+           .aggregate(Sum("p_r", alias_name="rev_e4")))
+    return out.map_batches(
+        lambda t: pa.table({
+            "n_name": t.column("n_name"),
+            "o_year": t.column("o_year").cast(pa.int64()),
+            "rev_e4": t.column("rev_e4").cast(pa.int64()),
+        }), batch_format="pyarrow")
