@@ -1181,6 +1181,14 @@ def _host_anchor_terms(sf_dir: str):
     return host_anchor_terms(read_pages(corpus), k=3)
 
 
+def _concentrated_suppliers(sf_dir: str):
+    """Q20-shaped nested semi-join chain: suppliers concentrating a
+    filtered part's flow (integer-cleared fraction test)."""
+    from horizon_ocr_python_ray.pipelines.subqueries import concentrated_suppliers_q20
+
+    return concentrated_suppliers_q20(sf_dir)
+
+
 def _nation_volume(sf_dir: str):
     """Q7-shaped two-nation shipping volume per year (pair filter and
     rollup in one fact pass against three broadcast dimension maps)."""
@@ -1545,6 +1553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "market_share": _market_share,
         "nation_volume": _nation_volume,
         "nation_profit": _nation_profit,
+        "concentrated_suppliers": _concentrated_suppliers,
     }
 
 
@@ -3589,6 +3598,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(a.n, 0) AS BIGINT) AS n_y1,
                    CAST(COALESCE(b.n, 0) AS BIGINT) AS n_y2
             FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+        """,
+        # Q20: nested semi-join chain with the integer-cleared
+        # concentration subquery.
+        "concentrated_suppliers": """
+            WITH q AS (
+              SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%'
+            ), ps AS (
+              SELECT l.l_partkey, l.l_suppkey,
+                     CAST(SUM(CAST(round(l.l_quantity * 100) AS BIGINT))
+                          AS BIGINT) AS q
+              FROM lineitem l JOIN q ON q.p_partkey = l.l_partkey
+              GROUP BY 1, 2
+            ), tot AS (
+              SELECT l_partkey, CAST(SUM(q) AS BIGINT) AS t
+              FROM ps GROUP BY 1
+            ), win AS (
+              SELECT DISTINCT ps.l_suppkey
+              FROM ps JOIN tot USING (l_partkey)
+              WHERE ps.q * 10 > tot.t * 1
+            )
+            SELECT CAST(w.l_suppkey AS BIGINT) AS s_suppkey, s.s_name
+            FROM win w JOIN supplier s ON s.s_suppkey = w.l_suppkey
         """,
         # Q7: both-direction nation pair volume per year.
         "nation_volume": """

@@ -1337,3 +1337,66 @@ def nation_profit_q9(sf_dir: str, name_sub: str = "bolt",
             "o_year": t.column("o_year").cast(pa.int64()),
             "rev_e4": t.column("rev_e4").cast(pa.int64()),
         }), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Q20 shape: nested semi-join chain (parts → concentrated pairs → suppliers)
+# ---------------------------------------------------------------------------
+
+def concentrated_suppliers_q20(sf_dir: str, name_sub: str = "bolt",
+                               pct_num: int = 1, pct_den: int = 10):
+    """TPC-H Q20 shape: suppliers who CONCENTRATE a filtered part's
+    flow — a (part, supplier) pair qualifies when its shipped quantity
+    exceeds ``pct_num/pct_den`` of the part's total (the availqty >
+    0.5·sum correlated subquery, integer-cleared:
+    ``pair_qty·den > part_qty·num``); a supplier qualifies when ANY of
+    its pairs does (the nested EXISTS chain) → (s_suppkey, s_name).
+
+    One (part, supp) combiner + ONE partkey-bucket shuffle: inside a
+    bucket every part's pairs are complete, so the part total, the
+    concentration test and the supplier projection are three vectorized
+    steps; only qualifying supplier keys leave the bucket."""
+    from ..stages.hashagg import grouped_reduce
+
+    pdf = _tbl(sf_dir, "part", ["p_partkey", "p_name"]).to_pandas()
+    keys = np.sort(pdf.loc[pdf["p_name"].str.contains(name_sub, regex=False),
+                           "p_partkey"].to_numpy(np.int64))
+    pref = ray.put(keys)
+
+    li = _tbl(sf_dir, "lineitem",
+              ["l_partkey", "l_suppkey", "l_quantity"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        ks = ray.get(pref)
+        pk = t.column("l_partkey").to_numpy().astype(np.int64)
+        idx = np.clip(np.searchsorted(ks, pk), 0, max(len(ks) - 1, 0))
+        hit = (ks[idx] == pk) if len(ks) else np.zeros(len(pk), bool)
+        t = t.filter(pa.array(hit))
+        g = pa.table({"l_partkey": t.column("l_partkey").cast(pa.int64()),
+                      "l_suppkey": t.column("l_suppkey").cast(pa.int64()),
+                      "q": _e2(t.column("l_quantity"))})
+        agg = pa.TableGroupBy(g, ["l_partkey", "l_suppkey"]).aggregate(
+            [("q", "sum")])
+        return agg.rename_columns(["l_partkey", "l_suppkey", "p_q"])
+
+    pairs = li.map_batches(pair_partial, batch_format="pyarrow",
+                           batch_size=65536)
+
+    def bucket_filter(g):
+        import pandas as pd
+
+        s = g.groupby(["l_partkey", "l_suppkey"], as_index=False)["p_q"].sum()
+        tot = s.groupby("l_partkey")["p_q"].transform("sum")
+        win = s.loc[s["p_q"] * pct_den > tot * pct_num, ["l_suppkey"]]
+        return win.drop_duplicates()
+
+    supp_keys = (grouped_reduce(pairs, "l_partkey", bucket_filter,
+                                batch_format="pandas")
+                 .groupby("l_suppkey").count()
+                 .select_columns(["l_suppkey"]))
+    sdf = _tbl(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    out = (supp_keys.to_pandas()
+           .rename(columns={"l_suppkey": "s_suppkey"})
+           .merge(sdf, on="s_suppkey")
+           .sort_values("s_suppkey").reset_index(drop=True))
+    return out[["s_suppkey", "s_name"]]
