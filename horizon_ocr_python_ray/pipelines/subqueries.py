@@ -11,6 +11,21 @@ that the per-document forms (J1–J6, G1–G5) only cover locally:
                             decorrelated to aggregate + join-back (Q17)
 - ``big_orders_q18``      — HAVING-filtered group join-back (Q18)
 - ``cust_idle_q22``       — global scalar subquery + anti-join (Q22)
+- ``min_cost_supplier_q2``       — argmin-per-group join-back (Q2)
+- ``nation_volume_q7``           — two-nation pair volume, one fact pass (Q7)
+- ``market_share_q8``            — conditional/total rational pair (Q8)
+- ``nation_profit_q9``           — LIKE-filter star rollup (Q9)
+- ``returned_top_customers_q10`` — returned-item top-k (Q10)
+- ``important_parts_q11``        — group vs global-scalar fraction (Q11)
+- ``supplier_cnt_q16``           — grouped distinct-count + anti-set (Q16)
+- ``disjunctive_revenue_q19``    — OR-of-ANDs join predicate (Q19)
+- ``concentrated_suppliers_q20`` — nested semi-join chain (Q20)
+- ``waiting_supplier_q21``       — double EXISTS / NOT EXISTS (Q21)
+- ``cust_year_orders_fullouter`` — FULL OUTER as union-tagged aggregates
+- ``doc_lang_moments``           — grouped moment sufficient statistics
+
+Together with Q1/Q3/Q5/Q6/Q12/Q13/Q14 in ``pipelines/analytics.py``,
+every TPC-H query shape (Q1–Q22) has an analog on this engine.
 
 Money/quantity math follows the repo's fixed-point-before-summing
 contract (``stages/vecagg.py``): scale doubles to integers FIRST
