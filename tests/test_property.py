@@ -213,3 +213,76 @@ def test_table_markdown_row_counts(cells):
     assert len(lines) == n_rows + 1  # header + separator + body
     # escaping keeps the column count stable
     assert all(ln.count("|") - ln.count("\\|") == n_cols + 1 for ln in lines)
+
+
+# -- outlink extraction round-trip -------------------------------------------
+
+_anchor_word = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+    min_size=1, max_size=10,
+)
+_host_label = st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789",
+                      min_size=1, max_size=8)
+
+
+@st.composite
+def planted_links(draw):
+    links = []
+    for _ in range(draw(st.integers(0, 6))):
+        host = ".".join(draw(st.lists(_host_label, min_size=2, max_size=3)))
+        path = draw(_host_label)
+        words = draw(st.lists(_anchor_word, min_size=1, max_size=3))
+        links.append((f"https://{host}/{path}", " ".join(words)))
+    return links
+
+
+@given(planted_links(), _text_chunk)
+@settings(max_examples=60, deadline=None)
+def test_outlink_extraction_roundtrip(links, filler):
+    """Planted absolute anchors come back exactly, in order, regardless
+    of surrounding markup; relative links never do."""
+    from horizon_ocr_python_ray.functions.links import extract_outlinks
+
+    body = [f"<p>{filler}</p>", '<a href="/rel">relative</a>']
+    for href, anchor in links:
+        body.append(f'<li><a href="{href}">{anchor}</a></li>')
+    html = ("<html><body>" + "".join(body) + "</body></html>").encode()
+    assert extract_outlinks(html) == links
+
+
+# -- PageRank invariants ------------------------------------------------------
+
+@st.composite
+def random_edges(draw):
+    n = draw(st.integers(2, 12))
+    m = draw(st.integers(1, 30))
+    edges = {(draw(st.integers(0, n - 1)), draw(st.integers(0, n - 1)))
+             for _ in range(m)}
+    edges = [(u, v) for u, v in edges if u != v]
+    return n, edges
+
+
+@given(random_edges(), st.integers(1, 4))
+@settings(max_examples=60, deadline=None)
+def test_pagerank_mass_bound_and_determinism(ne, iters):
+    """Floor-divided damping only LOSES mass: total rank never exceeds
+    base·n + d·(total previous); ranks are deterministic and ≥ base."""
+    import numpy as np
+
+    from horizon_ocr_python_ray.stages.linkgraph import (
+        DAMP_DEN, DAMP_NUM, RANK_BASE, RANK_SCALE, _pagerank_vec)
+
+    n, edges = ne
+    if not edges:
+        return
+    src = np.array([u for u, _ in edges])
+    dst = np.array([v for _, v in edges])
+    r1 = _pagerank_vec(src, dst, n, iters)
+    r2 = _pagerank_vec(src, dst, n, iters)
+    assert (r1 == r2).all()
+    assert (r1 >= RANK_BASE).all()
+    # conservation bound: one iteration from uniform loses mass to
+    # floor division and dangling nodes, never gains
+    total_prev = n * RANK_SCALE
+    assert _pagerank_vec(src, dst, n, 1).sum() <= (
+        n * RANK_BASE + (DAMP_NUM * total_prev) // DAMP_DEN)
