@@ -3633,8 +3633,8 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier s ON s.s_suppkey = l.l_suppkey
             JOIN orders o ON o.o_orderkey = l.l_orderkey
             JOIN customer c ON c.c_custkey = o.o_custkey
-            WHERE (s.s_nationkey = 1 AND c.c_nationkey = 2)
-               OR (s.s_nationkey = 2 AND c.c_nationkey = 1)
+            WHERE (s.s_nationkey = 3 AND c.c_nationkey = 8)
+               OR (s.s_nationkey = 8 AND c.c_nationkey = 3)
             GROUP BY 1, 2, 3
         """,
         # Q9: part-name LIKE filter, rollup by supplier nation × year.

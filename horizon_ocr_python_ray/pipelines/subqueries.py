@@ -57,6 +57,7 @@ from .analytics import (
     _resolve_join_plan,
     _sorted_lookup,
     _tbl,
+    safe_join,
 )
 
 _TS = lambda s: pa.scalar(pd.Timestamp(s))  # noqa: E731
@@ -139,9 +140,9 @@ def orders_exists_q4(sf_dir: str, num_partitions: int = 8, plan: str = "auto"):
     else:
         returned = (li.map_batches(returned_partial, batch_format="pyarrow")
                     .groupby("l_orderkey").count().select_columns(["l_orderkey"]))
-        joined = orders.join(returned, join_type="inner",
-                             num_partitions=num_partitions,
-                             on=("o_orderkey",), right_on=("l_orderkey",))
+        joined = safe_join(orders, returned, join_type="inner",
+                           num_partitions=num_partitions,
+                           on=("o_orderkey",), right_on=("l_orderkey",))
         partials = joined.map_batches(count_by_priority,
                                       batch_format="pyarrow")
 
@@ -274,9 +275,9 @@ def part_small_qty_q17(sf_dir: str, brand: str = "Brand#1",
         bparts = (_tbl(sf_dir, "part", ["p_partkey", "p_brand"])
                   .filter(expr=f"p_brand == '{brand}'")
                   .select_columns(["p_partkey"]))
-        joined = li.join(bparts, join_type="inner",
-                         num_partitions=num_partitions,
-                         on=("l_partkey",), right_on=("p_partkey",))
+        joined = safe_join(li, bparts, join_type="inner",
+                           num_partitions=num_partitions,
+                           on=("l_partkey",), right_on=("p_partkey",))
         subset = joined.map_batches(
             lambda t: project(t, pa.array(np.ones(t.num_rows, bool))),
             batch_format="pyarrow")
@@ -424,9 +425,9 @@ def big_orders_q18(sf_dir: str, min_qty: float = 300.0,
         out = picked.map_batches(add_name, batch_format="pyarrow")
     else:
         cust = _tbl(sf_dir, "customer", ["c_custkey", "c_name"])
-        out = picked.join(cust, join_type="inner",
-                          num_partitions=num_partitions,
-                          on=("o_custkey",), right_on=("c_custkey",))
+        out = safe_join(picked, cust, join_type="inner",
+                        num_partitions=num_partitions,
+                        on=("o_custkey",), right_on=("c_custkey",))
 
     return out.select_columns(
         ["c_name", "o_orderkey", "o_orderdate", "total_price_e2", "sum_qty_e2"])
@@ -501,9 +502,9 @@ def cust_idle_q22(sf_dir: str, since: str = "2000-01-01",
     else:
         recent_d = (recent.groupby("o_custkey").count()
                     .select_columns(["o_custkey"]))
-        idle = rich_ds.join(recent_d, join_type="left_anti",
-                            num_partitions=num_partitions,
-                            on=("c_custkey",), right_on=("o_custkey",))
+        idle = safe_join(rich_ds, recent_d, join_type="left_anti",
+                         num_partitions=num_partitions,
+                         on=("c_custkey",), right_on=("o_custkey",))
 
     def bucket_partial(t: pa.Table) -> pa.Table:
         b = pc.cast(pc.bit_wise_and(t.column("c_custkey"), pa.scalar(7, pa.int64())), pa.int64())
@@ -710,9 +711,9 @@ def returned_top_customers_q10(sf_dir: str, quarter: str = "1996-01-01",
 
         by_cust_src = li_sums.map_batches(to_cust, batch_format="pyarrow")
     else:
-        joined = li_sums.join(win, join_type="inner",
-                              num_partitions=num_partitions,
-                              on=("l_orderkey",), right_on=("o_orderkey",))
+        joined = safe_join(li_sums, win, join_type="inner",
+                           num_partitions=num_partitions,
+                           on=("l_orderkey",), right_on=("o_orderkey",))
         by_cust_src = joined.map_batches(
             lambda t: pa.table({"c_custkey": t.column("o_custkey").cast(pa.int64()),
                                 "p_r": t.column("p_r")}),
@@ -1083,28 +1084,57 @@ def min_cost_supplier_q2(sf_dir: str, p_type: str = "ECONOMY",
                               batch_size=65536).materialize()
     mins = grouped_aggregate(filtered, "l_partkey",
                              [("p_c", "min", "cost_e2")])
-    mdf = mins.to_pandas().sort_values("l_partkey")
-    mref = ray.put((mdf["l_partkey"].to_numpy(np.int64),
-                    mdf["cost_e2"].to_numpy(np.int64)))
 
-    def achievers(t: pa.Table) -> pa.Table:
-        mk, mc = ray.get(mref)
-        pk = t.column("l_partkey").to_numpy().astype(np.int64)
-        idx = np.clip(np.searchsorted(mk, pk), 0, max(len(mk) - 1, 0))
-        hit = (mk[idx] == pk) if len(mk) else np.zeros(len(pk), bool)
-        cost = _e2(t.column("l_extendedprice")).to_numpy()
-        m = hit & (cost == mc[np.clip(idx, 0, max(len(mk) - 1, 0))])
-        g = pa.table({
-            "l_partkey": pa.array(pk[m], pa.int64()),
-            "s_suppkey": pa.array(
-                t.column("l_suppkey").to_numpy().astype(np.int64)[m],
-                pa.int64()),
-            "cost_e2": pa.array(cost[m], pa.int64()),
-        })
-        return g.group_by(["l_partkey", "s_suppkey", "cost_e2"]).aggregate([])
+    if plan == "broadcast":
+        mdf = mins.to_pandas().sort_values("l_partkey")
+        assert len(mdf) <= BROADCAST_BUILD_MAX_ROWS, "guard: use partitioned"
+        mref = ray.put((mdf["l_partkey"].to_numpy(np.int64),
+                        mdf["cost_e2"].to_numpy(np.int64)))
 
-    rows = (li.map_batches(achievers, batch_format="pyarrow",
-                           batch_size=65536)
+        def achievers(t: pa.Table) -> pa.Table:
+            mk, mc = ray.get(mref)
+            pk = t.column("l_partkey").to_numpy().astype(np.int64)
+            idx = np.clip(np.searchsorted(mk, pk), 0, max(len(mk) - 1, 0))
+            hit = (mk[idx] == pk) if len(mk) else np.zeros(len(pk), bool)
+            cost = _e2(t.column("l_extendedprice")).to_numpy()
+            m = hit & (cost == mc[np.clip(idx, 0, max(len(mk) - 1, 0))])
+            g = pa.table({
+                "l_partkey": pa.array(pk[m], pa.int64()),
+                "s_suppkey": pa.array(
+                    t.column("l_suppkey").to_numpy().astype(np.int64)[m],
+                    pa.int64()),
+                "cost_e2": pa.array(cost[m], pa.int64()),
+            })
+            return g.group_by(["l_partkey", "s_suppkey", "cost_e2"]).aggregate([])
+
+        achieved = li.map_batches(achievers, batch_format="pyarrow",
+                                  batch_size=65536)
+    else:
+        # min map is partkey-cardinality (corpus-sized at 100×): the
+        # join-back is a hash join on partkey, equality filter after.
+        def li_proj(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "l_partkey": t.column("l_partkey").cast(pa.int64()),
+                "s_suppkey": t.column("l_suppkey").cast(pa.int64()),
+                "cost": _e2(t.column("l_extendedprice")),
+            })
+
+        j = (li.map_batches(li_proj, batch_format="pyarrow")
+             .join(mins, join_type="inner", num_partitions=num_partitions,
+                   on=("l_partkey",), right_on=("l_partkey",)))
+
+        def eq_filter(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t.column("cost"), t.column("cost_e2")))
+            g = pa.table({
+                "l_partkey": t.column("l_partkey").cast(pa.int64()),
+                "s_suppkey": t.column("s_suppkey").cast(pa.int64()),
+                "cost_e2": t.column("cost_e2").cast(pa.int64()),
+            })
+            return g.group_by(["l_partkey", "s_suppkey", "cost_e2"]).aggregate([])
+
+        achieved = j.map_batches(eq_filter, batch_format="pyarrow")
+
+    rows = (achieved
             .groupby(["l_partkey", "s_suppkey", "cost_e2"]).count()
             .select_columns(["l_partkey", "s_suppkey", "cost_e2"]))
 
@@ -1213,65 +1243,141 @@ def market_share_q8(sf_dir: str, brand: str = "Brand#1",
 # Q7 shape: two-dimension-pair volume (supp nation × cust nation × year)
 # ---------------------------------------------------------------------------
 
-def nation_volume_q7(sf_dir: str, nation_a: int = 1, nation_b: int = 2,
+def nation_volume_q7(sf_dir: str, nation_a: int = 3, nation_b: int = 8,
                      num_partitions: int = 8, plan: str = "auto"):
     """TPC-H Q7 shape: shipped revenue between two nations in both
     directions, per year → (supp_nation, cust_nation, o_year, rev_e4).
 
-    Three dimension maps broadcast (suppkey→nation, orderkey→(custkey),
-    custkey→nation — the orderkey map is the big one and goes through
-    the planner); the pair filter and the (n_s, n_c, year) rollup all
-    evaluate inside ONE lineitem pass on the broadcast plan."""
+    Supplier→nation is a true bounded dimension (capped broadcast on
+    both plans); orders and customer are FACTS — the broadcast plan
+    (planner-gated by the orders row count) evaluates everything in
+    ONE lineitem pass, the partitioned plan routes them through two
+    hash joins (lineitem→orders on orderkey, →customer on custkey)
+    with the supplier-nation prefilter shrinking the left side first.
+    Plans are row-identical (tested)."""
     plan = _resolve_join_plan(plan, sf_dir, ["orders"])
     sdf = _tbl(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    assert len(sdf) <= BROADCAST_BUILD_MAX_ROWS, "supplier dim over cap"
     sdf = sdf.sort_values("s_suppkey")
     sref = ray.put((sdf["s_suppkey"].to_numpy(np.int64),
                     sdf["s_nationkey"].to_numpy(np.int64)))
-    cdf = _tbl(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    cdf = cdf.sort_values("c_custkey")
-    cref = ray.put((cdf["c_custkey"].to_numpy(np.int64),
-                    cdf["c_nationkey"].to_numpy(np.int64)))
-    odf = _tbl(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
-    odf = odf.sort_values("o_orderkey")
-    oref = ray.put((odf["o_orderkey"].to_numpy(np.int64),
-                    odf["o_custkey"].to_numpy(np.int64),
-                    odf["o_orderdate"].dt.year.to_numpy(np.int64)))
 
     li = _tbl(sf_dir, "lineitem",
               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
 
-    def vol_partial(t: pa.Table) -> pa.Table:
-        sk, sn = ray.get(sref)
-        ck, cn = ray.get(cref)
-        ok, oc, oy = ray.get(oref)
-        lsk = t.column("l_suppkey").to_numpy().astype(np.int64)
-        lok = t.column("l_orderkey").to_numpy().astype(np.int64)
-        si = np.clip(np.searchsorted(sk, lsk), 0, len(sk) - 1)
-        oi = np.clip(np.searchsorted(ok, lok), 0, len(ok) - 1)
-        hit = (sk[si] == lsk) & (ok[oi] == lok)
-        cust = oc[oi]
-        ci = np.clip(np.searchsorted(ck, cust), 0, len(ck) - 1)
-        hit &= ck[ci] == cust
-        ns, nc = sn[si], cn[ci]
-        m = hit & (((ns == nation_a) & (nc == nation_b))
-                   | ((ns == nation_b) & (nc == nation_a)))
-        rev = pc.multiply(
-            _e2(t.column("l_extendedprice")),
-            pc.subtract(pa.scalar(100, pa.int64()),
-                        _e2(t.column("l_discount")))).to_numpy()
-        g = pa.table({
-            "supp_nation": pa.array(ns[m], pa.int64()),
-            "cust_nation": pa.array(nc[m], pa.int64()),
-            "o_year": pa.array(oy[oi][m], pa.int64()),
-            "r": pa.array(rev[m], pa.int64()),
-        })
-        agg = pa.TableGroupBy(g, ["supp_nation", "cust_nation", "o_year"]
-                              ).aggregate([("r", "sum")])
-        return agg.rename_columns(
-            ["supp_nation", "cust_nation", "o_year", "p_r"])
+    if plan == "broadcast":
+        cdf = _tbl(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+        cdf = cdf.sort_values("c_custkey")
+        cref = ray.put((cdf["c_custkey"].to_numpy(np.int64),
+                        cdf["c_nationkey"].to_numpy(np.int64)))
+        odf = _tbl(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
+        odf = odf.sort_values("o_orderkey")
+        oref = ray.put((odf["o_orderkey"].to_numpy(np.int64),
+                        odf["o_custkey"].to_numpy(np.int64),
+                        odf["o_orderdate"].dt.year.to_numpy(np.int64)))
 
-    out = (li.map_batches(vol_partial, batch_format="pyarrow",
-                          batch_size=65536)
+        def vol_partial(t: pa.Table) -> pa.Table:
+            sk, sn = ray.get(sref)
+            ck, cn = ray.get(cref)
+            ok, oc, oy = ray.get(oref)
+            lsk = t.column("l_suppkey").to_numpy().astype(np.int64)
+            lok = t.column("l_orderkey").to_numpy().astype(np.int64)
+            si = np.clip(np.searchsorted(sk, lsk), 0, len(sk) - 1)
+            oi = np.clip(np.searchsorted(ok, lok), 0, len(ok) - 1)
+            hit = (sk[si] == lsk) & (ok[oi] == lok)
+            cust = oc[oi]
+            ci = np.clip(np.searchsorted(ck, cust), 0, len(ck) - 1)
+            hit &= ck[ci] == cust
+            ns, nc = sn[si], cn[ci]
+            m = hit & (((ns == nation_a) & (nc == nation_b))
+                       | ((ns == nation_b) & (nc == nation_a)))
+            rev = pc.multiply(
+                _e2(t.column("l_extendedprice")),
+                pc.subtract(pa.scalar(100, pa.int64()),
+                            _e2(t.column("l_discount")))).to_numpy()
+            g = pa.table({
+                "supp_nation": pa.array(ns[m], pa.int64()),
+                "cust_nation": pa.array(nc[m], pa.int64()),
+                "o_year": pa.array(oy[oi][m], pa.int64()),
+                "r": pa.array(rev[m], pa.int64()),
+            })
+            agg = pa.TableGroupBy(g, ["supp_nation", "cust_nation", "o_year"]
+                                  ).aggregate([("r", "sum")])
+            return agg.rename_columns(
+                ["supp_nation", "cust_nation", "o_year", "p_r"])
+
+        partials = li.map_batches(vol_partial, batch_format="pyarrow",
+                                  batch_size=65536)
+    else:
+        # supplier-nation prefilter shrinks the fact stream before the
+        # two hash joins; everything shipped is a narrow projection.
+        def left_partial(t: pa.Table) -> pa.Table:
+            sk, sn = ray.get(sref)
+            lsk = t.column("l_suppkey").to_numpy().astype(np.int64)
+            si = np.clip(np.searchsorted(sk, lsk), 0, len(sk) - 1)
+            ns = sn[si]
+            m = (sk[si] == lsk) & ((ns == nation_a) | (ns == nation_b))
+            rev = pc.multiply(
+                _e2(t.column("l_extendedprice")),
+                pc.subtract(pa.scalar(100, pa.int64()),
+                            _e2(t.column("l_discount")))).to_numpy()
+            return pa.table({
+                "l_orderkey": pa.array(
+                    t.column("l_orderkey").to_numpy().astype(np.int64)[m],
+                    pa.int64()),
+                "supp_nation": pa.array(ns[m], pa.int64()),
+                "r": pa.array(rev[m], pa.int64()),
+            })
+
+        left = li.map_batches(left_partial, batch_format="pyarrow",
+                              batch_size=65536)
+        orders = _tbl(sf_dir, "orders",
+                      ["o_orderkey", "o_custkey", "o_orderdate"])
+
+        def ord_proj(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+                "o_custkey": t.column("o_custkey").cast(pa.int64()),
+                "o_year": pc.year(t.column("o_orderdate")).cast(pa.int64()),
+            })
+
+        j1 = safe_join(left, orders.map_batches(ord_proj, batch_format="pyarrow"),
+                       join_type="inner", num_partitions=num_partitions,
+                       on=("l_orderkey",), right_on=("o_orderkey",))
+        cust = _tbl(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+        def cust_proj(t: pa.Table) -> pa.Table:
+            nk = t.column("c_nationkey").cast(pa.int64())
+            m = pc.or_(pc.equal(nk, pa.scalar(nation_a, pa.int64())),
+                       pc.equal(nk, pa.scalar(nation_b, pa.int64())))
+            t = t.filter(m)
+            return pa.table({"c_custkey": t.column("c_custkey").cast(pa.int64()),
+                             "cust_nation": t.column("c_nationkey").cast(pa.int64())})
+
+        j2 = safe_join(j1, cust.map_batches(cust_proj, batch_format="pyarrow"),
+                       join_type="inner", num_partitions=num_partitions,
+                       on=("o_custkey",), right_on=("c_custkey",))
+
+        def pair_partial(t: pa.Table) -> pa.Table:
+            ns = t.column("supp_nation").to_numpy()
+            nc = t.column("cust_nation").to_numpy()
+            m = (((ns == nation_a) & (nc == nation_b))
+                 | ((ns == nation_b) & (nc == nation_a)))
+            g = pa.table({
+                "supp_nation": pa.array(ns[m], pa.int64()),
+                "cust_nation": pa.array(nc[m], pa.int64()),
+                "o_year": pa.array(t.column("o_year").to_numpy()[m], pa.int64()),
+                "r": pa.array(t.column("r").to_numpy()[m], pa.int64()),
+            })
+            agg = pa.TableGroupBy(g, ["supp_nation", "cust_nation", "o_year"]
+                                  ).aggregate([("r", "sum")])
+            return agg.rename_columns(
+                ["supp_nation", "cust_nation", "o_year", "p_r"])
+
+        partials = j2.map_batches(pair_partial, batch_format="pyarrow")
+
+    out = (partials
            .groupby(["supp_nation", "cust_nation", "o_year"])
            .aggregate(Sum("p_r", alias_name="rev_e4")))
     return out.map_batches(
@@ -1291,59 +1397,113 @@ def nation_profit_q9(sf_dir: str, name_sub: str = "bolt",
                      num_partitions: int = 8, plan: str = "auto"):
     """TPC-H Q9 shape: revenue of parts whose NAME contains a substring
     (the LIKE '%...%' filter), rolled up by supplier nation × order
-    year → (n_name, o_year, rev_e4). Same one-fact-pass broadcast
-    shape as Q7; the part-name predicate reduces to a broadcast
-    partkey SET (the dimension filter pushed to the probe side)."""
+    year → (n_name, o_year, rev_e4). Supplier→nation(→name) is a
+    bounded dimension composite (capped broadcast on both plans). The
+    part-name predicate and the orders year map are FACT-sized: the
+    broadcast plan (planner-gated on orders) pushes both as broadcast
+    lookups into one lineitem pass; the partitioned plan routes them
+    through two hash joins (lineitem→filtered-part-keys on partkey,
+    →orders on orderkey). Plans row-identical (tested)."""
     plan = _resolve_join_plan(plan, sf_dir, ["orders"])
-    pdf = _tbl(sf_dir, "part", ["p_partkey", "p_name"]).to_pandas()
-    keys = np.sort(pdf.loc[pdf["p_name"].str.contains(name_sub, regex=False),
-                           "p_partkey"].to_numpy(np.int64))
-    pref = ray.put(keys)
     sdf = _tbl(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    assert len(sdf) <= BROADCAST_BUILD_MAX_ROWS, "supplier dim over cap"
     sdf = sdf.sort_values("s_suppkey")
-    sref = ray.put((sdf["s_suppkey"].to_numpy(np.int64),
-                    sdf["s_nationkey"].to_numpy(np.int64)))
     ndf = _tbl(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    ndf = ndf.sort_values("n_nationkey")
-    nref = ray.put((ndf["n_nationkey"].to_numpy(np.int64),
-                    np.array(ndf["n_name"].tolist(), object)))
-    odf = _tbl(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).to_pandas()
-    odf = odf.sort_values("o_orderkey")
-    oref = ray.put((odf["o_orderkey"].to_numpy(np.int64),
-                    odf["o_orderdate"].dt.year.to_numpy(np.int64)))
+    nmap = dict(zip(ndf["n_nationkey"], ndf["n_name"]))
+    sname = np.array([nmap[k] for k in sdf["s_nationkey"]], object)
+    sref = ray.put((sdf["s_suppkey"].to_numpy(np.int64), sname))
 
     li = _tbl(sf_dir, "lineitem",
               ["l_orderkey", "l_partkey", "l_suppkey",
                "l_extendedprice", "l_discount"])
 
-    def profit_partial(t: pa.Table) -> pa.Table:
-        pk = ray.get(pref)
-        sk, sn = ray.get(sref)
-        nk, nn = ray.get(nref)
-        ok, oy = ray.get(oref)
-        lpk = t.column("l_partkey").to_numpy().astype(np.int64)
-        pi = np.clip(np.searchsorted(pk, lpk), 0, max(len(pk) - 1, 0))
-        m = (pk[pi] == lpk) if len(pk) else np.zeros(len(lpk), bool)
-        lsk = t.column("l_suppkey").to_numpy().astype(np.int64)
-        lok = t.column("l_orderkey").to_numpy().astype(np.int64)
-        si = np.clip(np.searchsorted(sk, lsk), 0, len(sk) - 1)
-        oi = np.clip(np.searchsorted(ok, lok), 0, len(ok) - 1)
-        m &= (sk[si] == lsk) & (ok[oi] == lok)
-        ni = np.clip(np.searchsorted(nk, sn[si]), 0, len(nk) - 1)
-        rev = pc.multiply(
-            _e2(t.column("l_extendedprice")),
-            pc.subtract(pa.scalar(100, pa.int64()),
-                        _e2(t.column("l_discount")))).to_numpy()
-        g = pa.table({
-            "n_name": pa.array(nn[ni][m].tolist(), pa.string()),
-            "o_year": pa.array(oy[oi][m], pa.int64()),
-            "r": pa.array(rev[m], pa.int64()),
-        })
-        agg = pa.TableGroupBy(g, ["n_name", "o_year"]).aggregate([("r", "sum")])
+    def rollup(t: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(t, ["n_name", "o_year"]).aggregate([("r", "sum")])
         return agg.rename_columns(["n_name", "o_year", "p_r"])
 
-    out = (li.map_batches(profit_partial, batch_format="pyarrow",
-                          batch_size=65536)
+    if plan == "broadcast":
+        pdf = _tbl(sf_dir, "part", ["p_partkey", "p_name"]).to_pandas()
+        keys = np.sort(pdf.loc[pdf["p_name"].str.contains(name_sub, regex=False),
+                               "p_partkey"].to_numpy(np.int64))
+        pref = ray.put(keys)
+        odf = _tbl(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).to_pandas()
+        odf = odf.sort_values("o_orderkey")
+        oref = ray.put((odf["o_orderkey"].to_numpy(np.int64),
+                        odf["o_orderdate"].dt.year.to_numpy(np.int64)))
+
+        def profit_partial(t: pa.Table) -> pa.Table:
+            pk = ray.get(pref)
+            sk, sn = ray.get(sref)
+            ok, oy = ray.get(oref)
+            lpk = t.column("l_partkey").to_numpy().astype(np.int64)
+            pi = np.clip(np.searchsorted(pk, lpk), 0, max(len(pk) - 1, 0))
+            m = (pk[pi] == lpk) if len(pk) else np.zeros(len(lpk), bool)
+            lsk = t.column("l_suppkey").to_numpy().astype(np.int64)
+            lok = t.column("l_orderkey").to_numpy().astype(np.int64)
+            si = np.clip(np.searchsorted(sk, lsk), 0, len(sk) - 1)
+            oi = np.clip(np.searchsorted(ok, lok), 0, len(ok) - 1)
+            m &= (sk[si] == lsk) & (ok[oi] == lok)
+            rev = pc.multiply(
+                _e2(t.column("l_extendedprice")),
+                pc.subtract(pa.scalar(100, pa.int64()),
+                            _e2(t.column("l_discount")))).to_numpy()
+            return rollup(pa.table({
+                "n_name": pa.array(sn[si][m].tolist(), pa.string()),
+                "o_year": pa.array(oy[oi][m], pa.int64()),
+                "r": pa.array(rev[m], pa.int64()),
+            }))
+
+        partials = li.map_batches(profit_partial, batch_format="pyarrow",
+                                  batch_size=65536)
+    else:
+        def left_partial(t: pa.Table) -> pa.Table:
+            sk, sn = ray.get(sref)
+            lsk = t.column("l_suppkey").to_numpy().astype(np.int64)
+            si = np.clip(np.searchsorted(sk, lsk), 0, len(sk) - 1)
+            m = sk[si] == lsk
+            rev = pc.multiply(
+                _e2(t.column("l_extendedprice")),
+                pc.subtract(pa.scalar(100, pa.int64()),
+                            _e2(t.column("l_discount")))).to_numpy()
+            return pa.table({
+                "l_partkey": pa.array(
+                    t.column("l_partkey").to_numpy().astype(np.int64)[m],
+                    pa.int64()),
+                "l_orderkey": pa.array(
+                    t.column("l_orderkey").to_numpy().astype(np.int64)[m],
+                    pa.int64()),
+                "n_name": pa.array(sn[si][m].tolist(), pa.string()),
+                "r": pa.array(rev[m], pa.int64()),
+            })
+
+        left = li.map_batches(left_partial, batch_format="pyarrow",
+                              batch_size=65536)
+        part = _tbl(sf_dir, "part", ["p_partkey", "p_name"])
+
+        def part_keys(t: pa.Table) -> pa.Table:
+            m = pc.match_substring(t.column("p_name"), name_sub)
+            return pa.table({"p_partkey":
+                             t.filter(m).column("p_partkey").cast(pa.int64())})
+
+        j1 = safe_join(left, part.map_batches(part_keys, batch_format="pyarrow"),
+                       join_type="inner", num_partitions=num_partitions,
+                       on=("l_partkey",), right_on=("p_partkey",))
+        orders = _tbl(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+        def ord_proj(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+                "o_year": pc.year(t.column("o_orderdate")).cast(pa.int64()),
+            })
+
+        j2 = safe_join(j1, orders.map_batches(ord_proj, batch_format="pyarrow"),
+                       join_type="inner", num_partitions=num_partitions,
+                       on=("l_orderkey",), right_on=("o_orderkey",))
+        partials = j2.map_batches(
+            lambda t: rollup(t.select(["n_name", "o_year", "r"])),
+            batch_format="pyarrow")
+
+    out = (partials
            .groupby(["n_name", "o_year"])
            .aggregate(Sum("p_r", alias_name="rev_e4")))
     return out.map_batches(

@@ -29,6 +29,9 @@ def _df(res) -> pd.DataFrame:
     subqueries.returned_top_customers_q10,
     subqueries.disjunctive_revenue_q19,
     subqueries.market_share_q8,
+    subqueries.nation_volume_q7,
+    subqueries.nation_profit_q9,
+    subqueries.min_cost_supplier_q2,
 ])
 def test_plans_agree(ray_session, fn):
     a = _df(fn(SF, plan="broadcast"))
