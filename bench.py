@@ -88,7 +88,10 @@ def run_bench() -> dict:
                  "doc_repeated_ngrams", "doc_quality_gate", "cust_order_dist",
                  "pages_outlinks", "host_pagerank", "emb_semdedup",
                  "doc_dsir", "waiting_supplier", "corpus_tfidf_topk",
-                 "events_cumsum"):
+                 "events_cumsum", "events_gapfill", "events_anomaly",
+                 "doc_lang_drift", "pages_host_join", "corpus_and_search",
+                 "doc_mix_rebalance", "doc_safe_split", "important_parts",
+                 "nation_profit", "market_share"):
         t0 = time.monotonic()
         res = q[name](sf_dir)
         if hasattr(res, "count"):
