@@ -10,7 +10,7 @@ distributed exchange only to co-locate KEYS, never to enumerate them:
 1. **combiner** — each input batch is pre-aggregated with
    ``pa.Table.group_by`` (one vectorized call per batch), so the shuffle
    carries at most one row per (batch, distinct key);
-2. **coarse bucket shuffle** — a deterministic ``crc32(key) % B``
+2. **coarse bucket shuffle** — a deterministic ``hash64(key) % B``
    bucket column is the ONLY distributed group key: B stays small
    (default 64; at cluster scale set ~4× total cores), so the per-group
    Python overhead is B calls, not N;
@@ -32,10 +32,9 @@ argmin-by-packed-key selects representative ROWS (see
 
 from __future__ import annotations
 
-import zlib
-
 import pyarrow as pa
-import pyarrow.compute as pc
+
+from ..functions.fasthash import bucket_column
 
 #: Default bucket count — the only distributed group cardinality.
 NUM_BUCKETS_DEFAULT = 64
@@ -52,23 +51,10 @@ _DECOMP = {
 
 
 def crc_bucket_array(col: pa.ChunkedArray | pa.Array, num_buckets: int) -> pa.Array:
-    """Deterministic bucket of a string/binary column (crc32 % B)."""
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
-        vals = [zlib.crc32(v.encode()) % num_buckets if v is not None else 0
-                for v in col.to_pylist()]
-    elif pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
-        vals = [zlib.crc32(v) % num_buckets if v is not None else 0
-                for v in col.to_pylist()]
-    else:  # integers: splitmix-style spread then mod, fully vectorized
-        import numpy as np
-
-        x = pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
-        x = (x ^ (x >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
-        x ^= x >> np.uint64(33)
-        vals = (x % np.uint64(num_buckets)).astype("int64")
-    return pa.array(vals, pa.int64())
+    """Deterministic bucket of a key column — vectorized numpy hash over
+    the raw Arrow buffers (``functions/fasthash.py``), no per-row Python.
+    Name kept from the original crc32 implementation for callers."""
+    return bucket_column(col, num_buckets)
 
 
 def _agg_spec(aggs):

@@ -23,37 +23,29 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from .decontam import doc_ngrams
+from ..functions.gramvec import explode_distinct_ngrams
 
 DEFAULT_N = 4
 
 
 def _pairs_batch(batch: pa.Table, n: int) -> pa.Table:
-    """(doc_id, gram) distinct pairs + the per-doc distinct-gram count
-    (stashed as one extra row group via a separate table is avoided —
-    counts travel in their own column dataset)."""
-    ids, grams = [], []
-    for doc_id, text in zip(batch.column("doc_id").to_pylist(),
-                            batch.column("text").to_pylist()):
-        for g in doc_ngrams(text, n):
-            ids.append(doc_id)
-            grams.append(g)
-    return pa.Table.from_arrays(
-        [pa.array(ids, pa.int64()), pa.array(grams, pa.string())],
-        names=["doc_id", "gram"],
-    )
+    """(doc_id, gram) distinct pairs — vectorized explode
+    (``functions/gramvec.py``; value-identical to the per-row
+    ``doc_ngrams``, property-tested)."""
+    return explode_distinct_ngrams(
+        batch.column("doc_id"), batch.column("text"), n)
 
 
 def _totals_batch(batch: pa.Table, n: int) -> pa.Table:
-    ids, tot = [], []
-    for doc_id, text in zip(batch.column("doc_id").to_pylist(),
-                            batch.column("text").to_pylist()):
-        ids.append(doc_id)
-        tot.append(len(doc_ngrams(text, n)))
-    return pa.Table.from_arrays(
-        [pa.array(ids, pa.int64()), pa.array(tot, pa.int64())],
-        names=["doc_id", "n_grams"],
-    )
+    """(doc_id, n_grams) distinct-gram counts: the same vectorized
+    explode reduced batch-locally (rows of one doc never split across
+    batches, so the per-batch count is the exact per-doc count). Docs
+    with < n tokens emit nothing — their 0 row is filtered by the final
+    ``n_grams > 0`` anyway."""
+    pairs = explode_distinct_ngrams(
+        batch.column("doc_id"), batch.column("text"), n)
+    g = pairs.group_by("doc_id").aggregate([([], "count_all")])
+    return g.rename_columns(["doc_id", "n_grams"])
 
 
 def repeated_ngram_stats(docs_ds, n: int = DEFAULT_N):

@@ -23,11 +23,12 @@ and salted groupby" made concrete.
 
 from __future__ import annotations
 
-import hashlib
-
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data.aggregate import Sum
+
+from ..functions.fasthash import hash64_bytes_column
 
 
 def host_of(url: str) -> str:
@@ -36,16 +37,35 @@ def host_of(url: str) -> str:
     return rest.split("/", 1)[0].lower()
 
 
-def _salt_of(url: str, num_salts: int) -> int:
-    return int(hashlib.sha1(url.encode("utf-8")).hexdigest()[:8], 16) % num_salts
+#: RE2 form of ``host_of``: drop an optional ``<anything>://`` prefix
+#: (non-greedy = first occurrence, like ``split("://", 1)``), capture to
+#: the first ``/``.
+_HOST_RE = r"^(?:.*?://)?(?P<h>[^/]*)"
+
+
+def host_of_array(urls: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Vectorized ``host_of`` over a url column (RE2 extract + lower) —
+    one Arrow kernel call per batch instead of a per-row Python split."""
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    ex = pc.extract_regex(urls, pattern=_HOST_RE)
+    return pc.utf8_lower(pc.struct_field(ex, 0))
+
+
+def salt_array(urls: pa.ChunkedArray | pa.Array, num_salts: int) -> np.ndarray:
+    """Deterministic per-url salt in ``[0, num_salts)`` — vectorized
+    ``hash64(url) % S`` (``functions/fasthash.py``; replaces the per-row
+    sha1 loop flagged in the round-2 verdict). Any deterministic
+    url→salt map works: salts only spread rows, they never reach a
+    result column."""
+    return (hash64_bytes_column(urls) % np.uint64(num_salts)).astype(np.int32)
 
 
 def add_host_salt(batch: pa.Table, num_salts: int = 16) -> pa.Table:
-    urls = batch.column("url").to_pylist()
-    hosts = [host_of(u) for u in urls]
-    salts = [_salt_of(u, num_salts) for u in urls]
-    batch = batch.append_column("host", pa.array(hosts, pa.string()))
-    return batch.append_column("salt", pa.array(salts, pa.int32()))
+    urls = batch.column("url")
+    batch = batch.append_column("host", host_of_array(urls))
+    return batch.append_column(
+        "salt", pa.array(salt_array(urls, num_salts), pa.int32()))
 
 
 def host_stats_salted(pages_ds, num_salts: int = 16):
@@ -98,8 +118,7 @@ def host_lang_mode(pages_ds):
 
     def partial(t: pa.Table) -> pa.Table:
         t = t.select(["url", "lang"])
-        hosts = pa.array([host_of(u) for u in t.column("url").to_pylist()],
-                         pa.string())
+        hosts = host_of_array(t.column("url"))
         t2 = pa.Table.from_arrays(
             [hosts, t.column("lang"),
              pa.array([1] * t.num_rows, pa.int64())],
@@ -154,12 +173,10 @@ def salted_repartition(pages_ds, num_buckets: int = 64, num_salts: int = 16):
     randomly and would not honor the salt-count guarantee."""
 
     def bucket(t: pa.Table) -> pa.Table:
-        urls = t.column("url").to_pylist()
-        b = [
-            (int(hashlib.sha1(host_of(u).encode()).hexdigest()[:8], 16)
-             ^ _salt_of(u, num_salts)) % num_buckets
-            for u in urls
-        ]
+        urls = t.column("url")
+        hh = hash64_bytes_column(host_of_array(urls))
+        salts = salt_array(urls, num_salts).astype(np.uint64)
+        b = ((hh ^ salts) % np.uint64(num_buckets)).astype(np.int32)
         return t.append_column("bucket", pa.array(b, pa.int32()))
 
     with_bucket = pages_ds.map_batches(bucket, batch_format="pyarrow")
@@ -184,7 +201,7 @@ def host_enrich_join(pages_ds, num_salts: int = 8, num_partitions: int = 8,
       join shuffles. The right answer whenever the dimension fits.
     - ``salted`` (the 10^8-host path): REPLICATE the build side once
       per salt ((host, salt) × S rows) and salt the probe side with
-      ``sha1(url) % S``, then hash-join on the composite (host, salt)
+      ``hash64(url) % S``, then hash-join on the composite (host, salt)
       key — the hot host's probe rows spread over S partitions instead
       of serializing one reducer. Salting a join = replicate build ×
       randomize probe; salting an aggregation (above) = partial per
@@ -194,8 +211,7 @@ def host_enrich_join(pages_ds, num_salts: int = 8, num_partitions: int = 8,
     import ray
 
     def count_partial(t: pa.Table) -> pa.Table:
-        urls = t.column("url").to_pylist()
-        hosts = pa.array([host_of(u) for u in urls], pa.string())
+        hosts = host_of_array(t.column("url"))
         g = pa.TableGroupBy(pa.table({"host": hosts}), "host").aggregate(
             [([], "count_all")])
         return g.rename_columns(["host", "p_n"])
@@ -214,14 +230,14 @@ def host_enrich_join(pages_ds, num_salts: int = 8, num_partitions: int = 8,
 
             def probe(t: pa.Table) -> pa.Table:
                 ks, vs = ray.get(bref)
-                urls = t.column("url").to_pylist()
-                hosts = np.array([host_of(u) for u in urls], dtype=object)
+                host_arr = host_of_array(t.column("url"))
+                hosts = host_arr.to_numpy(zero_copy_only=False)
                 idx = np.searchsorted(ks, hosts)
                 idx = np.clip(idx, 0, len(ks) - 1)
                 hit = ks[idx] == hosts
                 return pa.table({
                     "url": t.column("url"),
-                    "host": pa.array(hosts.tolist(), pa.string()),
+                    "host": host_arr,
                     "host_n_pages": pa.array(
                         np.where(hit, vs[idx], 0), pa.int64()),
                 })
@@ -247,12 +263,11 @@ def host_enrich_join(pages_ds, num_salts: int = 8, num_partitions: int = 8,
     build = counts.map_batches(replicate, batch_format="pyarrow")
 
     def salt_probe(t: pa.Table) -> pa.Table:
-        urls = t.column("url").to_pylist()
+        urls = t.column("url")
         return pa.table({
-            "url": t.column("url"),
-            "p_host": pa.array([host_of(u) for u in urls], pa.string()),
-            "p_salt": pa.array(
-                [_salt_of(u, num_salts) for u in urls], pa.int32()),
+            "url": urls,
+            "p_host": host_of_array(urls),
+            "p_salt": pa.array(salt_array(urls, num_salts), pa.int32()),
         })
 
     probe_ds = (pages_ds.select_columns(["url"])
