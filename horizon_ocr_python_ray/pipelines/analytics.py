@@ -642,21 +642,7 @@ def cust_order_dist_q13(sf_dir: str, num_partitions: int = 8,
     )
 
 
-def safe_join(left, right, *, join_type: str, num_partitions: int,
-              on: tuple, right_on: tuple):
-    """``Dataset.join`` hardened against a Ray Data hash-shuffle fault:
-    a ``map_batches`` (or filter) that returns a ZERO-ROW batch yields a
-    schema-less empty block, and the join aggregator then fails with
-    ``ArrowInvalid: No match or multiple matches for key field
-    reference`` when such a block reaches it. A bounded ``repartition``
-    on each side rebuilds the block set (empty blocks merge away)
-    before the join — one extra exchange, paid ONLY on plans whose
-    inputs can produce empty batches (selective filters / combiners);
-    unfiltered projections call ``Dataset.join`` directly. A side that
-    is ENTIRELY empty still trips the fault (no schema survives
-    anywhere) — the planner-default broadcast plans handle the empty
-    case exactly, so partitioned callers should ensure non-degenerate
-    predicates (tested at both sf tiers)."""
-    return left.repartition(num_partitions).join(
-        right.repartition(num_partitions), join_type=join_type,
-        num_partitions=num_partitions, on=on, right_on=right_on)
+# Hardened join (empty-block repartition + fully-empty-side degenerate
+# plans) lives with the other engine-infrastructure stages; re-exported
+# here for the query pipelines.
+from ..stages.joins import safe_join  # noqa: E402,F401
