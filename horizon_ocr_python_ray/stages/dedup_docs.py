@@ -216,8 +216,11 @@ def minhash_lsh_pairs(docs_ds, num_hashes: int = 128, num_bands: int = 32,
        Both produce the identical pair list (tested byte-equal);
        ``plan="auto"`` switches on the actual row count.
     3. estimated Jaccard is computed distributed over the pair list from
-       re-derived signatures of ONLY the candidate documents (their texts
-       are broadcast once via ``ray.put``).
+       re-derived signatures of ONLY the candidate documents: their texts
+       are broadcast once via ``ray.put`` while the candidate set is under
+       :data:`VERIFY_BROADCAST_MAX_DOCS`, else each pair is co-located
+       with both texts via two narrow hash joins
+       (:func:`attach_pair_texts`) and scored in-stream.
 
     Banding defaults (128 hashes, 32 bands × 4 rows) put the s-curve
     collision threshold at (1/32)^(1/4) ≈ 0.42, matched to the default
@@ -250,17 +253,44 @@ def minhash_lsh_pairs(docs_ds, num_hashes: int = 128, num_bands: int = 32,
         return ray.data.from_arrow(pairs_schema.empty_table())
     cand_ids = sorted({d for p in pairs_sorted for d in p})
 
-    # texts of ONLY the candidate docs, broadcast once
-    texts = collect_texts_for_ids(docs_ds, cand_ids)
-    if texts_sink is not None:
-        texts_sink.update(texts)
-    ref = ray.put(texts)
-
     pairs_ds = ray.data.from_arrow(pa.Table.from_arrays(
         [pa.array([p[0] for p in pairs_sorted], pa.int64()),
          pa.array([p[1] for p in pairs_sorted], pa.int64())],
         names=["doc_a", "doc_b"],
     ))
+
+    if len(cand_ids) > VERIFY_BROADCAST_MAX_DOCS:
+        # candidate set too big for a driver/worker text dict: co-locate
+        # each pair with both texts (two narrow hash joins) and derive
+        # signatures inside the stream — nothing text-sized on the driver.
+        def est_joined_task(t: pa.Table) -> pa.Table:
+            stage = _worker_minhash_stage(num_hashes, num_bands, k_shingle)
+            cache: dict[int, np.ndarray] = {}
+
+            def sig(did: int, text: str) -> np.ndarray:
+                s = cache.get(did)
+                if s is None:
+                    s = cache[did] = stage.signature(text or "")
+                return s
+
+            est = [estimated_jaccard(sig(a, x), sig(b, y))
+                   for a, b, x, y in zip(t.column("doc_a").to_pylist(),
+                                         t.column("doc_b").to_pylist(),
+                                         t.column("text_a").to_pylist(),
+                                         t.column("text_b").to_pylist())]
+            out = t.drop_columns(["text_a", "text_b"])
+            out = out.append_column("est_jaccard", pa.array(est, pa.float64()))
+            return out.filter(pc.greater_equal(out.column("est_jaccard"),
+                                               pa.scalar(min_est_jaccard)))
+
+        return attach_pair_texts(docs_ds, pairs_ds).map_batches(
+            est_joined_task, batch_format="pyarrow")
+
+    # texts of ONLY the candidate docs, broadcast once
+    texts = collect_texts_for_ids(docs_ds, cand_ids)
+    if texts_sink is not None:
+        texts_sink.update(texts)
+    ref = ray.put(texts)
 
     def est_jaccard_task(t: pa.Table) -> pa.Table:
         texts = ray.get(ref)  # zero-copy plasma read per task; pairs are few
@@ -286,17 +316,31 @@ def minhash_lsh_pairs(docs_ds, num_hashes: int = 128, num_bands: int = 32,
 
 def minhash_near_dup_verified(docs_ds, num_hashes: int = 128, num_bands: int = 32,
                               k_shingle: int = 5, min_est_jaccard: float = 0.5,
-                              verify_threshold: float = 0.5):
-    """Fused candidates + exact-Jaccard verification: the candidate-text
-    collection pass runs ONCE and its broadcast dict feeds both the
-    est-Jaccard filter and the verify stage (they cover the same doc set —
-    verification only ever shrinks the pair list)."""
+                              verify_threshold: float = 0.5, verify_plan: str = "auto"):
+    """Fused candidates + exact-Jaccard verification. On the broadcast
+    path the candidate-text collection runs ONCE and its dict feeds both
+    the est-Jaccard filter and the verify stage (they cover the same doc
+    set — verification only ever shrinks the pair list). When the
+    candidate set is over :data:`VERIFY_BROADCAST_MAX_DOCS` — or
+    ``verify_plan="distributed"`` — both stages run join-co-located and
+    no text dict exists anywhere."""
+    if verify_plan == "distributed":
+        pairs = minhash_lsh_pairs(docs_ds, num_hashes=num_hashes,
+                                  num_bands=num_bands, k_shingle=k_shingle,
+                                  min_est_jaccard=min_est_jaccard)
+        return ngram_jaccard_verify(docs_ds, pairs, k_shingle=k_shingle,
+                                    threshold=verify_threshold, plan="distributed")
     texts: dict[int, str] = {}
     pairs = minhash_lsh_pairs(docs_ds, num_hashes=num_hashes, num_bands=num_bands,
                               k_shingle=k_shingle, min_est_jaccard=min_est_jaccard,
                               texts_sink=texts)
+    if texts:
+        return ngram_jaccard_verify(docs_ds, pairs, k_shingle=k_shingle,
+                                    threshold=verify_threshold, texts=texts)
+    # sink empty: no candidates at all, or the est stage auto-switched to
+    # the join plan — let verify re-resolve its own plan from the pairs
     return ngram_jaccard_verify(docs_ds, pairs, k_shingle=k_shingle,
-                                threshold=verify_threshold, texts=texts)
+                                threshold=verify_threshold, plan=verify_plan)
 
 
 # -- SimHash -----------------------------------------------------------------
@@ -420,6 +464,46 @@ def simhash_near_dup_pairs(docs_ds, max_hamming: int = 3, plan: str = "auto"):
 
 # -- n-gram Jaccard verification --------------------------------------------
 
+#: Candidate-doc count above which the verify stages refuse to collect
+#: texts onto the driver and switch to the join-co-located plan. The
+#: broadcast dict is one Python string per candidate doc — 2M web pages
+#: at ~4 KB is ~8 GB; anything bigger must not land on one machine.
+VERIFY_BROADCAST_MAX_DOCS = 2_000_000
+
+
+def attach_pair_texts(docs_ds, pairs_ds, num_partitions: int = 8):
+    """Co-locate each candidate pair with BOTH documents' texts — two
+    narrow hash joins (pairs ⋈ docs on doc_a, then on doc_b), no driver
+    state: the scale path for near-dup verification when the candidate
+    set is too big to broadcast. Missing docs surface as "" (the same
+    default the broadcast dict uses). All pair columns pass through;
+    ``text_a`` / ``text_b`` are appended."""
+    import pyarrow.compute as pc
+
+    from .joins import safe_join
+
+    docs = docs_ds.select_columns(["doc_id", "text"])
+    doc_schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+
+    def _rename_text(to: str):
+        def fn(t: pa.Table) -> pa.Table:
+            i = t.column_names.index("text")
+            col = pc.fill_null(t.column("text"), "")
+            return t.set_column(i, to, col)
+        return fn
+
+    j1 = safe_join(pairs_ds, docs, join_type="left_outer",
+                   num_partitions=num_partitions,
+                   on=("doc_a",), right_on=("doc_id",),
+                   right_schema=doc_schema)
+    j1 = j1.map_batches(_rename_text("text_a"), batch_format="pyarrow")
+    j2 = safe_join(j1, docs, join_type="left_outer",
+                   num_partitions=num_partitions,
+                   on=("doc_b",), right_on=("doc_id",),
+                   right_schema=doc_schema)
+    return j2.map_batches(_rename_text("text_b"), batch_format="pyarrow")
+
+
 def collect_texts_for_ids(docs_ds, ids) -> dict[int, str]:
     """Collect the texts of ONLY the given doc ids (candidate multiplicity
     ~ duplicate rate, not corpus size) — a distributed filter pass, never
@@ -484,18 +568,69 @@ def _verify_task(batch: pa.Table, ref, k: int, threshold: float) -> pa.Table:
     return st(batch)
 
 
+def _verify_distributed_task(batch: pa.Table, k: int, threshold: float) -> pa.Table:
+    """Exact-Jaccard scoring over join-co-located (…, text_a, text_b)
+    rows. A small per-batch shingle cache covers docs that appear in
+    several pairs of the same batch."""
+    import pyarrow.compute as pc
+
+    cache: dict[int, np.ndarray] = {}
+
+    def sh(did: int, text: str) -> np.ndarray:
+        s = cache.get(did)
+        if s is None:
+            s = cache[did] = shingle_hashes(text or "", k)
+        return s
+
+    da = batch.column("doc_a").to_pylist()
+    db = batch.column("doc_b").to_pylist()
+    ta = batch.column("text_a").to_pylist()
+    tb = batch.column("text_b").to_pylist()
+    jac = [exact_jaccard(sh(a, x), sh(b, y))
+           for a, b, x, y in zip(da, db, ta, tb)]
+    t = batch.drop_columns(["text_a", "text_b"])
+    t = t.append_column("jaccard", pa.array(jac, pa.float64()))
+    return t.filter(pc.greater_equal(t.column("jaccard"), pa.scalar(threshold)))
+
+
 def ngram_jaccard_verify(docs_ds, pairs_ds, k_shingle: int = 5, threshold: float = 0.5,
-                         texts: dict[int, str] | None = None):
-    """Verify candidate pairs with EXACT n-gram Jaccard. Only the texts of
-    documents that actually appear in a candidate pair are collected and
-    broadcast once via ``ray.put`` — never re-shipped per batch. Pass
-    ``texts`` to reuse an already-collected candidate-text dict (e.g. the
-    one :func:`minhash_lsh_pairs` gathered) and skip the collection pass."""
+                         texts: dict[int, str] | None = None, plan: str = "auto",
+                         num_partitions: int = 8):
+    """Verify candidate pairs with EXACT n-gram Jaccard. Two plans,
+    row-identical (tested):
+
+    - ``broadcast``: collect the texts of ONLY the docs that appear in a
+      candidate pair and broadcast once via ``ray.put`` — the fast path,
+      refused above :data:`VERIFY_BROADCAST_MAX_DOCS` candidates (a
+      driver/worker OOM at crawl-level duplication). Pass ``texts`` to
+      reuse an already-collected dict and skip the collection pass.
+    - ``distributed``: co-locate each pair with both texts via two
+      narrow hash joins (:func:`attach_pair_texts`) and score inside the
+      stream — nothing text-sized ever reaches the driver. The default
+      whenever the candidate set is over the cap (``plan="auto"``).
+    """
     import ray
 
+    if plan not in ("auto", "broadcast", "distributed"):
+        raise ValueError(f"unknown plan {plan!r}; expected auto|broadcast|distributed")
+    if plan == "distributed":
+        return attach_pair_texts(docs_ds, pairs_ds, num_partitions).map_batches(
+            _verify_distributed_task,
+            fn_kwargs={"k": k_shingle, "threshold": threshold},
+            batch_format="pyarrow",
+        )
     if texts is None:
         pair_rows = pairs_ds.select_columns(["doc_a", "doc_b"]).take_all()
         cand = {d for r in pair_rows for d in (r["doc_a"], r["doc_b"])}
+        if len(cand) > VERIFY_BROADCAST_MAX_DOCS:
+            if plan == "broadcast":
+                raise ValueError(
+                    f"ngram_jaccard_verify: {len(cand)} candidate docs exceed "
+                    f"VERIFY_BROADCAST_MAX_DOCS={VERIFY_BROADCAST_MAX_DOCS}; "
+                    "use plan='distributed' (join-co-located texts)")
+            return ngram_jaccard_verify(docs_ds, pairs_ds, k_shingle=k_shingle,
+                                        threshold=threshold, plan="distributed",
+                                        num_partitions=num_partitions)
         texts = collect_texts_for_ids(docs_ds, cand)
     ref = ray.put(texts)
     return pairs_ds.map_batches(

@@ -217,3 +217,68 @@ def test_simhash_near_dup_plans_equal():
         rows = simhash_near_dup_pairs(docs, max_hamming=6, plan=plan).take_all()
         by_plan[plan] = sorted((r["doc_a"], r["doc_b"], r["hamming"]) for r in rows)
     assert by_plan["driver"] == by_plan["distributed"]
+
+
+def test_verify_plans_row_equal(ray_session):
+    # broadcast vs join-co-located exact-Jaccard verify: identical rows
+    # on the sf0.001 documents table (round-3: the distributed plan must
+    # replace the driver text dict without changing a single value)
+    from horizon_ocr_python_ray.stages.dedup_docs import ngram_jaccard_verify
+
+    real = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                                 columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(real, min_est_jaccard=0.5).materialize()
+    key = ["doc_a", "doc_b"]
+    b = (ngram_jaccard_verify(real, pairs, threshold=0.5, plan="broadcast")
+         .to_pandas().sort_values(key).reset_index(drop=True))
+    d = (ngram_jaccard_verify(real, pairs, threshold=0.5, plan="distributed")
+         .to_pandas().sort_values(key).reset_index(drop=True))
+    assert len(b) > 0
+    assert list(b.columns) == list(d.columns)
+    assert b.equals(d)
+
+
+def test_verified_fused_distributed_equals_broadcast(ray_session):
+    from horizon_ocr_python_ray.stages.dedup_docs import minhash_near_dup_verified
+
+    real = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                                 columns=["doc_id", "text"])
+    key = ["doc_a", "doc_b"]
+    b = (minhash_near_dup_verified(real).to_pandas()
+         .sort_values(key).reset_index(drop=True))
+    d = (minhash_near_dup_verified(real, verify_plan="distributed").to_pandas()
+         .sort_values(key).reset_index(drop=True))
+    assert len(b) > 0
+    assert b.equals(d)
+
+
+def test_verify_broadcast_cap_switches_and_raises(ray_session, monkeypatch):
+    import horizon_ocr_python_ray.stages.dedup_docs as dd
+
+    docs = ray.data.from_arrow(_docs_table())
+    pairs = minhash_lsh_pairs(docs, min_est_jaccard=0.5).materialize()
+    want = (dd.ngram_jaccard_verify(docs, pairs, threshold=0.5, plan="broadcast")
+            .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    monkeypatch.setattr(dd, "VERIFY_BROADCAST_MAX_DOCS", 1)
+    # auto silently takes the join plan…
+    got = (dd.ngram_jaccard_verify(docs, pairs, threshold=0.5, plan="auto")
+           .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    assert got.equals(want)
+    # …while an explicit broadcast request over the cap refuses loudly
+    import pytest
+    with pytest.raises(ValueError, match="VERIFY_BROADCAST_MAX_DOCS"):
+        dd.ngram_jaccard_verify(docs, pairs, threshold=0.5, plan="broadcast")
+
+
+def test_est_jaccard_join_path_equals_broadcast(ray_session, monkeypatch):
+    import horizon_ocr_python_ray.stages.dedup_docs as dd
+
+    docs = ray.data.from_arrow(_docs_table())
+    key = ["doc_a", "doc_b"]
+    want = (minhash_lsh_pairs(docs, min_est_jaccard=0.5).to_pandas()
+            .sort_values(key).reset_index(drop=True))
+    monkeypatch.setattr(dd, "VERIFY_BROADCAST_MAX_DOCS", 1)
+    got = (dd.minhash_lsh_pairs(docs, min_est_jaccard=0.5).to_pandas()
+           .sort_values(key).reset_index(drop=True))
+    assert len(want) > 0
+    assert got.equals(want)
