@@ -152,8 +152,59 @@ def emb_kmeans(emb_ds, k: int = 8, id_col: str = "vec_id",
     return emb_ds.map_batches(final_assign, batch_format="pyarrow")
 
 
-def emb_semdedup(emb_ds, k: int = 8, threshold: float = 0.4,
-                 id_col: str = "vec_id", emb_col: str = "embedding"):
+#: Tile edge of the in-cluster cosine scan: no more than
+#: (SCAN_BLOCK × SCAN_BLOCK) similarities are ever materialized at once,
+#: so a skewed giant cluster costs time, never a worker OOM.
+SCAN_BLOCK = 2048
+
+#: ``k="auto"`` target cluster population. SemDeDup's quadratic
+#: in-cluster scan is bounded by the largest cluster; k must therefore
+#: GROW with the corpus (the paper uses k=50k for LAION-440M — ~9k
+#: rows/cluster). 50k rows × 50k rows of float64 sims would be 20 GB
+#: dense; the blocked scan caps that at SCAN_BLOCK² regardless.
+SEMDEDUP_TARGET_CLUSTER_ROWS = 50_000
+
+
+def semdedup_auto_k(n_rows: int, target: int = SEMDEDUP_TARGET_CLUSTER_ROWS,
+                    k_min: int = 8, k_max: int = 1 << 16) -> int:
+    """k scale rule: ``ceil(n / target)`` clamped to [k_min, k_max]."""
+    return int(min(k_max, max(k_min, -(-int(n_rows) // target))))
+
+
+def _dup_mask_blocked(nmat: np.ndarray, threshold: float,
+                      block: int = SCAN_BLOCK) -> np.ndarray:
+    """``dup[i] = any(j < i and cos(i, j) >= threshold)`` over a
+    row-normalized matrix, tiled so peak extra memory is one
+    (block × block) tile — value-identical to the dense
+    ``tril(n @ n.T >= θ, -1).any(axis=1)`` (tested) but safe for
+    clusters far beyond memory-squared."""
+    n = len(nmat)
+    dup = np.zeros(n, bool)
+    for rs in range(0, n, block):
+        re_ = min(rs + block, n)
+        rows = nmat[rs:re_]
+        acc = np.zeros(re_ - rs, bool)
+        for cs in range(0, re_, block):
+            if cs > rs:
+                break  # blocks right of the diagonal hold no j < i
+            todo = ~acc
+            if not todo.any():
+                break  # every row in this block already marked
+            ce = min(cs + block, n)
+            sims = rows[todo] @ nmat[cs:ce].T
+            hit = sims >= threshold
+            if cs == rs:  # diagonal tile: strict lower triangle only
+                gi = np.arange(rs, re_)[todo][:, None]
+                gj = np.arange(cs, ce)[None, :]
+                hit &= gj < gi
+            acc[todo] |= hit.any(axis=1)
+        dup[rs:re_] = acc
+    return dup
+
+
+def emb_semdedup(emb_ds, k: int | str = 8, threshold: float = 0.4,
+                 id_col: str = "vec_id", emb_col: str = "embedding",
+                 scan_block: int = SCAN_BLOCK):
     """SemDeDup (Abbas et al., 2023, arXiv:2303.09540): cluster the
     embedding space, then mark within-cluster near-duplicates — a row
     is a DUP when some SAME-CLUSTER row with a smaller id has cosine ≥
@@ -166,11 +217,21 @@ def emb_semdedup(emb_ds, k: int = 8, threshold: float = 0.4,
     cosine scan is bounded by the largest CLUSTER, never the corpus —
     exactly why SemDeDup clusters before comparing. Cosine matches
     :func:`stages.ann.embedding_near_dup_pairs` (float64 normalize +
-    matmul ≡ DuckDB ``list_cosine_similarity``)."""
+    matmul ≡ DuckDB ``list_cosine_similarity``).
+
+    Scale levers (round-3): ``k="auto"`` applies
+    :func:`semdedup_auto_k` so expected cluster population stays ~
+    :data:`SEMDEDUP_TARGET_CLUSTER_ROWS` as the corpus grows, and the
+    in-cluster scan is TILED (:func:`_dup_mask_blocked`) so even a
+    skew-bloated cluster costs one (scan_block × scan_block) tile of
+    memory, never a dense |cluster|² matrix. Default k=8 is pinned for
+    the small-sf oracle; both paths are value-identical (tested)."""
     import pandas as pd
 
     from .ann import _normalize
 
+    if k == "auto":
+        k = semdedup_auto_k(emb_ds.count())
     cref = ray.put(kmeans_centroids(emb_ds, k, id_col, emb_col))
 
     def assign_keep_emb(t: pa.Table) -> pa.Table:
@@ -193,10 +254,8 @@ def emb_semdedup(emb_ds, k: int = 8, threshold: float = 0.4,
         mat = np.stack([np.asarray(v, dtype=np.float64)
                         for v in g[emb_col].to_numpy()[order]])
         n = _normalize(mat)
-        sims = n @ n.T
-        # dup ⇔ any strictly-lower-id row (strict lower triangle) ≥ θ
-        tri = np.tril(sims >= threshold, k=-1)
-        is_dup = tri.any(axis=1)
+        # dup ⇔ any strictly-lower-id row ≥ θ — tiled, never dense n×n
+        is_dup = _dup_mask_blocked(n, threshold, scan_block)
         return pd.DataFrame({id_col: ids,
                              "cluster": g["cluster"].to_numpy()[order],
                              "is_dup": is_dup})

@@ -32,10 +32,16 @@ import pyarrow as pa
 #: distinct documents is boilerplate.
 DEFAULT_MIN_DF = 5
 
-#: Refuse to broadcast a drop-set larger than this — hitting it means
-#: K is far too low for the corpus, not that the plan should silently
-#: degrade.
-DROP_SET_MAX = 20_000_000
+#: Refuse to broadcast a drop-set of Python STRINGS larger than this —
+#: a 2M-line frozenset is ~100s of MB deserialized per worker process;
+#: anything bigger must use the hash64 representation (or K is far too
+#: low for the corpus).
+DROP_SET_MAX = 2_000_000
+
+#: Cap for the hash64 drop-set representation: a sorted uint64 numpy
+#: array costs 8 bytes/line (160 MB at cap) and probes vectorized via
+#: ``searchsorted`` — the 100-TB representation.
+DROP_HASH_MAX = 20_000_000
 
 
 def _partial_line_df(batch: pa.Table, text_col: str) -> pa.Table:
@@ -132,8 +138,49 @@ def boilerplate_lines_ref(docs_ds, min_df: int = DEFAULT_MIN_DF,
     if len(drop) > DROP_SET_MAX:
         raise ValueError(
             f"boilerplate drop-set exceeds {DROP_SET_MAX}: min_df={min_df} "
-            "is too low for this corpus")
+            "is too low for this corpus; use drop_repr='hash64'")
     return ray.put(frozenset(drop))
+
+
+def boilerplate_hashes_ref(docs_ds, min_df: int = DEFAULT_MIN_DF,
+                           text_col: str = "extracted_text"):
+    """docs → ``ray.put`` handle of a SORTED uint64 array of hash64
+    values (``functions/fasthash.py``) of the boilerplate lines — the
+    scale representation: 8 bytes/line broadcast, vectorized
+    ``searchsorted`` probe, capped at :data:`DROP_HASH_MAX`.
+
+    The drop decision becomes hash-based: with |drop| = 2·10⁷ and 64-bit
+    hashes the chance ANY innocent corpus line collides into the set is
+    ~|corpus|·|drop|/2⁶⁴ (≈ 1e-5 even at 10¹² lines) — documented,
+    non-exact; the string plan stays the exactness default under its
+    cap."""
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.fasthash import hash64_bytes_column
+
+    partials = docs_ds.map_batches(_partial_line_df, batch_format="pyarrow",
+                                   fn_kwargs={"text_col": text_col})
+    df = partials.groupby("line").aggregate(Sum("partial_df", alias_name="df"))
+    chunks: list = []
+    total = 0
+    for t in df.iter_batches(batch_format="pyarrow"):
+        if t.num_rows == 0 or "line" not in t.column_names:
+            continue
+        mask = pa.compute.greater_equal(t.column("df"), min_df)
+        kept = t.filter(mask)
+        if kept.num_rows:
+            chunks.append(hash64_bytes_column(kept.column("line")))
+            total += kept.num_rows
+            if total > DROP_HASH_MAX:
+                raise ValueError(
+                    f"boilerplate drop-set exceeds DROP_HASH_MAX="
+                    f"{DROP_HASH_MAX}: min_df={min_df} is too low for "
+                    "this corpus")
+    arr = (np.sort(np.concatenate(chunks)) if chunks
+           else np.empty(0, np.uint64))
+    return ray.put(arr)
 
 
 #: Worker-process-global broadcast cache (pattern of
@@ -141,14 +188,66 @@ def boilerplate_lines_ref(docs_ds, min_df: int = DEFAULT_MIN_DF,
 _WORKER_DROP: tuple[str, frozenset] | None = None
 
 
+def _clean_batch_hash(batch: pa.Table, drop, text_col: str) -> pa.Table:
+    """Hash64 drop-set probe, fully vectorized: split lines with one
+    Arrow kernel, hash the FLAT line array, binary-search the sorted
+    drop array, reassemble kept lines per doc with ``binary_join``."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..functions.fasthash import hash64_bytes_column
+
+    texts = batch.column(text_col)
+    nonempty = pc.and_(pc.is_valid(texts),
+                       pc.not_equal(pc.fill_null(texts, ""), ""))
+    t = batch.filter(nonempty)
+    if t.num_rows == 0:
+        return pa.table({"url": pa.array([], pa.string()),
+                         "n_kept": pa.array([], pa.int64()),
+                         "n_dropped": pa.array([], pa.int64()),
+                         "kept_md5": pa.array([], pa.string())})
+    lines = pc.split_pattern(t.column(text_col), "\n")
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    flat = lines.flatten()
+    offsets = np.asarray(lines.offsets).astype(np.int64)
+    offsets = offsets - offsets[0]
+    h = hash64_bytes_column(flat)
+    if len(drop):
+        idx = np.clip(np.searchsorted(drop, h), 0, len(drop) - 1)
+        keep = drop[idx] != h
+    else:
+        keep = np.ones(len(h), bool)
+    n_lines = np.diff(offsets)
+    doc_of = np.repeat(np.arange(t.num_rows, dtype=np.int64), n_lines)
+    n_kept = np.bincount(doc_of[keep], minlength=t.num_rows)
+    new_off = np.zeros(t.num_rows + 1, np.int64)
+    np.cumsum(n_kept, out=new_off[1:])
+    kept_list = pa.ListArray.from_arrays(
+        pa.array(new_off, pa.int32()), flat.filter(pa.array(keep)))
+    joined = pc.binary_join(kept_list, "\n")
+    digests = [hashlib.md5(s.encode()).hexdigest()
+               for s in joined.to_pylist()]
+    return pa.Table.from_arrays(
+        [t.column("url"),
+         pa.array(n_kept.astype(np.int64), pa.int64()),
+         pa.array((n_lines - n_kept).astype(np.int64), pa.int64()),
+         pa.array(digests, pa.string())],
+        names=["url", "n_kept", "n_dropped", "kept_md5"],
+    )
+
+
 def _clean_batch(batch: pa.Table, drop_ref, text_col: str) -> pa.Table:
     global _WORKER_DROP
+    import numpy as np
     import ray
 
     key = drop_ref.hex()
     if _WORKER_DROP is None or _WORKER_DROP[0] != key:
         _WORKER_DROP = (key, ray.get(drop_ref))
     drop = _WORKER_DROP[1]
+    if isinstance(drop, np.ndarray):
+        return _clean_batch_hash(batch, drop, text_col)
     urls, n_kept, n_dropped, digests = [], [], [], []
     for url, text in zip(batch.column("url").to_pylist(),
                          batch.column(text_col).to_pylist()):
@@ -169,7 +268,7 @@ def _clean_batch(batch: pa.Table, drop_ref, text_col: str) -> pa.Table:
 
 def boilerplate_line_dedup(docs_ds, min_df: int = DEFAULT_MIN_DF,
                            text_col: str = "extracted_text",
-                           plan: str = "auto"):
+                           plan: str = "auto", drop_repr: str = "strings"):
     """docs (url, text) → per-doc (url, n_kept, n_dropped, kept_md5)
     after removing every line present in ≥ min_df distinct documents.
 
@@ -177,7 +276,18 @@ def boilerplate_line_dedup(docs_ds, min_df: int = DEFAULT_MIN_DF,
     verifiable without shipping it; a production sink would emit the
     cleaned text column instead (same kernel, different projection).
     Documents whose text is empty are passed over (nothing to clean).
-    """
-    ref = boilerplate_lines_ref(docs_ds, min_df, text_col, plan=plan)
+
+    ``drop_repr``: ``"strings"`` (exact membership, the oracle-backed
+    default, capped at :data:`DROP_SET_MAX`) or ``"hash64"`` (sorted
+    uint64 array + vectorized ``searchsorted`` probe — 8 bytes/line,
+    :data:`DROP_HASH_MAX` cap, documented ~2⁻⁶⁴-per-comparison
+    collision odds; the 100-TB representation)."""
+    if drop_repr == "hash64":
+        ref = boilerplate_hashes_ref(docs_ds, min_df, text_col)
+    elif drop_repr == "strings":
+        ref = boilerplate_lines_ref(docs_ds, min_df, text_col, plan=plan)
+    else:
+        raise ValueError(f"unknown drop_repr {drop_repr!r}; "
+                         "expected strings|hash64")
     return docs_ds.map_batches(_clean_batch, batch_format="pyarrow",
                                fn_kwargs={"drop_ref": ref, "text_col": text_col})

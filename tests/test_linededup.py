@@ -83,3 +83,52 @@ def test_drop_set_cap(monkeypatch):
     ds = _ds([("a", "l1\nl2"), ("b", "l1\nl2"), ("c", "l1\nl2")])
     with pytest.raises(ValueError, match="drop-set exceeds"):
         boilerplate_line_dedup(ds, min_df=2).to_pandas()
+
+
+def test_hash64_repr_matches_strings_repr(ray_session):
+    ds = _ds([
+        ("a", "unique alpha\nfooter\nbody a\n\nx"),
+        ("b", "footer\nbody b\n"),
+        ("c", "body c\nfooter"),
+        ("d", ""),
+        ("e", "footer\nfooter\nonly footer doc"),
+    ])
+    key = "url"
+    s = (boilerplate_line_dedup(ds, min_df=3, drop_repr="strings")
+         .to_pandas().sort_values(key).reset_index(drop=True))
+    h = (boilerplate_line_dedup(ds, min_df=3, drop_repr="hash64")
+         .to_pandas().sort_values(key).reset_index(drop=True))
+    assert s.equals(h)
+    assert (s.loc[s.url != "a", "n_dropped"] > 0).any()
+
+
+def test_hash64_repr_on_real_corpus(ray_session, corpus_dir):
+    from horizon_ocr_python_ray import build_extract_pipeline, read_pages
+
+    docs = build_extract_pipeline(read_pages(corpus_dir)).select_columns(
+        ["url", "extracted_text"]).materialize()
+    key = "url"
+    s = (boilerplate_line_dedup(docs, min_df=5, drop_repr="strings")
+         .to_pandas().sort_values(key).reset_index(drop=True))
+    h = (boilerplate_line_dedup(docs, min_df=5, drop_repr="hash64")
+         .to_pandas().sort_values(key).reset_index(drop=True))
+    assert len(s) > 0
+    assert s.equals(h)
+
+
+def test_hash64_no_boilerplate_is_noop(ray_session):
+    ds = _ds([("a", "x\ny"), ("b", "p\nq")])
+    out = boilerplate_line_dedup(ds, min_df=2, drop_repr="hash64").to_pandas()
+    assert (out.n_dropped == 0).all()
+
+
+def test_unknown_drop_repr_raises():
+    with pytest.raises(ValueError, match="drop_repr"):
+        boilerplate_line_dedup(_ds([("a", "x")]), drop_repr="bogus")
+
+
+def test_hash_cap_enforced(ray_session, monkeypatch):
+    monkeypatch.setattr(linededup, "DROP_HASH_MAX", 0)
+    ds = _ds([("a", "footer\nx"), ("b", "footer\ny"), ("c", "footer")])
+    with pytest.raises(ValueError, match="DROP_HASH_MAX"):
+        boilerplate_line_dedup(ds, min_df=2, drop_repr="hash64").to_pandas()

@@ -85,3 +85,50 @@ def test_safe_split_groups_never_straddle(ray_session):
         assert g.group_rep.nunique() == 1
         assert g.split.nunique() == 1
         assert g.group_rep.iloc[0] == g.doc_id.min()
+
+
+def test_dup_mask_blocked_equals_dense():
+    from horizon_ocr_python_ray.stages.ann import _normalize
+    from horizon_ocr_python_ray.stages.kmeans import _dup_mask_blocked
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(40, 16))
+    # plant near-dups: rows 13/14/15 copy row 2 with small noise
+    for r in (13, 14, 15):
+        base[r] = base[2] + rng.normal(scale=1e-3, size=16)
+    n = _normalize(base)
+    dense = np.tril(n @ n.T >= 0.8, k=-1).any(axis=1)
+    for block in (1, 2, 3, 7, 39, 40, 4096):
+        got = _dup_mask_blocked(n, 0.8, block)
+        assert (got == dense).all(), block
+
+
+def test_semdedup_blocked_scan_identical_under_skew(ray_session):
+    import ray.data
+
+    # one dominant cluster: 90% of vectors huddle around a single point
+    rng = np.random.default_rng(5)
+    hub = rng.normal(size=24)
+    embs = [hub + rng.normal(scale=0.05, size=24) for _ in range(90)]
+    embs += [rng.normal(size=24) for _ in range(10)]
+    t = pa.table({
+        "vec_id": pa.array(range(100), pa.int64()),
+        "embedding": pa.array([list(map(float, e)) for e in embs],
+                              pa.list_(pa.float64())),
+    })
+    ds = ray.data.from_arrow(t).repartition(4)
+    key = lambda rows: sorted((r["vec_id"], r["cluster"], r["is_dup"]) for r in rows)
+    dense_like = key(emb_semdedup(ds, k=4, threshold=0.9,
+                                  scan_block=1 << 20).take_all())
+    tiled = key(emb_semdedup(ds, k=4, threshold=0.9, scan_block=8).take_all())
+    assert tiled == dense_like
+    assert any(d for _, _, d in tiled)  # the hub really produces dups
+
+
+def test_semdedup_auto_k_rule():
+    from horizon_ocr_python_ray.stages.kmeans import (
+        SEMDEDUP_TARGET_CLUSTER_ROWS, semdedup_auto_k)
+
+    assert semdedup_auto_k(100) == 8                      # floor
+    assert semdedup_auto_k(10**6) == -(-10**6 // SEMDEDUP_TARGET_CLUSTER_ROWS)
+    assert semdedup_auto_k(10**12) == 1 << 16             # ceiling
