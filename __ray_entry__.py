@@ -18,8 +18,13 @@ recall, so the SQL ground truth is the exact all-pairs computation.
 
 from __future__ import annotations
 
+import os as _os
 from collections.abc import Callable
 from typing import Any
+
+#: Pinned golden fixtures for the media queries (tools/gen_media_golden.py).
+_GOLDEN_MEDIA = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                              "data", "golden")
 
 _EN = "('the','a','of','and','to','is','in','it','that')"
 _DE = "('der','die','das','und','ist','nicht','ein','mit')"
@@ -1014,13 +1019,10 @@ def _doc_lang_unique(sf_dir: str):
 
 
 def _media_features(sf_dir: str):
-    import ray.data
     from horizon_ocr_python_ray import sf_from_dir
-    from horizon_ocr_python_ray.stages.multimodal import build_media_pipeline, gen_media_table
+    from horizon_ocr_python_ray.stages.multimodal import media_features_for_n
 
-    n = max(30, int(sf_from_dir(sf_dir) * 30_000))
-    media = ray.data.from_arrow(gen_media_table(n, seed=42))
-    return build_media_pipeline(media)
+    return media_features_for_n(max(30, int(sf_from_dir(sf_dir) * 30_000)))
 
 
 def _money_e2(t, cols):
@@ -1041,16 +1043,10 @@ def _money_e2(t, cols):
 
 
 def _media_preprocess(sf_dir: str):
-    import ray.data
     from horizon_ocr_python_ray import sf_from_dir
-    from horizon_ocr_python_ray.stages.multimodal import (
-        build_image_preprocess_pipeline,
-        gen_media_table,
-    )
+    from horizon_ocr_python_ray.stages.multimodal import media_preprocess_for_n
 
-    n = max(30, int(sf_from_dir(sf_dir) * 30_000))
-    media = ray.data.from_arrow(gen_media_table(n, seed=42))
-    return build_image_preprocess_pipeline(media)
+    return media_preprocess_for_n(max(30, int(sf_from_dir(sf_dir) * 30_000)))
 
 
 def _q1(sf_dir: str):
@@ -1612,6 +1608,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(length(extracted_text)) AS BIGINT) AS text_chars,
                    CAST(sum(len(spans)) AS BIGINT) AS n_spans
             FROM read_parquet('{golden_sf0_01}') GROUP BY route
+        """,
+        # Media decode + preprocess vs the pinned golden fixtures
+        # (data/golden/, regenerated by tools/gen_media_golden.py):
+        # DuckDB cannot decode PNG streams, so the oracle is
+        # byte-stability against fixtures whose VALUES are guaranteed by
+        # the codec/kernel unit suites (tests/test_png.py,
+        # tests/test_imageproc.py). The n_rows slice follows the
+        # driver's sf: events = sf·1,000,000 rows, media fixture =
+        # max(30, sf·30000) = greatest(30, events·3/100).
+        "media_features": f"""
+            SELECT media_id, feature, value
+            FROM read_parquet('{_GOLDEN_MEDIA}/media_features.parquet')
+            WHERE n_rows = greatest(30, (SELECT (count(*) * 3) // 100 FROM events))
+        """,
+        "media_preprocess": f"""
+            SELECT media_id, height, width, noise_level, readability,
+                   issues, error
+            FROM read_parquet('{_GOLDEN_MEDIA}/media_preprocess.parquet')
+            WHERE n_rows = greatest(30, (SELECT (count(*) * 3) // 100 FROM events))
         """,
         # Incremental cross-corpus near-dup vs brute force: DuckDB cross
         # joins the two sides' exact shingle sets (sharing >=1 shingle is

@@ -6,14 +6,13 @@ reference's image pipeline (rasterize → preprocess → detect → recognize,
 ``/root/reference/docvision/io/image.py:49-185`` and
 ``preprocess/enhance.py``), generalized to audio/video.
 
-The sandbox ships no image/audio codecs (no PIL/cv2/ffmpeg), so the
-DECODE step is stubbed behind an import-try: with a real codec present,
-``_decode_image`` would call it; here a clearly-marked deterministic fake
-derives a pixel/sample tensor from the payload bytes. Everything AROUND
-the stub — schemas, batch sizing for wide binary rows, actor signatures
-(warm state in ``__init__``), numpy kernels over the decoded tensors,
-per-frame fan-out layout — is real and tested, and is exactly what a
-weights/codec-bearing deployment would keep.
+Image decode is REAL as of round 3: payloads are genuine PNG streams
+decoded by the pure-numpy codec in ``functions/png.py`` (zlib inflate +
+scanline unfilter; EXIF-style orientation tags honored via
+``apply_orientation``), so every downstream preprocess/crop kernel
+operates on real rasters. Only audio/video decode remains a
+clearly-marked deterministic stand-in (no WAV/MP4 container parser is
+warranted here); their framing/fan-out plumbing is real and tested.
 
 Batch sizing: media payloads are orders of magnitude wider than text
 rows; stages default to small ``batch_size`` so batch × concurrency fits
@@ -28,13 +27,11 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-try:  # pragma: no cover - not present in this container
-    import PIL.Image as _PIL  # noqa: N812
-except ImportError:
-    _PIL = None
+from ..functions.png import apply_orientation, decode_png, encode_png
 
-#: Deterministic fake media container magics (content-sniffable).
-IMAGE_MAGIC = b"\x89PNG\r\n\x1a\nSYNPIX1\n"
+#: Real PNG signature for images; deterministic fake container magics
+#: for the (still stubbed) audio/video kinds (content-sniffable).
+IMAGE_MAGIC = b"\x89PNG\r\n\x1a\n"
 AUDIO_MAGIC = b"RIFFSYNWAV1\n"
 VIDEO_MAGIC = b"\x00\x00\x00 ftypSYNVID1\n"
 
@@ -54,9 +51,44 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
+def render_page_raster(i: int, seed: int, w: int, h: int) -> np.ndarray:
+    """Deterministic document-page raster: paper tone with an
+    illumination gradient, dark glyph-box text lines, and salt noise —
+    real pixels for the preprocess/readability kernels to chew on.
+    All numpy (no per-pixel Python); pure function of (seed, i, w, h)."""
+    rng = np.random.default_rng([seed, i, w, h])
+    yy, xx = np.mgrid[0:h, 0:w]
+    gx, gy = rng.integers(0, 12, 2)
+    img = (245 - (xx * int(gx)) // max(w, 1)
+           - (yy * int(gy)) // max(h, 1)).astype(np.int64)
+    line_h = max(6, h // 10)
+    y = int(rng.integers(3, 9))
+    while y + line_h < h - 3:
+        x = int(rng.integers(2, 8))
+        for _ in range(int(rng.integers(3, 8))):
+            wlen = int(rng.integers(4, max(6, w // 6)))
+            if x + wlen >= w - 2:
+                break
+            ink = int(rng.integers(20, 80))
+            img[y:y + line_h - 2, x:x + wlen] = ink
+            x += wlen + int(rng.integers(2, 6))
+        y += line_h + int(rng.integers(2, 6))
+    n_noise = (w * h) // 200
+    ny = rng.integers(0, h, n_noise)
+    nx = rng.integers(0, w, n_noise)
+    img[ny, nx] = rng.integers(0, 256, n_noise)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
 def gen_media_table(n_rows: int, seed: int = 42) -> pa.Table:
-    """Deterministic synthetic media table (one row per media object)."""
+    """Deterministic synthetic media table (one row per media object).
+    Image rows carry REAL PNG payloads of rendered page rasters
+    (:func:`render_page_raster`, ``functions/png.py``), a third of them
+    greyscale and every 4th tagged with a non-trivial EXIF-style
+    orientation; audio/video payloads remain sniffable stand-ins."""
     import random
+
+    from ..functions.png import encode_png
 
     ids, kinds, payloads, metas = [], [], [], []
     for i in range(n_rows):
@@ -64,8 +96,18 @@ def gen_media_table(n_rows: int, seed: int = 42) -> pa.Table:
         kind = ("image", "audio", "video")[i % 3]
         body = bytes(rng.randrange(256) for _ in range(rng.randint(512, 2048)))
         if kind == "image":
-            w, h, c = rng.choice((64, 128, 256)), rng.choice((64, 128)), 3
-            payloads.append(IMAGE_MAGIC + body)
+            w, h = rng.choice((64, 128, 256)), rng.choice((64, 128))
+            grey = render_page_raster(i, seed, w, h)
+            if i % 9 in (0, 3, 6):
+                img, c = grey, 1
+            else:
+                tint = np.array([0, 3, 6], np.int64)
+                img = np.clip(grey[:, :, None].astype(np.int64)
+                              - tint[None, None, :], 0, 255).astype(np.uint8)
+                c = 3
+            orientation = ((i // 4) % 8) + 1 if i % 4 == 0 else 1
+            payloads.append(encode_png(
+                img, orientation=orientation if orientation != 1 else None))
             metas.append({"width": w, "height": h, "channels": c,
                           "sample_rate": 0, "n_frames": 1})
         elif kind == "audio":
@@ -89,13 +131,14 @@ def gen_media_table(n_rows: int, seed: int = 42) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
-# Decode stubs — the ONLY fake parts
+# Decode: PNG real; audio/video stand-ins are the only fakes left
 # ---------------------------------------------------------------------------
 
 def _fake_bytes_tensor(payload: bytes, size: int) -> np.ndarray:
-    """STUB: deterministic stand-in for a codec decode — tiles the payload
-    bytes to ``size`` elements. A real deployment replaces this with
-    PIL/cv2/ffmpeg; everything downstream consumes only the ndarray."""
+    """STUB (audio/video only): deterministic stand-in for a codec
+    decode — tiles the payload bytes to ``size`` elements. A real
+    deployment replaces this with ffmpeg; everything downstream consumes
+    only the ndarray."""
     raw = np.frombuffer(payload, dtype=np.uint8)
     if len(raw) == 0:
         return np.zeros(size, dtype=np.uint8)
@@ -104,15 +147,13 @@ def _fake_bytes_tensor(payload: bytes, size: int) -> np.ndarray:
 
 
 def _decode_image(payload: bytes, meta: dict) -> np.ndarray:
-    """payload → HxWxC uint8. Real codec if available, else the stub."""
-    if _PIL is not None:  # pragma: no cover
-        import io
-
-        return np.asarray(_PIL.open(io.BytesIO(payload)).convert("RGB"))
-    if not payload.startswith(IMAGE_MAGIC):
-        raise ValueError("undecodable image payload")
-    h, w, c = meta["height"], meta["width"], meta["channels"]
-    return _fake_bytes_tensor(payload[len(IMAGE_MAGIC):], h * w * c).reshape(h, w, c)
+    """PNG payload → display-upright HxW (grey) / HxWx3 uint8 raster:
+    real decode (``functions/png.py``) + EXIF-style orientation undo.
+    ``meta`` is advisory only — dimensions come from the stream."""
+    arr, anc = decode_png(payload)
+    if arr.ndim == 3 and arr.shape[2] == 1:
+        arr = arr[:, :, 0]
+    return apply_orientation(arr, anc.get("orientation", 1))
 
 
 def _decode_audio(payload: bytes, meta: dict) -> np.ndarray:
@@ -296,6 +337,25 @@ class VideoFrameSampleStage:
              pa.array(o_err, pa.string())],
             names=["media_id", "frame_idx", "pix_mean", "pix_sha", "error"],
         )
+
+
+def media_features_for_n(n: int, seed: int = 42):
+    """The driver's ``media_features`` pipeline for a fixture of ``n``
+    media rows — shared by ``__ray_entry__`` and the golden-fixture
+    generator (``tools/gen_media_golden.py``) so the two can never
+    drift."""
+    import ray.data
+
+    return build_media_pipeline(ray.data.from_arrow(gen_media_table(n, seed=seed)))
+
+
+def media_preprocess_for_n(n: int, seed: int = 42):
+    """The driver's ``media_preprocess`` pipeline for ``n`` media rows
+    (see :func:`media_features_for_n`)."""
+    import ray.data
+
+    return build_image_preprocess_pipeline(
+        ray.data.from_arrow(gen_media_table(n, seed=seed)))
 
 
 def build_image_preprocess_pipeline(media_ds):

@@ -1,6 +1,6 @@
 """Multimodal stage plumbing: schemas, actor signatures, per-frame
-fan-out, error columns. Decode is a deterministic stub (no codecs in the
-container) — the Ray-side plumbing is what's under test."""
+fan-out, error columns. Image decode is REAL PNG (functions/png.py);
+audio/video decode remains a deterministic stub."""
 
 from __future__ import annotations
 
@@ -63,7 +63,7 @@ def test_image_error_row_isolated():
     )
     out = ImageFeatureStage()(bad)
     assert out.num_rows == 1
-    assert out.column("error").to_pylist()[0].startswith("ValueError")
+    assert out.column("error").to_pylist()[0].startswith("PngError")
 
 
 def test_audio_features():
@@ -96,3 +96,44 @@ def test_media_pipeline_end_to_end():
     assert (out["feature"] == "pix_std").sum() == n_img
     assert (out["feature"] == "rms_max").sum() == n_aud
     assert (out["feature"] == "pix_mean").sum() > n_img  # video frames too
+
+
+def test_planted_orientation_is_undone():
+    # a tall raster tagged orientation=6 (90° CW to display) must come
+    # back upright: decoded dims swap and pixels match np.rot90(img, -1)
+    from horizon_ocr_python_ray.functions.png import encode_png
+    from horizon_ocr_python_ray.stages.multimodal import (
+        _decode_image, render_page_raster)
+
+    grey = render_page_raster(1, 7, 40, 24)
+    for o, want in [(1, grey), (3, grey[::-1, ::-1]),
+                    (6, np.rot90(grey, -1)), (8, np.rot90(grey, 1)),
+                    (5, grey.swapaxes(0, 1))]:
+        out = _decode_image(encode_png(grey, orientation=o), {})
+        assert out.shape == want.shape, o
+        assert (out == want).all(), o
+
+
+def test_real_rasters_are_document_like():
+    # planted text lines → bimodal-ish histogram: paper bright, ink dark
+    from horizon_ocr_python_ray.stages.multimodal import render_page_raster
+
+    img = render_page_raster(0, 42, 128, 64)
+    assert img.shape == (64, 128)
+    dark = (img < 100).mean()
+    bright = (img > 200).mean()
+    assert 0.05 < dark < 0.7       # glyph boxes present
+    assert bright > 0.2            # paper background present
+    # deterministic
+    again = render_page_raster(0, 42, 128, 64)
+    assert (img == again).all()
+
+
+def test_preprocess_runs_on_real_pixels(ray_session):
+    from horizon_ocr_python_ray.stages.multimodal import media_preprocess_for_n
+
+    out = media_preprocess_for_n(30).to_pandas()
+    assert len(out) == 10
+    assert out.error.isna().all()
+    assert (out.height > 0).all() and (out.width > 0).all()
+    assert (out.noise_level > 0).any()  # salt noise is measurable
