@@ -16,6 +16,33 @@ Public API::
 This package never calls ``ray.init`` — the caller owns the session.
 """
 
+import logging as _logging
+
+
+class _EmptySchemaDivergenceFilter(_logging.Filter):
+    """Drop Ray's per-query "RefBundle with a different schema …
+    new schema: ." warning for the EMPTY-new-schema case only.
+
+    Low-cardinality ``groupby().aggregate()`` plans route most shuffle
+    partitions to zero rows; Ray's sort-aggregate emits those as blocks
+    with an EMPTY schema, and the streaming executor logs a
+    schema-divergence warning for each such bundle (once per operator).
+    The empty bundles are benign — downstream batchers skip zero-row
+    blocks — but the warning buries real schema divergences, which this
+    filter deliberately leaves visible (any message with a non-empty new
+    schema passes through)."""
+
+    def filter(self, record: _logging.LogRecord) -> bool:  # noqa: A003
+        msg = record.getMessage()
+        return not ("RefBundle with a different schema" in msg
+                    and "new schema: . This may" in msg)
+
+
+_logging.getLogger(
+    "ray.data._internal.execution.streaming_executor_state"
+).addFilter(_EmptySchemaDivergenceFilter())
+
+
 from .config import (
     DEFAULT_CONFIG,
     DedupConfig,

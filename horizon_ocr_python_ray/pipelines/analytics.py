@@ -20,7 +20,9 @@ from ray.data.aggregate import Sum
 
 
 def _tbl(sf_dir: str, name: str, columns: list[str] | None = None) -> ray.data.Dataset:
-    return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+    from ..sources.tables import read_sf_table
+
+    return read_sf_table(sf_dir, name, columns)
 
 
 # --- size-aware join planner ------------------------------------------------
@@ -269,9 +271,14 @@ def q6_filtered_revenue(sf_dir: str):
     expression, so non-matching row groups never leave storage (and only
     four columns are read at all). The aggregate is a per-batch partial
     sum folded by a tiny global groupby on a constant key."""
+    from ..sources.tables import clean_schema
+
+    _path = os.path.join(sf_dir, "lineitem.parquet")
+    _cols = ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"]
     li = ray.data.read_parquet(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+        _path,
+        columns=_cols,
+        schema=clean_schema(_path, _cols),
         filter=(
             (pc.field("l_shipdate") >= pa.scalar(pd.Timestamp("1996-01-01")))
             & (pc.field("l_shipdate") < pa.scalar(pd.Timestamp("1997-01-01")))

@@ -809,10 +809,9 @@ def doc_lang_moments(sf_dir: str):
     integer sums are the mergeable sufficient statistics, the form a
     distributed engine should ship between stages). One combiner pass →
     a languages-cardinality groupby."""
-    import ray.data
+    from ..sources.tables import read_sf_table
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=["lang", "n_chars"])
+    docs = read_sf_table(sf_dir, "documents", columns=["lang", "n_chars"])
 
     def moment_partial(t: pa.Table) -> pa.Table:
         x = t.column("n_chars").cast(pa.int64())
