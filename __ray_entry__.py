@@ -1143,6 +1143,22 @@ def _cust_idle(sf_dir: str):
     return cust_idle_q22(sf_dir)
 
 
+def _pages_reocr(sf_dir: str):
+    """Targeted re-OCR strategy ladder over REAL page rasters: payload
+    pages are rasterized (the PDF-rasterize analog), line confidences
+    derive from pixel statistics, low-confidence lines are enhanced with
+    the aggressive preprocess chain and re-recognized under all four
+    reference strategies (ensemble / primary_only / secondary_only /
+    sequential) with two content-type-routed heads. Output: per-strategy
+    improvement counters (4 rows). Ref: targeted_reocr.py:29-77,
+    trocr.py:193-200."""
+    from horizon_ocr_python_ray import ensure_corpus, read_pages, sf_from_dir
+    from horizon_ocr_python_ray.stages.reocr import build_reocr_pipeline
+
+    corpus = ensure_corpus(sf_from_dir(sf_dir))
+    return build_reocr_pipeline(read_pages(corpus, columns=["url", "html"]))
+
+
 def _pages_outlinks(sf_dir: str):
     """Per-page absolute-anchor harvest (web-graph front-end): one
     map_batches pass over html-sniffed payloads, no shuffle."""
@@ -1473,6 +1489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_small_qty": _part_small_qty,
         "big_orders": _big_orders,
         "cust_idle": _cust_idle,
+        "pages_reocr": _pages_reocr,
         "pages_outlinks": _pages_outlinks,
         "host_linkgraph": _host_linkgraph,
         "host_pagerank": _host_pagerank,
@@ -1630,6 +1647,18 @@ def oracle_sql() -> dict[str, str]:
                    issues, error
             FROM read_parquet('{_GOLDEN_MEDIA}/media_preprocess.parquet')
             WHERE n_rows = greatest(30, (SELECT (count(*) * 3) // 100 FROM events))
+        """,
+        # Re-OCR strategy ladder vs the pinned golden fixture
+        # (tools/gen_reocr_golden.py): DuckDB cannot replay the raster /
+        # preprocess kernels, so the oracle pins end-to-end byte-stability;
+        # the VALUES are guaranteed by tests/test_reocr.py +
+        # tests/test_imageproc.py. Corpus pages rows = sf·500k = events/2.
+        "pages_reocr": f"""
+            SELECT strategy, n_pages, n_lines, n_selected, n_improved,
+                   n_failed, improved_primary, improved_secondary,
+                   sum_gain_e4
+            FROM read_parquet('{_GOLDEN_MEDIA}/pages_reocr.parquet')
+            WHERE n_rows = (SELECT count(*) // 2 FROM events)
         """,
         # Incremental cross-corpus near-dup vs brute force: DuckDB cross
         # joins the two sides' exact shingle sets (sharing >=1 shingle is
