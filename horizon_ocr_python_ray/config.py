@@ -115,6 +115,10 @@ class DocConfig:
     reocr_confidence_threshold: float = REOCR_CONFIDENCE_THRESHOLD
     reocr_accept_margin: float = REOCR_ACCEPT_MARGIN
     reocr_max_lines_per_page: int = REOCR_MAX_LINES_PER_PAGE
+    # Raster-path second-pass strategy (reference ``ReOCRStrategy``,
+    # ``ocr/targeted_reocr.py:29-34``): ensemble | primary_only |
+    # secondary_only | sequential. Consumed by ``stages/reocr.apply_reocr``.
+    reocr_strategy: str = "ensemble"
     reading_order_vertical_overlap: float = READING_ORDER_VERTICAL_OVERLAP
     # Actor-pool sizing for the stateful recognize stage.
     detect_concurrency: int = 4

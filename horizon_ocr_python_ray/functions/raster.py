@@ -276,6 +276,37 @@ def crop_confidence(gray: np.ndarray, n_chars: int, n_words: int,
                                     head)
 
 
+def token_confidences(gray: np.ndarray, text: str,
+                      head: str = "printed") -> list[float]:
+    """Per-token confidences of a line crop — the analog of the
+    reference's mean-of-per-token-softmax confidence
+    (``ocr/trocr.py:157-164``: scores → softmax → max-prob per generated
+    token). Here each TOKEN (whitespace word) owns the column span its
+    characters occupy under the uniform glyph pitch, and its confidence
+    is the head confidence of that column slice against the token's own
+    (chars, 1-word) hypothesis. ``mean(token_confidences(...))`` is the
+    token-aggregated line confidence; the whole-crop
+    :func:`crop_confidence` is the line-statistic variant — both derive
+    from the same pixel field."""
+    n = max(1, len(text))
+    w = gray.shape[1] if gray.ndim == 2 else 0
+    out: list[float] = []
+    pos = 0
+    for tok in text.split():
+        a = text.index(tok, pos)
+        b = a + len(tok)
+        pos = b
+        if w < 4:
+            out.append(0.0)
+            continue
+        x1 = int(a / n * w)
+        x2 = max(x1 + 2, int(b / n * w))
+        sl = gray[:, x1:min(w, x2)]
+        out.append(confidence_from_features(
+            crop_features(sl), len(tok), 1, head))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Enhanced preprocessing for re-OCR (reference ReOCRConfig defaults)
 # ---------------------------------------------------------------------------

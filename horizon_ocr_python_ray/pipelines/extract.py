@@ -39,12 +39,30 @@ from ..stages.staged import build_staged_pipeline
 
 def read_pages(source: str, columns: list[str] | None = None) -> ray.data.Dataset:
     """Read a pages table. ``source`` is a parquet file/dir (the synthetic
-    corpus keeps its pages under ``<dir>/pages``)."""
+    corpus keeps its pages under ``<dir>/pages``).
+
+    Large inputs are split into ~2k-row blocks, capped at 16 blocks per
+    CPU: the extract UDF's per-task wall time varies ~3× with the route
+    mix of a block (binary doc payloads vs cheap html rows), and at the
+    default ~8k-row blocks that spread costs ~13% of the 32-CPU wall in
+    straggler tail (measured at sf4 in BASELINE.md). Small inputs
+    (fewer than ~2 blocks per CPU at that sizing) keep Ray's defaults."""
     path = source
     sub = os.path.join(source, "pages")
     if os.path.isdir(sub):
         path = sub
-    return ray.data.read_parquet(path, columns=columns)
+    num_blocks = None
+    try:
+        import pyarrow.dataset as pads
+
+        rows = pads.dataset(path).count_rows()  # parquet metadata only
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        if rows // 2000 >= cpus * 2:
+            num_blocks = min(16 * cpus, rows // 2000)
+    except Exception:
+        num_blocks = None
+    return ray.data.read_parquet(path, columns=columns,
+                                 override_num_blocks=num_blocks)
 
 
 def build_extract_pipeline(

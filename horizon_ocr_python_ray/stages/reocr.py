@@ -168,6 +168,8 @@ def apply_reocr(page: dict, key: str, strategy: str = "ensemble",
     IMPROVED lines update their confidence/engine; everything else keeps
     its first-pass value. ``enabled=False`` skips the second pass
     entirely (the on/off fixture axis)."""
+    from ..functions.raster import token_confidences
+
     img = rasterize_page(page, key)
     results = reocr_page(page, key) if enabled else {strategy: []}
     updates = {r["idx"]: r for r in results.get(strategy, ())
@@ -189,6 +191,9 @@ def apply_reocr(page: dict, key: str, strategy: str = "ensemble",
             "confidence": r["new_conf"] if r else conf,
             "engine": r["accepted_engine"] if r else "first_pass",
             "repassed": r is not None,
+            # per-token softmax-confidence analog (trocr.py:157-164)
+            "token_confs": ([] if c is None
+                            else token_confidences(c, text, head)),
         })
     return out
 

@@ -183,6 +183,39 @@ def test_enhancement_recovers_midline():
     assert before < CONFIDENCE_THRESHOLD < after
 
 
+def test_token_confidences_softmax_analog():
+    # per-token confidences (trocr.py:157-164 analog): one per word,
+    # high on legible print, low on degraded print, deterministic
+    from horizon_ocr_python_ray.functions.imageproc import crop_bbox
+    from horizon_ocr_python_ray.functions.raster import token_confidences
+
+    clean_text = "a clean legible sentence of words"
+    deg_text = "a faint blurry sentence of words"
+    clean = make_line(clean_text,
+                      (50.0, 100.0, 50.0 + 8 * len(clean_text), 128.0), 0.95)
+    deg = make_line(deg_text,
+                    (50.0, 200.0, 50.0 + 8 * len(deg_text), 228.0), 0.40)
+    page = {"page": 0, "w": 1000.0, "h": 1400.0, "lines": [clean, deg]}
+    img = rasterize_page(page, "tok")
+    for rec, text, lo, hi in ((clean, clean_text, 0.6, 1.0),
+                              (deg, deg_text, 0.0, 0.62)):
+        crop = crop_bbox(img, [v * RASTER_SCALE for v in rec["bbox"]],
+                         padding=8)
+        confs = token_confidences(crop, text)
+        assert len(confs) == len(text.split())
+        mean = sum(confs) / len(confs)
+        assert lo <= mean <= hi, (text, confs)
+        assert confs == token_confidences(crop, text)  # deterministic
+
+
+def test_apply_reocr_carries_token_confidences():
+    page = _fixture_page(4)
+    rows = apply_reocr(page, "t4", "ensemble", enabled=False)
+    assert all(len(r["token_confs"]) == len(r["text"].split())
+               for r in rows if r["token_confs"])
+    assert any(r["token_confs"] for r in rows)
+
+
 def test_pipeline_counts(ray_session):
     import ray.data
 
