@@ -6,13 +6,15 @@ reference's image pipeline (rasterize → preprocess → detect → recognize,
 ``/root/reference/docvision/io/image.py:49-185`` and
 ``preprocess/enhance.py``), generalized to audio/video.
 
-Image decode is REAL as of round 3: payloads are genuine PNG streams
-decoded by the pure-numpy codec in ``functions/png.py`` (zlib inflate +
-scanline unfilter; EXIF-style orientation tags honored via
-``apply_orientation``), so every downstream preprocess/crop kernel
-operates on real rasters. Only audio/video decode remains a
-clearly-marked deterministic stand-in (no WAV/MP4 container parser is
-warranted here); their framing/fan-out plumbing is real and tested.
+Image AND audio decode are REAL as of round 3: image payloads are
+genuine PNG streams decoded by the pure-numpy codec in
+``functions/png.py`` (zlib inflate + scanline unfilter; EXIF-style
+orientation tags honored via ``apply_orientation``), and audio payloads
+are genuine RIFF/WAV PCM streams decoded by ``functions/wav.py`` — so
+every downstream preprocess/crop/feature kernel operates on real rasters
+and waveforms. Only VIDEO decode remains a clearly-marked deterministic
+stand-in (an MP4 container parser is not warranted here); its
+framing/fan-out plumbing is real and tested.
 
 Batch sizing: media payloads are orders of magnitude wider than text
 rows; stages default to small ``batch_size`` so batch × concurrency fits
@@ -29,10 +31,10 @@ import pyarrow as pa
 
 from ..functions.png import apply_orientation, decode_png, encode_png
 
-#: Real PNG signature for images; deterministic fake container magics
-#: for the (still stubbed) audio/video kinds (content-sniffable).
+#: Real PNG/RIFF signatures for images and audio; a deterministic fake
+#: container magic remains only for video (content-sniffable).
 IMAGE_MAGIC = b"\x89PNG\r\n\x1a\n"
-AUDIO_MAGIC = b"RIFFSYNWAV1\n"
+AUDIO_MAGIC = b"RIFF"
 VIDEO_MAGIC = b"\x00\x00\x00 ftypSYNVID1\n"
 
 MEDIA_SCHEMA = pa.schema(
@@ -85,7 +87,9 @@ def gen_media_table(n_rows: int, seed: int = 42) -> pa.Table:
     Image rows carry REAL PNG payloads of rendered page rasters
     (:func:`render_page_raster`, ``functions/png.py``), a third of them
     greyscale and every 4th tagged with a non-trivial EXIF-style
-    orientation; audio/video payloads remain sniffable stand-ins."""
+    orientation; audio rows carry REAL RIFF/WAV PCM payloads of
+    synthesized two-tone waveforms (``functions/wav.py``), every 15th
+    stereo; video payloads remain sniffable stand-ins."""
     import random
 
     from ..functions.png import encode_png
@@ -111,9 +115,22 @@ def gen_media_table(n_rows: int, seed: int = 42) -> pa.Table:
             metas.append({"width": w, "height": h, "channels": c,
                           "sample_rate": 0, "n_frames": 1})
         elif kind == "audio":
+            from ..functions.wav import encode_wav
+
             sr = rng.choice((8000, 16000))
-            payloads.append(AUDIO_MAGIC + body)
-            metas.append({"width": 0, "height": 0, "channels": 1,
+            ch = 2 if i % 15 == 1 else 1
+            n = rng.randint(400, 3200)
+            arng = np.random.default_rng([seed, i, sr])
+            t = np.arange(n, dtype=np.float64) / sr
+            f1, f2 = arng.uniform(80, 800, 2)
+            wave = (0.5 * np.sin(2 * np.pi * f1 * t)
+                    + 0.25 * np.sin(2 * np.pi * f2 * t)
+                    + 0.05 * arng.standard_normal(n))
+            s16 = np.clip(wave * 16384, -32768, 32767).astype(np.int16)
+            if ch == 2:
+                s16 = np.stack([s16, np.roll(s16, 7)], axis=1)
+            payloads.append(encode_wav(s16, sr))
+            metas.append({"width": 0, "height": 0, "channels": ch,
                           "sample_rate": sr, "n_frames": 0})
         else:
             w, h = 64, 64
@@ -131,14 +148,14 @@ def gen_media_table(n_rows: int, seed: int = 42) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
-# Decode: PNG real; audio/video stand-ins are the only fakes left
+# Decode: PNG and WAV real; the video stand-in is the only fake left
 # ---------------------------------------------------------------------------
 
 def _fake_bytes_tensor(payload: bytes, size: int) -> np.ndarray:
-    """STUB (audio/video only): deterministic stand-in for a codec
-    decode — tiles the payload bytes to ``size`` elements. A real
-    deployment replaces this with ffmpeg; everything downstream consumes
-    only the ndarray."""
+    """STUB (video only): deterministic stand-in for a codec decode —
+    tiles the payload bytes to ``size`` elements. A real deployment
+    replaces this with ffmpeg; everything downstream consumes only the
+    ndarray."""
     raw = np.frombuffer(payload, dtype=np.uint8)
     if len(raw) == 0:
         return np.zeros(size, dtype=np.uint8)
@@ -157,13 +174,16 @@ def _decode_image(payload: bytes, meta: dict) -> np.ndarray:
 
 
 def _decode_audio(payload: bytes, meta: dict) -> np.ndarray:
-    """payload → float32 mono waveform in [-1, 1]."""
-    if not payload.startswith(AUDIO_MAGIC):
-        raise ValueError("undecodable audio payload")
-    body = payload[len(AUDIO_MAGIC):]
-    n = max(1, len(body) // 2) * meta["sample_rate"] // 8000
-    wave = _fake_bytes_tensor(body, n).astype(np.float32)
-    return (wave - 127.5) / 127.5
+    """WAV payload → float32 mono waveform in [-1, 1]: real RIFF/PCM
+    decode (``functions/wav.py``); multi-channel downmixes by mean.
+    ``meta`` is advisory only — rate/channels come from the stream."""
+    from ..functions.wav import decode_wav
+
+    s, _rate = decode_wav(payload)
+    wave = s.astype(np.float32) / 32768.0
+    if wave.ndim == 2:
+        wave = wave.mean(axis=1)
+    return wave
 
 
 def _decode_video_frame(payload: bytes, meta: dict, frame_idx: int) -> np.ndarray:

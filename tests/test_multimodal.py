@@ -1,6 +1,7 @@
 """Multimodal stage plumbing: schemas, actor signatures, per-frame
-fan-out, error columns. Image decode is REAL PNG (functions/png.py);
-audio/video decode remains a deterministic stub."""
+fan-out, error columns. Image decode is REAL PNG (functions/png.py),
+audio decode is REAL RIFF/WAV (functions/wav.py); video decode remains
+a deterministic stub."""
 
 from __future__ import annotations
 
