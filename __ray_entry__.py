@@ -1143,6 +1143,16 @@ def _cust_idle(sf_dir: str):
     return cust_idle_q22(sf_dir)
 
 
+def _doc_lm_score(sf_dir: str):
+    """Corpus-trained bigram-LM likelihood score per document (the CCNet
+    perplexity-filter analog, integer-exact): one gram-count shuffle →
+    broadcast pruned model → vectorized local scoring."""
+    from horizon_ocr_python_ray.stages.lmscore import doc_lm_score
+
+    docs = _sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return doc_lm_score(docs)
+
+
 def _pages_reocr(sf_dir: str):
     """Targeted re-OCR strategy ladder over REAL page rasters: payload
     pages are rasterized (the PDF-rasterize analog), line confidences
@@ -1489,6 +1499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_small_qty": _part_small_qty,
         "big_orders": _big_orders,
         "cust_idle": _cust_idle,
+        "doc_lm_score": _doc_lm_score,
         "pages_reocr": _pages_reocr,
         "pages_outlinks": _pages_outlinks,
         "host_linkgraph": _host_linkgraph,
@@ -1647,6 +1658,49 @@ def oracle_sql() -> dict[str, str]:
                    issues, error
             FROM read_parquet('{_GOLDEN_MEDIA}/media_preprocess.parquet')
             WHERE n_rows = greatest(30, (SELECT (count(*) * 3) // 100 FROM events))
+        """,
+        # Bigram-LM likelihood score, replayed exactly: same tokenizer
+        # (lowercase whitespace split), same pruning (count >= 2), same
+        # integer terms (SCALE*c2 // c1 backoff SCALE*c1 // N).
+        "doc_lm_score": """
+            WITH toks AS (
+              SELECT doc_id,
+                     generate_subscripts(arr, 1) AS ord,
+                     unnest(arr) AS tok
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(trim(lower(text)), '\\s+') AS arr
+                    FROM documents WHERE trim(text) <> '')
+            ),
+            uni AS (SELECT tok, count(*) AS c1 FROM toks GROUP BY tok),
+            tot AS (SELECT count(*) AS n FROM toks),
+            big AS (
+              SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+              FROM toks a JOIN toks b
+                ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+            ),
+            bmodel AS (
+              SELECT w1, w2, count(*) AS c2 FROM big
+              GROUP BY w1, w2 HAVING count(*) >= 2
+            ),
+            terms AS (
+              SELECT big.doc_id,
+                     CASE WHEN bm.c2 IS NOT NULL
+                          THEN (1000000 * bm.c2) // u1.c1
+                          ELSE (1000000 * u2.c1) // (SELECT n FROM tot)
+                     END AS term
+              FROM big
+              LEFT JOIN bmodel bm ON bm.w1 = big.w1 AND bm.w2 = big.w2
+              JOIN uni u1 ON u1.tok = big.w1
+              JOIN uni u2 ON u2.tok = big.w2
+            )
+            SELECT d.doc_id,
+                   CASE WHEN trim(d.text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(lower(d.text)), '\\s+'))
+                   END AS n_tokens,
+                   CAST(count(t.term) AS BIGINT) AS n_transitions,
+                   CAST(coalesce(sum(t.term), 0) AS BIGINT) AS lm_score
+            FROM documents d LEFT JOIN terms t ON t.doc_id = d.doc_id
+            GROUP BY d.doc_id, d.text
         """,
         # Re-OCR strategy ladder vs the pinned golden fixture
         # (tools/gen_reocr_golden.py): DuckDB cannot replay the raster /

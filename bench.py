@@ -91,7 +91,7 @@ def run_bench() -> dict:
                  "events_cumsum", "events_gapfill", "events_anomaly",
                  "doc_lang_drift", "pages_host_join", "corpus_and_search",
                  "doc_mix_rebalance", "doc_safe_split", "important_parts",
-                 "nation_profit", "market_share"):
+                 "nation_profit", "market_share", "doc_lm_score"):
         t0 = time.monotonic()
         res = q[name](sf_dir)
         if hasattr(res, "count"):

@@ -1,0 +1,175 @@
+"""Corpus-trained n-gram LM likelihood scoring — the perplexity-filter
+primitive of LLM data curation (CCNet / RefinedWeb quality gates score
+documents under a language model trained on a trusted corpus and keep
+the head of the distribution).
+
+Sandbox-scale analog: a bigram model with unigram backoff, trained on
+the corpus itself in ONE distributed counting pass, then broadcast for a
+local scoring pass. All arithmetic is integer-exact so the DuckDB oracle
+replays it bit-for-bit (no ``ln()`` ulp drift): each transition
+``w_{i-1} → w_i`` contributes
+
+    (SCALE · c2(w_{i-1}, w_i)) // c1(w_{i-1})   if the bigram survives
+                                                pruning (count ≥ 2),
+    (SCALE · c1(w_i)) // N                      otherwise (unigram
+                                                backoff),
+
+and a document's ``lm_score`` is the sum over its transitions — monotone
+in the true LM log-likelihood ordering for fixed length, which is what a
+quality gate consumes. (A real deployment swaps the model for KenLM and
+the integer terms for log-probs; the Ray plan is identical.)
+
+Scale shape (100 TB):
+- Train pass: per-batch ``Counter`` combiners emit one ``(gram, partial
+  count)`` row per DISTINCT gram per batch → narrow ``groupby().sum()``.
+  Token occurrences never cross the cluster.
+- The model broadcast is guarded by ``BROADCAST_VOCAB_MAX`` /
+  ``BROADCAST_BIGRAM_MAX``; beyond it the correct plan is the explode +
+  hash-join on gram (the ``topterms.py`` shuffle-join shape) and this
+  module refuses loudly rather than silently OOMing a worker.
+- Score pass: per-document numpy ``searchsorted`` against the broadcast
+  sorted model arrays — no Python dict probes per token.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ..functions.textstats import tokens
+
+#: Integer scale of each transition term (fits int64 with room: SCALE ·
+#: c2 ≤ 1e6 · corpus tokens).
+SCALE = 1_000_000
+
+#: Bigrams below this corpus count are pruned from the model (KenLM-style
+#: pruning); their transitions take the unigram backoff.
+MIN_BIGRAM_COUNT = 2
+
+BROADCAST_VOCAB_MAX = 5_000_000
+BROADCAST_BIGRAM_MAX = 20_000_000
+
+_SCORE_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("n_tokens", pa.int64()),
+    ("n_transitions", pa.int64()),
+    ("lm_score", pa.int64()),
+])
+
+
+def _doc_tokens(text: str) -> list[str]:
+    return [t.lower() for t in tokens(text)]
+
+
+def _partial_counts(batch: pa.Table) -> pa.Table:
+    """Batch combiner: (gram, w2, partial count) rows — unigram rows use
+    w2 = "" (tokens are \\S+ so "" never collides with a real token)."""
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    for text in batch.column("text").to_pylist():
+        toks = _doc_tokens(text)
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+    w1s, w2s, cs = [], [], []
+    for t, c in uni.items():
+        w1s.append(t); w2s.append(""); cs.append(c)
+    for (a, b), c in big.items():
+        w1s.append(a); w2s.append(b); cs.append(c)
+    return pa.table({"w1": pa.array(w1s, pa.string()),
+                     "w2": pa.array(w2s, pa.string()),
+                     "c": pa.array(cs, pa.int64())})
+
+
+def train_bigram_model(docs_ds) -> dict:
+    """One counting pass → broadcast-ready integer model dict."""
+    from ray.data.aggregate import Sum
+
+    counts = (docs_ds.map_batches(_partial_counts, batch_format="pyarrow")
+              .groupby(["w1", "w2"]).aggregate(Sum("c", alias_name="c")))
+    t = pa.concat_tables(
+        [x for x in ray.get(counts.to_arrow_refs()) if x.num_rows])
+    w1 = np.asarray(t.column("w1").to_pylist(), dtype=object)
+    w2 = np.asarray(t.column("w2").to_pylist(), dtype=object)
+    c = t.column("c").to_numpy().astype(np.int64)
+    is_uni = w2 == ""
+    vocab = np.sort(w1[is_uni].astype(str))
+    c1_by_tok = dict(zip(w1[is_uni], c[is_uni]))
+    c1 = np.array([c1_by_tok[v] for v in vocab], dtype=np.int64)
+    if len(vocab) > BROADCAST_VOCAB_MAX:
+        raise NotImplementedError(
+            f"vocabulary {len(vocab)} exceeds BROADCAST_VOCAB_MAX "
+            f"({BROADCAST_VOCAB_MAX}); use the explode + gram hash-join "
+            f"plan (topterms.py shuffle-join shape) for this corpus")
+    total = int(c1.sum())
+    keep = (~is_uni) & (c >= MIN_BIGRAM_COUNT)
+    if int(keep.sum()) > BROADCAST_BIGRAM_MAX:
+        raise NotImplementedError(
+            f"pruned bigram table {int(keep.sum())} exceeds "
+            f"BROADCAST_BIGRAM_MAX ({BROADCAST_BIGRAM_MAX}); raise "
+            f"MIN_BIGRAM_COUNT or switch to the gram hash-join plan")
+    v = len(vocab)
+    i1 = np.searchsorted(vocab, w1[keep].astype(str))
+    i2 = np.searchsorted(vocab, w2[keep].astype(str))
+    bkey = i1.astype(np.int64) * v + i2
+    order = np.argsort(bkey)
+    return {"vocab": vocab, "c1": c1, "total": total,
+            "bkey": bkey[order], "c2": c[keep][order]}
+
+
+class _Scorer:
+    """Vectorized per-document scorer over the broadcast model."""
+
+    def __init__(self, model_ref):
+        self.m = ray.get(model_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = self.m
+        vocab, c1, total = m["vocab"], m["c1"], m["total"]
+        bkey, c2 = m["bkey"], m["c2"]
+        v = len(vocab)
+        ids_out, ntok_out, ntr_out, score_out = [], [], [], []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            toks = _doc_tokens(text)
+            n = len(toks)
+            if n < 2 or len(vocab) == 0:
+                ids_out.append(doc_id); ntok_out.append(n)
+                ntr_out.append(0); score_out.append(0)
+                continue
+            arr = np.asarray(toks, dtype=str)
+            ids = np.minimum(np.searchsorted(vocab, arr), len(vocab) - 1)
+            known = vocab[ids] == arr  # OOV only when scoring a held-out set
+            c1_prev = np.where(known[:-1], c1[ids[:-1]], 1)
+            c1_next = np.where(known[1:], c1[ids[1:]], 0)
+            keys = ids[:-1].astype(np.int64) * v + ids[1:]
+            if len(bkey):
+                pos = np.minimum(np.searchsorted(bkey, keys), len(bkey) - 1)
+                hit = (bkey[pos] == keys) & known[:-1] & known[1:]
+                big_term = (SCALE * c2[pos]) // c1_prev
+            else:
+                hit = np.zeros(len(keys), bool)
+                big_term = np.zeros(len(keys), np.int64)
+            uni_term = (SCALE * c1_next) // total
+            terms = np.where(hit, big_term, uni_term)
+            ids_out.append(doc_id); ntok_out.append(n)
+            ntr_out.append(n - 1); score_out.append(int(terms.sum()))
+        return pa.Table.from_arrays(
+            [pa.array(ids_out, pa.int64()), pa.array(ntok_out, pa.int64()),
+             pa.array(ntr_out, pa.int64()), pa.array(score_out, pa.int64())],
+            schema=_SCORE_SCHEMA)
+
+
+def doc_lm_score(docs_ds, score_docs_ds=None):
+    """documents → (doc_id, n_tokens, n_transitions, lm_score).
+
+    Trains on ``docs_ds``; scores ``score_docs_ds`` (defaults to the
+    training set — the CCNet self-scoring shape). Two streaming passes,
+    one narrow gram shuffle, broadcast model, vectorized scoring."""
+    model = train_bigram_model(docs_ds)
+    model_ref = ray.put(model)
+    target = score_docs_ds if score_docs_ds is not None else docs_ds
+    scorer = _Scorer(model_ref)
+    return target.map_batches(scorer, batch_format="pyarrow")

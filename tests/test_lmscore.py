@@ -1,0 +1,91 @@
+"""Bigram-LM likelihood scoring: model training, pruning, backoff,
+OOV handling on held-out docs, broadcast guards."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from horizon_ocr_python_ray.stages.lmscore import (
+    MIN_BIGRAM_COUNT,
+    SCALE,
+    _Scorer,
+    doc_lm_score,
+    train_bigram_model,
+)
+
+
+def _docs(texts):
+    import ray.data
+
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+
+
+def test_model_counts_and_pruning(ray_session):
+    # "a b" appears twice (kept), "b c" once (pruned)
+    m = train_bigram_model(_docs(["a b c", "a b"]))
+    vocab = list(m["vocab"])
+    assert vocab == ["a", "b", "c"]
+    assert m["total"] == 5
+    assert list(m["c1"]) == [2, 2, 1]
+    v = len(vocab)
+    kept = {(int(k) // v, int(k) % v): int(c)
+            for k, c in zip(m["bkey"], m["c2"])}
+    assert kept == {(0, 1): 2}  # only a→b survives MIN_BIGRAM_COUNT
+    assert MIN_BIGRAM_COUNT == 2
+
+
+def test_score_terms_exact(ray_session):
+    out = doc_lm_score(_docs(["a b c", "a b"])).to_pandas()
+    out = out.set_index("doc_id").sort_index()
+    # doc0 "a b c": a→b kept: SCALE*2//2 = SCALE; b→c pruned →
+    # backoff SCALE*c1(c)//N = SCALE*1//5
+    assert out.loc[0, "lm_score"] == SCALE + SCALE // 5
+    assert out.loc[0, "n_transitions"] == 2
+    # doc1 "a b": just the kept bigram
+    assert out.loc[1, "lm_score"] == SCALE
+    assert out.loc[1, "n_tokens"] == 2
+
+
+def test_short_and_empty_docs(ray_session):
+    out = doc_lm_score(_docs(["", "solo", "a b a b"])).to_pandas()
+    out = out.set_index("doc_id")
+    assert out.loc[0, "lm_score"] == 0 and out.loc[0, "n_tokens"] == 0
+    assert out.loc[1, "lm_score"] == 0 and out.loc[1, "n_transitions"] == 0
+    assert out.loc[2, "lm_score"] > 0
+
+
+def test_heldout_scoring_handles_oov(ray_session):
+    import ray.data
+
+    train = _docs(["a b a b a b"])
+    held = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([100], pa.int64()),
+        "text": pa.array(["a zzz b"], pa.string()),
+    }))
+    out = doc_lm_score(train, score_docs_ds=held).to_pandas()
+    # a→zzz: OOV next token → unigram backoff with c1=0 → 0
+    # zzz→b: OOV prev → backoff SCALE*c1(b)//N = SCALE*3//6
+    assert out.loc[0, "lm_score"] == SCALE * 3 // 6
+    assert out.loc[0, "n_transitions"] == 2
+
+
+def test_quality_separation(ray_session):
+    # fluent docs (repeating common transitions) outscore shuffled junk
+    fluent = ["the cat sat on the mat"] * 5
+    junk = ["mat the on sat zzz cat qqq"]
+    out = doc_lm_score(_docs(fluent + junk)).to_pandas()
+    per_tr = out["lm_score"] / out["n_transitions"].clip(lower=1)
+    assert per_tr.iloc[:5].min() > per_tr.iloc[5] * 1.5
+
+
+def test_broadcast_guard(ray_session, monkeypatch):
+    import horizon_ocr_python_ray.stages.lmscore as mod
+
+    monkeypatch.setattr(mod, "BROADCAST_VOCAB_MAX", 2)
+    with pytest.raises(NotImplementedError, match="hash-join"):
+        train_bigram_model(_docs(["a b c d e"]))
