@@ -169,6 +169,132 @@ def decode_png(payload: bytes) -> tuple[np.ndarray, dict]:
     return _unfilter(raw, h, w, c), meta
 
 
+# ---------------------------------------------------------------------------
+# APNG (animated PNG) — the real video container for the media pipeline
+# ---------------------------------------------------------------------------
+
+def encode_apng(frames: np.ndarray, delay_num: int = 1,
+                delay_den: int = 25, level: int = 6) -> bytes:
+    """NxHxW (grey) or NxHxWx{3,4} uint8 → APNG bytes.
+
+    Standard animated-PNG layout: ``acTL`` after IHDR, each frame led by
+    an ``fcTL`` control chunk; frame 0's data rides the PNG ``IDAT``
+    (so any baseline PNG decoder shows the first frame), later frames
+    ride ``fdAT`` chunks. All frames are full-canvas (x/y offset 0,
+    dispose 0 / blend SOURCE) — the simple, lossless profile."""
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    if frames.ndim == 3:
+        color, c = 0, 1
+        rows = frames[:, :, :, None]
+    elif frames.ndim == 4 and frames.shape[3] == 3:
+        color, c = 2, 3
+        rows = frames
+    elif frames.ndim == 4 and frames.shape[3] == 4:
+        color, c = 6, 4
+        rows = frames
+    else:
+        raise PngError(f"unsupported frame stack shape {frames.shape}")
+    n, h, w = frames.shape[:3]
+    if n < 1:
+        raise PngError("need at least one frame")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    out = [_SIG, _chunk(b"IHDR", ihdr),
+           _chunk(b"acTL", struct.pack(">II", n, 0))]  # loop forever
+    seq = 0
+
+    def fctl() -> bytes:
+        nonlocal seq
+        body = struct.pack(">IIIIIHHBB", seq, w, h, 0, 0,
+                           delay_num, delay_den, 0, 0)
+        seq += 1
+        return _chunk(b"fcTL", body)
+
+    def raw_of(i: int) -> bytes:
+        raw = np.empty((h, 1 + w * c), np.uint8)
+        raw[:, 0] = 0
+        raw[:, 1:] = rows[i].reshape(h, w * c)
+        return zlib.compress(raw.tobytes(), level)
+
+    out.append(fctl())
+    out.append(_chunk(b"IDAT", raw_of(0)))
+    for i in range(1, n):
+        out.append(fctl())
+        body = struct.pack(">I", seq) + raw_of(i)
+        seq += 1
+        out.append(_chunk(b"fdAT", body))
+    out.append(_chunk(b"IEND", b""))
+    return b"".join(out)
+
+
+def decode_apng(payload: bytes) -> tuple[np.ndarray, dict]:
+    """APNG bytes → (NxHxWxC uint8 frame stack, meta dict).
+
+    Meta carries ``n_frames`` (from ``acTL``) and ``delays`` (per-frame
+    (num, den) pairs from the ``fcTL`` chunks). A plain PNG (no acTL)
+    decodes as a 1-frame stack. Only the full-canvas profile written by
+    :func:`encode_apng` is supported (offsets 0, blend SOURCE)."""
+    if not payload.startswith(_SIG):
+        raise PngError("not a PNG (bad signature)")
+    pos = len(_SIG)
+    w = h = c = None
+    n_frames = 1
+    delays: list[tuple[int, int]] = []
+    frame_data: list[list[bytes]] = []
+    cur: list[bytes] | None = None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + length]
+        if len(body) != length or pos + 12 + length > len(payload):
+            raise PngError(f"truncated chunk {tag!r}")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if crc != (zlib.crc32(tag + body) & 0xFFFFFFFF):
+            raise PngError(f"bad CRC in chunk {tag!r}")
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body)
+            if depth != 8 or color not in _CHANNELS or interlace:
+                raise PngError("unsupported IHDR for APNG decode")
+            c = _CHANNELS[color]
+        elif tag == b"acTL":
+            n_frames, _plays = struct.unpack(">II", body)
+        elif tag == b"fcTL":
+            (_seq, fw, fh, fx, fy, dnum, dden, _disp,
+             _blend) = struct.unpack(">IIIIIHHBB", body)
+            if (fw, fh, fx, fy) != (w, h, 0, 0):
+                raise PngError("sub-canvas APNG frames unsupported")
+            delays.append((dnum, dden))
+            cur = []
+            frame_data.append(cur)
+        elif tag == b"IDAT":
+            if cur is None:  # plain PNG: no fcTL before IDAT
+                cur = []
+                frame_data.append(cur)
+            cur.append(body)
+        elif tag == b"fdAT":
+            if cur is None:
+                raise PngError("fdAT before any fcTL")
+            cur.append(body[4:])  # strip sequence number
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise PngError("missing IHDR")
+    if len(frame_data) != n_frames:
+        raise PngError(
+            f"acTL declares {n_frames} frames, found {len(frame_data)}")
+    frames = []
+    expect = h * (1 + w * c)
+    for chunks in frame_data:
+        if not chunks:
+            raise PngError("frame with no data chunks")
+        raw = np.frombuffer(zlib.decompress(b"".join(chunks)), np.uint8)
+        if len(raw) != expect:
+            raise PngError(f"frame size {len(raw)} != expected {expect}")
+        frames.append(_unfilter(raw, h, w, c))
+    return np.stack(frames), {"n_frames": n_frames, "delays": delays}
+
+
 #: EXIF orientation → (transpose?, flip axes) per TIFF/EXIF tag 274.
 def apply_orientation(img: np.ndarray, orientation: int) -> np.ndarray:
     """Undo an EXIF-style orientation tag (1–8) so the returned raster

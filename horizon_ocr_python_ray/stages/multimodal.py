@@ -6,15 +6,15 @@ reference's image pipeline (rasterize → preprocess → detect → recognize,
 ``/root/reference/docvision/io/image.py:49-185`` and
 ``preprocess/enhance.py``), generalized to audio/video.
 
-Image AND audio decode are REAL as of round 3: image payloads are
+ALL THREE media decodes are REAL as of round 3: image payloads are
 genuine PNG streams decoded by the pure-numpy codec in
 ``functions/png.py`` (zlib inflate + scanline unfilter; EXIF-style
-orientation tags honored via ``apply_orientation``), and audio payloads
-are genuine RIFF/WAV PCM streams decoded by ``functions/wav.py`` — so
-every downstream preprocess/crop/feature kernel operates on real rasters
-and waveforms. Only VIDEO decode remains a clearly-marked deterministic
-stand-in (an MP4 container parser is not warranted here); its
-framing/fan-out plumbing is real and tested.
+orientation tags honored via ``apply_orientation``), audio payloads are
+genuine RIFF/WAV PCM streams (``functions/wav.py``), and video payloads
+are genuine APNG animations (``functions/png.py:decode_apng`` — acTL /
+fcTL / fdAT per the animated-PNG spec, full-canvas profile). Every
+downstream preprocess/crop/feature/frame-sampling kernel operates on
+real decoded pixels and samples; no codec stub remains.
 
 Batch sizing: media payloads are orders of magnitude wider than text
 rows; stages default to small ``batch_size`` so batch × concurrency fits
@@ -31,11 +31,12 @@ import pyarrow as pa
 
 from ..functions.png import apply_orientation, decode_png, encode_png
 
-#: Real PNG/RIFF signatures for images and audio; a deterministic fake
-#: container magic remains only for video (content-sniffable).
+#: Real container signatures for every media kind: PNG for images,
+#: RIFF/WAV for audio, APNG for video (APNG shares the PNG signature —
+#: the ``kind`` column + the ``acTL`` chunk disambiguate).
 IMAGE_MAGIC = b"\x89PNG\r\n\x1a\n"
 AUDIO_MAGIC = b"RIFF"
-VIDEO_MAGIC = b"\x00\x00\x00 ftypSYNVID1\n"
+VIDEO_MAGIC = IMAGE_MAGIC
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -89,7 +90,8 @@ def gen_media_table(n_rows: int, seed: int = 42) -> pa.Table:
     greyscale and every 4th tagged with a non-trivial EXIF-style
     orientation; audio rows carry REAL RIFF/WAV PCM payloads of
     synthesized two-tone waveforms (``functions/wav.py``), every 15th
-    stereo; video payloads remain sniffable stand-ins."""
+    stereo; video rows carry REAL APNG payloads of camera-pan
+    animations over rendered page rasters."""
     import random
 
     from ..functions.png import encode_png
@@ -133,10 +135,17 @@ def gen_media_table(n_rows: int, seed: int = 42) -> pa.Table:
             metas.append({"width": 0, "height": 0, "channels": ch,
                           "sample_rate": sr, "n_frames": 0})
         else:
+            from ..functions.png import encode_apng
+
             w, h = 64, 64
             nf = rng.randint(8, 48)
-            payloads.append(VIDEO_MAGIC + body)
-            metas.append({"width": w, "height": h, "channels": 3,
+            # a real APNG: camera-pan over a rendered page raster —
+            # frame f is the base raster rolled by f columns
+            base = render_page_raster(i, seed + 1, w, h)
+            frames = np.stack([np.roll(base, f * 2, axis=1)
+                               for f in range(nf)])
+            payloads.append(encode_apng(frames))
+            metas.append({"width": w, "height": h, "channels": 1,
                           "sample_rate": 0, "n_frames": nf})
         ids.append(i)
         kinds.append(kind)
@@ -148,20 +157,8 @@ def gen_media_table(n_rows: int, seed: int = 42) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
-# Decode: PNG and WAV real; the video stand-in is the only fake left
+# Decode: PNG, WAV, and APNG — all real codecs (functions/png.py, wav.py)
 # ---------------------------------------------------------------------------
-
-def _fake_bytes_tensor(payload: bytes, size: int) -> np.ndarray:
-    """STUB (video only): deterministic stand-in for a codec decode —
-    tiles the payload bytes to ``size`` elements. A real deployment
-    replaces this with ffmpeg; everything downstream consumes only the
-    ndarray."""
-    raw = np.frombuffer(payload, dtype=np.uint8)
-    if len(raw) == 0:
-        return np.zeros(size, dtype=np.uint8)
-    reps = -(-size // len(raw))
-    return np.tile(raw, reps)[:size]
-
 
 def _decode_image(payload: bytes, meta: dict) -> np.ndarray:
     """PNG payload → display-upright HxW (grey) / HxWx3 uint8 raster:
@@ -186,14 +183,15 @@ def _decode_audio(payload: bytes, meta: dict) -> np.ndarray:
     return wave
 
 
-def _decode_video_frame(payload: bytes, meta: dict, frame_idx: int) -> np.ndarray:
-    """payload + frame index → HxWxC uint8 frame."""
-    if not payload.startswith(VIDEO_MAGIC):
-        raise ValueError("undecodable video payload")
-    h, w, c = meta["height"], meta["width"], meta["channels"]
-    base = _fake_bytes_tensor(payload[len(VIDEO_MAGIC):], h * w * c)
-    # frame content varies deterministically with the index
-    return np.roll(base, frame_idx).reshape(h, w, c)
+def _decode_video(payload: bytes, meta: dict) -> np.ndarray:
+    """APNG payload → NxHxWxC uint8 frame stack: real decode
+    (``functions/png.py:decode_apng``). Decode ONCE per payload — the
+    frame-sampling stage indexes the stack rather than re-parsing the
+    container per frame. ``meta`` is advisory only."""
+    from ..functions.png import decode_apng
+
+    frames, _anc = decode_apng(payload)
+    return frames
 
 
 # ---------------------------------------------------------------------------
@@ -212,8 +210,7 @@ class ImageFeatureStage:
 
     @staticmethod
     def _resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
-        """Nearest-neighbor resize — index-map kernel identical for real
-        or stubbed pixel tensors."""
+        """Nearest-neighbor resize (index-map kernel)."""
         h, w = img.shape[:2]
         rows = (np.arange(out_h) * h // out_h).astype(np.int64)
         cols = (np.arange(out_w) * w // out_w).astype(np.int64)
@@ -252,8 +249,7 @@ class ImagePreprocessStage:
     """Decode → fused preprocess chain (dewarp → deskew → denoise →
     CLAHE → sharpen, ``functions/imageproc.py``) → readability/noise
     assessment. Actor-pool stage with the kernel chain compiled once per
-    actor; the numpy kernels are REAL (only the codec decode is the
-    sandbox stub)."""
+    actor; the numpy kernels AND the PNG decode are real."""
 
     def __init__(self, deskew: bool = True, dewarp: bool = True) -> None:
         from ..functions import imageproc
@@ -342,8 +338,9 @@ class VideoFrameSampleStage:
         o_id, o_frame, o_mean, o_sha, o_err = [], [], [], [], []
         for mid, payload, meta in zip(ids, payloads, metas):
             try:
-                for f in range(0, meta["n_frames"], self.every_k):
-                    frame = _decode_video_frame(payload, meta, f)
+                frames = _decode_video(payload, meta)
+                for f in range(0, len(frames), self.every_k):
+                    frame = frames[f]
                     o_id.append(mid); o_frame.append(f)
                     o_mean.append(float(frame.mean()))
                     o_sha.append(hashlib.sha256(frame.tobytes()).hexdigest()[:16])

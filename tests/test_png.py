@@ -160,3 +160,44 @@ def test_orientation_transforms_exact():
     assert got[5].shape == (3, 2) and got[6].shape == (3, 2)
     # applying 6 then undoing with 8 is identity
     assert (apply_orientation(apply_orientation(m, 6), 8) == m).all()
+
+
+def test_apng_roundtrip_grey_and_rgb():
+    from horizon_ocr_python_ray.functions.png import decode_apng, encode_apng
+
+    rng = np.random.default_rng(3)
+    grey = rng.integers(0, 256, (5, 12, 9), dtype=np.uint8)
+    frames, meta = decode_apng(encode_apng(grey))
+    assert meta["n_frames"] == 5 and len(meta["delays"]) == 5
+    assert frames.shape == (5, 12, 9, 1)
+    assert (frames[..., 0] == grey).all()
+    rgb = rng.integers(0, 256, (3, 6, 7, 3), dtype=np.uint8)
+    frames, meta = decode_apng(encode_apng(rgb, delay_num=2, delay_den=50))
+    assert frames.shape == (3, 6, 7, 3) and (frames == rgb).all()
+    assert meta["delays"][0] == (2, 50)
+
+
+def test_apng_first_frame_is_plain_png_compatible():
+    # baseline decoders read frame 0 from the IDAT — so must decode_png
+    from horizon_ocr_python_ray.functions.png import decode_apng, encode_apng
+
+    rng = np.random.default_rng(4)
+    stack = rng.integers(0, 256, (4, 8, 8), dtype=np.uint8)
+    payload = encode_apng(stack)
+    first, _ = decode_png(payload)
+    assert (first[..., 0] == stack[0]).all()
+    # and a PLAIN png decodes as a 1-frame stack through decode_apng
+    frames, meta = decode_apng(encode_png(stack[0]))
+    assert meta["n_frames"] == 1 and (frames[0, :, :, 0] == stack[0]).all()
+
+
+def test_apng_error_paths():
+    from horizon_ocr_python_ray.functions.png import decode_apng, encode_apng
+
+    with pytest.raises(PngError):
+        decode_apng(b"junk")
+    with pytest.raises(PngError, match="at least one frame"):
+        encode_apng(np.zeros((0, 4, 4), np.uint8))
+    good = encode_apng(np.zeros((2, 4, 4), np.uint8))
+    with pytest.raises(PngError, match="truncated|declares"):
+        decode_apng(good[:40])
