@@ -1057,6 +1057,15 @@ def _media_preprocess(sf_dir: str):
     return media_preprocess_for_n(max(30, int(sf_from_dir(sf_dir) * 30_000)))
 
 
+def _media_motion(sf_dir: str):
+    """Per-video temporal motion energy over decoded APNG frame stacks —
+    integer-exact (sum/max of absolute frame deltas)."""
+    from horizon_ocr_python_ray import sf_from_dir
+    from horizon_ocr_python_ray.stages.multimodal import media_motion_for_n
+
+    return media_motion_for_n(max(30, int(sf_from_dir(sf_dir) * 30_000)))
+
+
 def _q1(sf_dir: str):
     from horizon_ocr_python_ray.pipelines.analytics import q1_pricing_summary
 
@@ -1500,6 +1509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "big_orders": _big_orders,
         "cust_idle": _cust_idle,
         "doc_lm_score": _doc_lm_score,
+        "media_motion": _media_motion,
         "pages_reocr": _pages_reocr,
         "pages_outlinks": _pages_outlinks,
         "host_linkgraph": _host_linkgraph,
@@ -1701,6 +1711,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(sum(t.term), 0) AS BIGINT) AS lm_score
             FROM documents d LEFT JOIN terms t ON t.doc_id = d.doc_id
             GROUP BY d.doc_id, d.text
+        """,
+        # Video motion energy vs the pinned golden fixture (integer-exact
+        # frame-delta sums; DuckDB cannot decode APNG streams).
+        "media_motion": f"""
+            SELECT media_id, n_frames, px_per_frame, motion_abs_sum,
+                   max_delta, error
+            FROM read_parquet('{_GOLDEN_MEDIA}/media_motion.parquet')
+            WHERE n_rows = greatest(30, (SELECT (count(*) * 3) // 100 FROM events))
         """,
         # Re-OCR strategy ladder vs the pinned golden fixture
         # (tools/gen_reocr_golden.py): DuckDB cannot replay the raster /

@@ -386,6 +386,60 @@ def build_image_preprocess_pipeline(media_ds):
                          batch_size=16, concurrency=(1, 4)))
 
 
+class VideoMotionStage:
+    """Per-video temporal motion energy over the decoded APNG frame
+    stack — integer-exact (sum of absolute frame deltas), so the golden
+    oracle is drift-free. The video analog of a quality gate's
+    static-vs-dynamic content signal."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        metas = batch.column("meta").to_pylist()
+        o_id, o_nf, o_px, o_motion, o_maxd, o_err = [], [], [], [], [], []
+        for mid, payload, meta in zip(ids, payloads, metas):
+            try:
+                frames = _decode_video(payload, meta).astype(np.int64)
+                d = np.abs(np.diff(frames, axis=0))
+                o_id.append(mid)
+                o_nf.append(frames.shape[0])
+                o_px.append(int(np.prod(frames.shape[1:])))
+                o_motion.append(int(d.sum()))
+                o_maxd.append(int(d.max()) if d.size else 0)
+                o_err.append(None)
+            except Exception as exc:
+                o_id.append(mid); o_nf.append(0); o_px.append(0)
+                o_motion.append(0); o_maxd.append(0)
+                o_err.append(f"{type(exc).__name__}: {exc}")
+        return pa.Table.from_arrays(
+            [pa.array(o_id, pa.int64()), pa.array(o_nf, pa.int64()),
+             pa.array(o_px, pa.int64()), pa.array(o_motion, pa.int64()),
+             pa.array(o_maxd, pa.int64()), pa.array(o_err, pa.string())],
+            names=["media_id", "n_frames", "px_per_frame",
+                   "motion_abs_sum", "max_delta", "error"],
+        )
+
+
+def build_video_motion_pipeline(media_ds):
+    """video rows → per-video integer motion-energy table."""
+    import pyarrow.compute as pc
+
+    vid = media_ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), "video")),
+        batch_format="pyarrow")
+    return vid.map_batches(VideoMotionStage, batch_format="pyarrow",
+                           batch_size=16, concurrency=(1, 4))
+
+
+def media_motion_for_n(n: int, seed: int = 42):
+    """The driver's ``media_motion`` pipeline for ``n`` media rows
+    (see :func:`media_features_for_n`)."""
+    import ray.data
+
+    return build_video_motion_pipeline(
+        ray.data.from_arrow(gen_media_table(n, seed=seed)))
+
+
 def build_media_pipeline(media_ds, resize_to: int | None = 32,
                          frame_every_k: int = 8):
     """Route a mixed media table through the three stages and union the

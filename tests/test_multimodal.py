@@ -1,7 +1,7 @@
 """Multimodal stage plumbing: schemas, actor signatures, per-frame
-fan-out, error columns. Image decode is REAL PNG (functions/png.py),
-audio decode is REAL RIFF/WAV (functions/wav.py); video decode remains
-a deterministic stub."""
+fan-out, error columns. ALL decodes are real: PNG images
+(functions/png.py), RIFF/WAV audio (functions/wav.py), APNG video
+(functions/png.py:decode_apng)."""
 
 from __future__ import annotations
 
@@ -138,3 +138,32 @@ def test_preprocess_runs_on_real_pixels(ray_session):
     assert out.error.isna().all()
     assert (out.height > 0).all() and (out.width > 0).all()
     assert (out.noise_level > 0).any()  # salt noise is measurable
+
+
+def test_video_motion_stage():
+    from horizon_ocr_python_ray.stages.multimodal import VideoMotionStage
+
+    t = gen_media_table(12, seed=11)
+    vid = t.filter(pa.compute.equal(t.column("kind"), "video"))
+    out = VideoMotionStage()(vid)
+    assert out.num_rows == vid.num_rows
+    rows = out.to_pylist()
+    for r in rows:
+        assert r["error"] is None
+        assert r["n_frames"] >= 8
+        assert r["motion_abs_sum"] > 0       # the pan moves every frame
+        assert 0 < r["max_delta"] <= 255
+    # deterministic
+    again = VideoMotionStage()(vid)
+    assert out.equals(again)
+    # a corrupt payload isolates as an error row, not a thrown batch
+    bad = pa.Table.from_arrays(
+        [pa.array([99], pa.int64()), pa.array(["video"]),
+         pa.array([b"not-a-png"], pa.binary()),
+         pa.array([{"width": 0, "height": 0, "channels": 1,
+                    "sample_rate": 0, "n_frames": 3}],
+                  vid.schema.field("meta").type)],
+        schema=vid.schema)
+    err = VideoMotionStage()(bad).to_pylist()[0]
+    assert err["error"].startswith("PngError")
+    assert err["motion_abs_sum"] == 0

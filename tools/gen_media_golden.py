@@ -50,13 +50,15 @@ def main() -> None:
 
     from horizon_ocr_python_ray.stages.multimodal import (
         media_features_for_n,
+        media_motion_for_n,
         media_preprocess_for_n,
     )
 
     out_dir = os.path.join(REPO, "data", "golden")
     os.makedirs(out_dir, exist_ok=True)
     for name, builder in (("media_features", media_features_for_n),
-                          ("media_preprocess", media_preprocess_for_n)):
+                          ("media_preprocess", media_preprocess_for_n),
+                          ("media_motion", media_motion_for_n)):
         parts = []
         for n in N_ROWS:
             # collect as ARROW so the golden parquet carries the exact
