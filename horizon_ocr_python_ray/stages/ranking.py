@@ -25,12 +25,33 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 from ray.data.aggregate import Sum
 
 
 def _token_counts(text: str) -> int:
     return len((text or "").lower().split())
+
+
+def _flat_tokens(t: pa.Table) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """Arrow-vectorized tokenize of ``lower(text)`` for a whole batch:
+    (flat token values, per-doc offsets into them, per-doc non-empty
+    token counts). ``split_pattern_regex('\\s+')`` emits empty strings
+    for leading/trailing whitespace where Python's ``str.split()`` drops
+    them — empty tokens never match a query term, and the returned
+    counts exclude them, so both kernels match ``split()`` semantics."""
+    texts = pc.coalesce(t.column("text"), pa.scalar("", pa.string()))
+    tl = pc.split_pattern_regex(pc.utf8_lower(texts), r"\s+")
+    if isinstance(tl, pa.ChunkedArray):
+        tl = tl.combine_chunks()
+    la = pc.list_flatten(tl)
+    offsets = np.asarray(tl.offsets)
+    ne = pc.not_equal(la, "").fill_null(False).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    cs = np.concatenate([[0], np.cumsum(ne)])
+    n_tokens = cs[offsets[1:] - offsets[0]] - cs[offsets[:-1] - offsets[0]]
+    return la, offsets - offsets[0], n_tokens
 
 
 def doc_global_rank(docs: ray.data.Dataset) -> ray.data.Dataset:
@@ -168,26 +189,23 @@ def tfidf_topk(
     q_ref = ray.put(idf)
 
     # ---- score pass: stream docs, Σ tf·idf over the tiny query ------
+    # Fully vectorized: Arrow tokenize → index_in against the broadcast
+    # term set → per-doc cumsum-diff segment sums (no per-token Python).
     def score_partial(t: pa.Table) -> pa.Table:
         q = ray.get(q_ref)
-        texts = t.column("text").to_pylist()
+        terms = sorted(q)
+        idf_plus0 = np.array([q[x] for x in terms] + [0], dtype=np.int64)
+        values, offsets, n_tokens = _flat_tokens(t)
+        idx = pc.index_in(values, value_set=pa.array(terms, pa.string()))
+        idx_np = idx.fill_null(len(terms)).to_numpy(zero_copy_only=False)
+        tok_idf = idf_plus0[idx_np]
+        cs = np.concatenate([[0], np.cumsum(tok_idf)])
+        scores = cs[offsets[1:]] - cs[offsets[:-1]]
         ids = t.column("doc_id").to_numpy()
-        out_id: list[int] = []
-        out_s: list[int] = []
-        out_n: list[int] = []
-        for i, x in enumerate(texts):
-            toks = (x or "").lower().split()
-            s = 0
-            for tok in toks:
-                w = q.get(tok)
-                if w:
-                    s += w
-            if s:
-                out_id.append(int(ids[i]))
-                out_s.append(s)
-                out_n.append(len(toks))
-        part = pd.DataFrame({"doc_id": out_id, "score_e6": out_s,
-                             "n_tokens": out_n})
+        keep = scores > 0
+        part = pd.DataFrame({"doc_id": ids[keep].astype(np.int64),
+                             "score_e6": scores[keep],
+                             "n_tokens": n_tokens[keep]})
         # partial top-k: only k candidate rows leave each batch
         part = part.sort_values(["score_e6", "doc_id"],
                                 ascending=[False, True]).head(k)
@@ -222,16 +240,19 @@ def and_search(docs: ray.data.Dataset, n_query: int = 3) -> ray.data.Dataset:
     q_ref = ray.put(query)
 
     def probe(t: pa.Table) -> pa.Table:
-        q = ray.get(q_ref)
-        texts = t.column("text").to_pylist()
+        # vectorized containment: per query term, a cumsum-diff presence
+        # count over the flattened token array (n_query is tiny)
+        q = sorted(ray.get(q_ref))
+        values, offsets, n_tokens = _flat_tokens(t)
         ids = t.column("doc_id").to_numpy()
-        out_id, out_n = [], []
-        for i, x in enumerate(texts):
-            toks = (x or "").lower().split()
-            if q and q.issubset(toks):
-                out_id.append(int(ids[i]))
-                out_n.append(len(toks))
-        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
-                         "n_tokens": pa.array(out_n, pa.int64())})
+        keep = np.ones(len(ids), bool) if q else np.zeros(len(ids), bool)
+        for term in q:
+            m = pc.equal(values, term).fill_null(False).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            cs = np.concatenate([[0], np.cumsum(m)])
+            keep &= (cs[offsets[1:]] - cs[offsets[:-1]]) > 0
+        return pa.table({"doc_id": pa.array(ids[keep].astype(np.int64),
+                                            pa.int64()),
+                         "n_tokens": pa.array(n_tokens[keep], pa.int64())})
 
     return docs.map_batches(probe, batch_format="pyarrow")
