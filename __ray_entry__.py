@@ -750,6 +750,31 @@ def _doc_repeated_ngrams(sf_dir: str):
     return repeated_ngram_stats(docs, n=4)
 
 
+def _events_window_join(sf_dir: str):
+    """Stream-to-stream interval join: every purchase event joined to
+    the same user's events in the trailing hour (strictly earlier),
+    zero-prior purchases kept (left shape). One user-bucket shuffle,
+    searchsorted windows — never a per-user cross product
+    (``stages/rangejoin.py``)."""
+    import ray.data
+    from horizon_ocr_python_ray.stages.rangejoin import purchase_window_join
+
+    events = _sf_table(sf_dir, "events")
+    return purchase_window_join(events)
+
+
+def _doc_substring_dedup(sf_dir: str):
+    """Exact substring-span dedup (Lee et al. ExactSubstr restated as
+    8-token window coverage): token positions inside any corpus-
+    duplicated window are removed; emits per-doc token counts, covered
+    counts and the cleaned text (``stages/substrdedup.py``)."""
+    import ray.data
+    from horizon_ocr_python_ray.stages.substrdedup import substring_dedup
+
+    docs = _sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return substring_dedup(docs, n=8)
+
+
 def _doc_quality_gate(sf_dir: str):
     """Adaptive percentile gate: documents below the exact corpus P10
     of n_chars are flagged dropped (kept=false)."""
@@ -1472,6 +1497,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cust_order_dist": _cust_order_dist,
         "doc_quality_gate": _doc_quality_gate,
         "doc_repeated_ngrams": _doc_repeated_ngrams,
+        "doc_substring_dedup": _doc_substring_dedup,
+        "events_window_join": _events_window_join,
         "events_approx_users": _events_approx_users,
         "doc_incremental_dedup": _doc_incremental_dedup,
         "doc_split": _doc_split,
@@ -1808,6 +1835,65 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_repeated
             FROM grams JOIN df USING (g)
             GROUP BY doc_id
+        """,
+        # Trailing-hour interval join: DuckDB replays the inequality
+        # join directly; window-start inclusive, end strictly earlier,
+        # zero-prior purchases kept via LEFT JOIN.
+        "events_window_join": """
+            SELECT p.event_id AS purchase_id, p.user_id,
+                   CAST(count(e.event_id) AS BIGINT) AS n_prior,
+                   CAST(coalesce(sum(CAST(round(e.value * 100) AS BIGINT)),
+                                 0) AS BIGINT) AS sum_prior_e2
+            FROM events p
+            LEFT JOIN events e
+              ON e.user_id = p.user_id
+             AND e.ts >= p.ts - INTERVAL 1 HOUR
+             AND e.ts < p.ts
+            WHERE p.event_type = 'purchase'
+            GROUP BY 1, 2
+        """,
+        # Exact substring-span dedup: full SQL replay — positional
+        # 8-gram instances, total-count >= 2 (multiplicity, like a
+        # suffix array), covered positions via generate_series, cleaned
+        # text re-joined with the same lower/whitespace tokenization.
+        "doc_substring_dedup": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), tl AS (
+              SELECT doc_id, t, len(t) AS n_tokens FROM tok
+            ), inst AS (
+              SELECT doc_id, i AS s, array_to_string(t[i:i+7], ' ') AS g
+              FROM tl, unnest(range(1, greatest(n_tokens - 8 + 2, 1))) AS u(i)
+              WHERE n_tokens >= 8
+            ), dupg AS (
+              SELECT g FROM inst GROUP BY g HAVING count(*) >= 2
+            ), cov AS (
+              SELECT DISTINCT doc_id, p
+              FROM (SELECT doc_id, unnest(generate_series(s, s + 7)) AS p
+                    FROM inst JOIN dupg USING (g))
+            ), toks AS (
+              SELECT doc_id, unnest(t) AS tok,
+                     unnest(range(1, len(t) + 1)) AS i
+              FROM tl
+            ), joined AS (
+              SELECT toks.doc_id, toks.tok, toks.i,
+                     (cov.p IS NOT NULL) AS covered
+              FROM toks LEFT JOIN cov
+                ON cov.doc_id = toks.doc_id AND cov.p = toks.i
+            ), agg AS (
+              SELECT doc_id,
+                     sum(CASE WHEN covered THEN 1 ELSE 0 END) AS n_covered,
+                     string_agg(CASE WHEN NOT covered THEN tok END,
+                                ' ' ORDER BY i) AS clean
+              FROM joined GROUP BY doc_id
+            )
+            SELECT tl.doc_id, CAST(tl.n_tokens AS BIGINT) AS n_tokens,
+                   CAST(coalesce(agg.n_covered, 0) AS BIGINT) AS n_covered,
+                   coalesce(agg.clean, '') AS clean_text
+            FROM tl LEFT JOIN agg USING (doc_id)
         """,
         # Adaptive percentile gate: the type-1 P10 threshold (smallest
         # value whose running count reaches ceil(0.1*N)) is re-derived

@@ -80,3 +80,36 @@ def explode_distinct_ngrams(doc_ids: pa.ChunkedArray | pa.Array,
         pa.int64()))
     pairs = pa.table({"doc_id": owner, "gram": grams})
     return pairs.group_by(["doc_id", "gram"]).aggregate([])
+
+
+def explode_ngram_instances(doc_ids: pa.ChunkedArray | pa.Array,
+                            texts: pa.ChunkedArray | pa.Array,
+                            n: int) -> pa.Table:
+    """(doc_id, start, gram) for EVERY n-gram window (start = 0-based
+    token index, one row per instance, repeats kept) — the positional
+    explode behind substring-span dedup, same tokenization as
+    :func:`explode_distinct_ngrams` (lower, whitespace split, empties
+    dropped)."""
+    if isinstance(doc_ids, pa.ChunkedArray):
+        doc_ids = doc_ids.combine_chunks()
+    flat, offsets = _flat_tokens(texts)
+    tok_counts = np.diff(offsets)
+    gram_counts = np.maximum(tok_counts - n + 1, 0)
+    total = int(gram_counts.sum())
+    if total == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "start": pa.array([], pa.int64()),
+                         "gram": pa.array([], pa.string())})
+    gram_starts = np.zeros(len(gram_counts) + 1, np.int64)
+    np.cumsum(gram_counts, out=gram_starts[1:])
+    intra = (np.arange(total, dtype=np.int64)
+             - np.repeat(gram_starts[:-1], gram_counts))
+    starts = np.repeat(offsets[:-1], gram_counts) + intra
+    parts = [flat.take(pa.array(starts + k, pa.int64())) for k in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    owner = doc_ids.take(pa.array(
+        np.repeat(np.arange(len(gram_counts), dtype=np.int64), gram_counts),
+        pa.int64())).cast(pa.int64())
+    return pa.table({"doc_id": owner,
+                     "start": pa.array(intra, pa.int64()),
+                     "gram": grams})
