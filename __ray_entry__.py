@@ -759,7 +759,9 @@ def _events_window_join(sf_dir: str):
     import ray.data
     from horizon_ocr_python_ray.stages.rangejoin import purchase_window_join
 
-    events = _sf_table(sf_dir, "events")
+    events = _sf_table(sf_dir, "events",
+                       columns=["event_id", "ts", "user_id",
+                                "event_type", "value"])
     return purchase_window_join(events)
 
 

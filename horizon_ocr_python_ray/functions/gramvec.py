@@ -7,8 +7,11 @@ cost of the corpus-wide repeated-gram pipeline, which explodes EVERY
 document (round-2 verdict: the most expensive bench query). This module
 does the same explode with Arrow/numpy kernels only:
 
-1. ``utf8_lower`` + ``utf8_split_whitespace`` (one C++ call each),
-2. drop zero-length boundary tokens in the FLAT token array (Arrow's
+1. ``utf8_lower`` + ``split_pattern_regex('\\s+')`` (one C++ call each;
+   Arrow's regex engine is RE2, the same engine DuckDB uses, so the
+   whitespace class is byte-identical to the SQL oracles' —
+   ``[\\t\\n\\f\\r ]``, not Python's Unicode ``\\s``),
+2. drop zero-length boundary tokens in the FLAT token array (regex
    split keeps leading/trailing empties; ``\\S+`` does not),
 3. window starts via the repeat/cumsum ownership trick (the same shape
    as ``fasthash``'s per-row sums),
@@ -33,7 +36,8 @@ def _flat_tokens(texts: pa.ChunkedArray | pa.Array):
     treated as empty docs."""
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
-    toks = pc.utf8_split_whitespace(pc.utf8_lower(pc.fill_null(texts, "")))
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(pc.fill_null(texts, "")), r"\s+")
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
     flat = toks.flatten()
@@ -52,21 +56,20 @@ def _flat_tokens(texts: pa.ChunkedArray | pa.Array):
     return flat, new_offsets
 
 
-def explode_distinct_ngrams(doc_ids: pa.ChunkedArray | pa.Array,
-                            texts: pa.ChunkedArray | pa.Array,
-                            n: int) -> pa.Table:
-    """(doc_id, gram) DISTINCT pairs of every document's lowered
-    whitespace-token n-grams — ``doc_ngrams`` exploded over a whole
-    batch with no per-row Python. Docs with < n tokens emit nothing."""
-    if isinstance(doc_ids, pa.ChunkedArray):
-        doc_ids = doc_ids.combine_chunks()
+def _gram_windows(texts: pa.ChunkedArray | pa.Array, n: int):
+    """Shared window explode: tokenize ``texts`` and enumerate every
+    n-token window. Returns ``(doc_idx, intra, grams)`` — the owning
+    document's positional index (int64 ndarray), the 0-based token
+    start within that document (int64 ndarray), and the joined gram
+    strings (Arrow Array) — or ``None`` when no document has ≥ n
+    tokens. Both explode entry points project from this one kernel so
+    the window arithmetic can never drift between them."""
     flat, offsets = _flat_tokens(texts)
     tok_counts = np.diff(offsets)
     gram_counts = np.maximum(tok_counts - n + 1, 0)
     total = int(gram_counts.sum())
     if total == 0:
-        return pa.table({"doc_id": pa.array([], doc_ids.type),
-                         "gram": pa.array([], pa.string())})
+        return None
     gram_starts = np.zeros(len(gram_counts) + 1, np.int64)
     np.cumsum(gram_counts, out=gram_starts[1:])
     # global window index → start position in the flat token array
@@ -75,9 +78,25 @@ def explode_distinct_ngrams(doc_ids: pa.ChunkedArray | pa.Array,
     starts = np.repeat(offsets[:-1], gram_counts) + intra
     parts = [flat.take(pa.array(starts + k, pa.int64())) for k in range(n)]
     grams = pc.binary_join_element_wise(*parts, " ")
-    owner = doc_ids.take(pa.array(
-        np.repeat(np.arange(len(gram_counts), dtype=np.int64), gram_counts),
-        pa.int64()))
+    doc_idx = np.repeat(np.arange(len(gram_counts), dtype=np.int64),
+                        gram_counts)
+    return doc_idx, intra, grams
+
+
+def explode_distinct_ngrams(doc_ids: pa.ChunkedArray | pa.Array,
+                            texts: pa.ChunkedArray | pa.Array,
+                            n: int) -> pa.Table:
+    """(doc_id, gram) DISTINCT pairs of every document's lowered
+    whitespace-token n-grams — ``doc_ngrams`` exploded over a whole
+    batch with no per-row Python. Docs with < n tokens emit nothing."""
+    if isinstance(doc_ids, pa.ChunkedArray):
+        doc_ids = doc_ids.combine_chunks()
+    win = _gram_windows(texts, n)
+    if win is None:
+        return pa.table({"doc_id": pa.array([], doc_ids.type),
+                         "gram": pa.array([], pa.string())})
+    doc_idx, _intra, grams = win
+    owner = doc_ids.take(pa.array(doc_idx, pa.int64()))
     pairs = pa.table({"doc_id": owner, "gram": grams})
     return pairs.group_by(["doc_id", "gram"]).aggregate([])
 
@@ -92,24 +111,13 @@ def explode_ngram_instances(doc_ids: pa.ChunkedArray | pa.Array,
     dropped)."""
     if isinstance(doc_ids, pa.ChunkedArray):
         doc_ids = doc_ids.combine_chunks()
-    flat, offsets = _flat_tokens(texts)
-    tok_counts = np.diff(offsets)
-    gram_counts = np.maximum(tok_counts - n + 1, 0)
-    total = int(gram_counts.sum())
-    if total == 0:
+    win = _gram_windows(texts, n)
+    if win is None:
         return pa.table({"doc_id": pa.array([], pa.int64()),
                          "start": pa.array([], pa.int64()),
                          "gram": pa.array([], pa.string())})
-    gram_starts = np.zeros(len(gram_counts) + 1, np.int64)
-    np.cumsum(gram_counts, out=gram_starts[1:])
-    intra = (np.arange(total, dtype=np.int64)
-             - np.repeat(gram_starts[:-1], gram_counts))
-    starts = np.repeat(offsets[:-1], gram_counts) + intra
-    parts = [flat.take(pa.array(starts + k, pa.int64())) for k in range(n)]
-    grams = pc.binary_join_element_wise(*parts, " ")
-    owner = doc_ids.take(pa.array(
-        np.repeat(np.arange(len(gram_counts), dtype=np.int64), gram_counts),
-        pa.int64())).cast(pa.int64())
+    doc_idx, intra, grams = win
+    owner = doc_ids.take(pa.array(doc_idx, pa.int64())).cast(pa.int64())
     return pa.table({"doc_id": owner,
                      "start": pa.array(intra, pa.int64()),
                      "gram": grams})

@@ -11,9 +11,14 @@ from __future__ import annotations
 
 import re
 
-_TOKEN_RE = re.compile(r"\S+")
+# RE2-compatible \S+: DuckDB's regexp engine (RE2) defines \s as the
+# ASCII class [\t\n\f\r ] (no \v, no Unicode spaces), while Python's \S
+# is Unicode-aware. The oracles tokenize with RE2, so the engine splits
+# on exactly RE2's whitespace class — byte-identical on ASCII text and
+# still aligned if the corpus ever grows U+00A0/U+2028-style spaces.
+_TOKEN_RE = re.compile(r"[^\t\n\f\r ]+")
 # BPE-ish subword split: runs of letters, runs of digits, single other chars.
-_BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+_BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\t\n\f\r ]")
 _SENT_PUNCT = ".!?"
 
 # Keep in sync with the SQL oracle in __ray_entry__.oracle_sql (lang_id):

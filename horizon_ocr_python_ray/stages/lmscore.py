@@ -83,17 +83,46 @@ def _partial_counts(batch: pa.Table) -> pa.Table:
                      "c": pa.array(cs, pa.int64())})
 
 
+def _prune_grams(batch: pa.Table) -> pa.Table:
+    """Distributed KenLM-style prune: keep every unigram row plus
+    bigrams with corpus count ≥ MIN_BIGRAM_COUNT. Runs BEFORE the
+    driver collection so count-1 singleton bigrams (typically the
+    large majority of distinct bigrams) never leave the cluster."""
+    import pyarrow.compute as pc
+    keep = pc.or_(pc.equal(batch.column("w2"), ""),
+                  pc.greater_equal(batch.column("c"),
+                                   pa.scalar(MIN_BIGRAM_COUNT, pa.int64())))
+    return batch.filter(keep)
+
+
 def train_bigram_model(docs_ds) -> dict:
     """One counting pass → broadcast-ready integer model dict."""
     from ray.data.aggregate import Sum
 
     counts = (docs_ds.map_batches(_partial_counts, batch_format="pyarrow")
-              .groupby(["w1", "w2"]).aggregate(Sum("c", alias_name="c")))
-    t = pa.concat_tables(
-        [x for x in ray.get(counts.to_arrow_refs()) if x.num_rows])
+              .groupby(["w1", "w2"]).aggregate(Sum("c", alias_name="c"))
+              .map_batches(_prune_grams, batch_format="pyarrow"))
+    # Pull block-by-block with a running cap so the loud refusal fires
+    # BEFORE driver memory blows, not after.
+    parts, rows = [], 0
+    for ref in counts.to_arrow_refs():
+        x = ray.get(ref)
+        if not x.num_rows:
+            continue
+        rows += x.num_rows
+        if rows > BROADCAST_VOCAB_MAX + BROADCAST_BIGRAM_MAX:
+            raise NotImplementedError(
+                f"pruned model exceeds {BROADCAST_VOCAB_MAX} vocab + "
+                f"{BROADCAST_BIGRAM_MAX} bigram broadcast budget; raise "
+                f"MIN_BIGRAM_COUNT or use the explode + gram hash-join "
+                f"plan (topterms.py shuffle-join shape) for this corpus")
+        parts.append(x)
+    t = pa.concat_tables(parts) if parts else pa.table(
+        {"w1": pa.array([], pa.string()), "w2": pa.array([], pa.string()),
+         "c": pa.array([], pa.int64())})
     w1 = np.asarray(t.column("w1").to_pylist(), dtype=object)
     w2 = np.asarray(t.column("w2").to_pylist(), dtype=object)
-    c = t.column("c").to_numpy().astype(np.int64)
+    c = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
     is_uni = w2 == ""
     vocab = np.sort(w1[is_uni].astype(str))
     c1_by_tok = dict(zip(w1[is_uni], c[is_uni]))
@@ -104,7 +133,7 @@ def train_bigram_model(docs_ds) -> dict:
             f"({BROADCAST_VOCAB_MAX}); use the explode + gram hash-join "
             f"plan (topterms.py shuffle-join shape) for this corpus")
     total = int(c1.sum())
-    keep = (~is_uni) & (c >= MIN_BIGRAM_COUNT)
+    keep = ~is_uni  # bigrams below MIN_BIGRAM_COUNT already pruned remotely
     if int(keep.sum()) > BROADCAST_BIGRAM_MAX:
         raise NotImplementedError(
             f"pruned bigram table {int(keep.sum())} exceeds "
@@ -119,47 +148,45 @@ def train_bigram_model(docs_ds) -> dict:
             "bkey": bkey[order], "c2": c[keep][order]}
 
 
-class _Scorer:
-    """Vectorized per-document scorer over the broadcast model."""
-
-    def __init__(self, model_ref):
-        self.m = ray.get(model_ref)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        m = self.m
-        vocab, c1, total = m["vocab"], m["c1"], m["total"]
-        bkey, c2 = m["bkey"], m["c2"]
-        v = len(vocab)
-        ids_out, ntok_out, ntr_out, score_out = [], [], [], []
-        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
-                                batch.column("text").to_pylist()):
-            toks = _doc_tokens(text)
-            n = len(toks)
-            if n < 2 or len(vocab) == 0:
-                ids_out.append(doc_id); ntok_out.append(n)
-                ntr_out.append(0); score_out.append(0)
-                continue
-            arr = np.asarray(toks, dtype=str)
-            ids = np.minimum(np.searchsorted(vocab, arr), len(vocab) - 1)
-            known = vocab[ids] == arr  # OOV only when scoring a held-out set
-            c1_prev = np.where(known[:-1], c1[ids[:-1]], 1)
-            c1_next = np.where(known[1:], c1[ids[1:]], 0)
-            keys = ids[:-1].astype(np.int64) * v + ids[1:]
-            if len(bkey):
-                pos = np.minimum(np.searchsorted(bkey, keys), len(bkey) - 1)
-                hit = (bkey[pos] == keys) & known[:-1] & known[1:]
-                big_term = (SCALE * c2[pos]) // c1_prev
-            else:
-                hit = np.zeros(len(keys), bool)
-                big_term = np.zeros(len(keys), np.int64)
-            uni_term = (SCALE * c1_next) // total
-            terms = np.where(hit, big_term, uni_term)
+def _score_batch(batch: pa.Table, model_ref) -> pa.Table:
+    """Vectorized per-document scorer over the broadcast model. The
+    ``ray.get`` resolves from the worker's local plasma store (cached
+    after the first fetch per process) — the model dict itself is never
+    pickled into the task closure."""
+    m = ray.get(model_ref) if isinstance(model_ref, ray.ObjectRef) else model_ref
+    vocab, c1, total = m["vocab"], m["c1"], m["total"]
+    bkey, c2 = m["bkey"], m["c2"]
+    v = len(vocab)
+    ids_out, ntok_out, ntr_out, score_out = [], [], [], []
+    for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("text").to_pylist()):
+        toks = _doc_tokens(text)
+        n = len(toks)
+        if n < 2 or len(vocab) == 0:
             ids_out.append(doc_id); ntok_out.append(n)
-            ntr_out.append(n - 1); score_out.append(int(terms.sum()))
-        return pa.Table.from_arrays(
-            [pa.array(ids_out, pa.int64()), pa.array(ntok_out, pa.int64()),
-             pa.array(ntr_out, pa.int64()), pa.array(score_out, pa.int64())],
-            schema=_SCORE_SCHEMA)
+            ntr_out.append(0); score_out.append(0)
+            continue
+        arr = np.asarray(toks, dtype=str)
+        ids = np.minimum(np.searchsorted(vocab, arr), len(vocab) - 1)
+        known = vocab[ids] == arr  # OOV only when scoring a held-out set
+        c1_prev = np.where(known[:-1], c1[ids[:-1]], 1)
+        c1_next = np.where(known[1:], c1[ids[1:]], 0)
+        keys = ids[:-1].astype(np.int64) * v + ids[1:]
+        if len(bkey):
+            pos = np.minimum(np.searchsorted(bkey, keys), len(bkey) - 1)
+            hit = (bkey[pos] == keys) & known[:-1] & known[1:]
+            big_term = (SCALE * c2[pos]) // c1_prev
+        else:
+            hit = np.zeros(len(keys), bool)
+            big_term = np.zeros(len(keys), np.int64)
+        uni_term = (SCALE * c1_next) // total
+        terms = np.where(hit, big_term, uni_term)
+        ids_out.append(doc_id); ntok_out.append(n)
+        ntr_out.append(n - 1); score_out.append(int(terms.sum()))
+    return pa.Table.from_arrays(
+        [pa.array(ids_out, pa.int64()), pa.array(ntok_out, pa.int64()),
+         pa.array(ntr_out, pa.int64()), pa.array(score_out, pa.int64())],
+        schema=_SCORE_SCHEMA)
 
 
 def doc_lm_score(docs_ds, score_docs_ds=None):
@@ -168,8 +195,12 @@ def doc_lm_score(docs_ds, score_docs_ds=None):
     Trains on ``docs_ds``; scores ``score_docs_ds`` (defaults to the
     training set — the CCNet self-scoring shape). Two streaming passes,
     one narrow gram shuffle, broadcast model, vectorized scoring."""
+    import functools
+
     model = train_bigram_model(docs_ds)
     model_ref = ray.put(model)
+    del model  # single copy: workers read the plasma object zero-copy
     target = score_docs_ds if score_docs_ds is not None else docs_ds
-    scorer = _Scorer(model_ref)
-    return target.map_batches(scorer, batch_format="pyarrow")
+    return target.map_batches(
+        functools.partial(_score_batch, model_ref=model_ref),
+        batch_format="pyarrow")

@@ -104,7 +104,10 @@ def gen_media_table(n_rows: int, seed: int = 42) -> pa.Table:
         if kind == "image":
             w, h = rng.choice((64, 128, 256)), rng.choice((64, 128))
             grey = render_page_raster(i, seed, w, h)
-            if i % 9 in (0, 3, 6):
+            # image rows are i % 3 == 0, so key the grey/RGB split on the
+            # image-row ordinal (i // 3): every 3rd image is greyscale
+            # and the other two-thirds exercise the RGB decode path
+            if (i // 3) % 3 == 0:
                 img, c = grey, 1
             else:
                 tint = np.array([0, 3, 6], np.int64)

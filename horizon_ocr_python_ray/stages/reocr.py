@@ -88,15 +88,20 @@ def _crop(img: np.ndarray, bbox: list[float]) -> np.ndarray | None:
     return c
 
 
-def reocr_page(page: dict, key: str) -> dict[str, list[dict[str, Any]]]:
+def reocr_page(page: dict, key: str,
+               img: np.ndarray | None = None
+               ) -> dict[str, list[dict[str, Any]]]:
     """Run the full ladder on one decoded payload page.
 
     Returns {strategy: [per-line result dicts]} where each dict carries
     ``{"idx", "text", "old_conf", "new_conf", "accepted_engine",
     "improved"}`` for every SELECTED line (reference ``ReOCRResult``
-    fields). Non-selected lines are not re-processed.
+    fields). Non-selected lines are not re-processed. ``img`` lets a
+    caller that already rasterized the page (the render dominates
+    per-page cost) reuse it instead of paying a second render.
     """
-    img = rasterize_page(page, key)
+    if img is None:
+        img = rasterize_page(page, key)
     lines = page["lines"]
 
     # -- first pass: crop, extract pixel features ONCE per line, route
@@ -171,7 +176,7 @@ def apply_reocr(page: dict, key: str, strategy: str = "ensemble",
     from ..functions.raster import token_confidences
 
     img = rasterize_page(page, key)
-    results = reocr_page(page, key) if enabled else {strategy: []}
+    results = reocr_page(page, key, img=img) if enabled else {strategy: []}
     updates = {r["idx"]: r for r in results.get(strategy, ())
                if r["improved"]}
     out = []

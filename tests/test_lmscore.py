@@ -10,7 +10,7 @@ import pytest
 from horizon_ocr_python_ray.stages.lmscore import (
     MIN_BIGRAM_COUNT,
     SCALE,
-    _Scorer,
+    _score_batch,
     doc_lm_score,
     train_bigram_model,
 )
@@ -89,3 +89,31 @@ def test_broadcast_guard(ray_session, monkeypatch):
     monkeypatch.setattr(mod, "BROADCAST_VOCAB_MAX", 2)
     with pytest.raises(NotImplementedError, match="hash-join"):
         train_bigram_model(_docs(["a b c d e"]))
+
+
+def test_streaming_cap_fires_before_collection(ray_session, monkeypatch):
+    # the running-row cap must refuse BEFORE concatenating the model on
+    # the driver, not after — both caps shrunk so rows > vocab+bigram
+    import horizon_ocr_python_ray.stages.lmscore as mod
+
+    monkeypatch.setattr(mod, "BROADCAST_VOCAB_MAX", 1)
+    monkeypatch.setattr(mod, "BROADCAST_BIGRAM_MAX", 1)
+    with pytest.raises(NotImplementedError, match="broadcast budget"):
+        train_bigram_model(_docs(["a b c d e a b c d e"]))
+
+
+def test_singleton_bigrams_pruned_remotely(ray_session):
+    # "b c" occurs once → pruned by _prune_grams before collection, so
+    # the trained model must not contain it, and scoring still backs off
+    m = train_bigram_model(_docs(["a b c", "a b"]))
+    assert len(m["bkey"]) == 1  # only a→b survives
+
+    # _score_batch accepts the raw model dict (no ObjectRef) and matches
+    # the distributed doc_lm_score output exactly
+    batch = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                      "text": pa.array(["a b c", "a b"], pa.string())})
+    local = _score_batch(batch, m).to_pandas().set_index("doc_id")
+    dist = (doc_lm_score(_docs(["a b c", "a b"])).to_pandas()
+            .set_index("doc_id").sort_index())
+    assert (local["lm_score"] == dist["lm_score"]).all()
+    assert local.loc[0, "lm_score"] == SCALE + SCALE // 5
