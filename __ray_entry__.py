@@ -568,6 +568,31 @@ def _pages_redact(sf_dir: str):
     return out.map_batches(redact_batch, batch_format="pyarrow")
 
 
+def _pages_html_meta(sf_dir: str):
+    """CC-index-style metadata harvest: title + anchor/paragraph/heading
+    counts for payloads passing the exact ``<!DOCTYPE html`` byte-prefix
+    gate. Column-pruned read, one RE2 kernel per field, zero shuffles."""
+    from horizon_ocr_python_ray import ensure_corpus, read_pages, sf_from_dir
+    from horizon_ocr_python_ray.functions.htmlmeta import html_meta_batch
+
+    corpus = ensure_corpus(sf_from_dir(sf_dir))
+    pages = read_pages(corpus, columns=["url", "html"])
+    return pages.map_batches(html_meta_batch, batch_format="pyarrow")
+
+
+def _pages_c4_filter(sf_dir: str):
+    """C4-style heuristic cleaning (Raffel et al. 2020 §2.2): per-line
+    terminal-punctuation / min-words / boilerplate-phrase keep rules,
+    then per-document drops (code brace, lorem ipsum, <3 kept lines).
+    Stateless map_batches, zero shuffles at any scale."""
+    from horizon_ocr_python_ray import build_extract_pipeline, ensure_corpus, read_pages, sf_from_dir
+    from horizon_ocr_python_ray.functions.c4filter import c4_filter_batch
+
+    corpus = ensure_corpus(sf_from_dir(sf_dir))
+    out = build_extract_pipeline(read_pages(corpus))
+    return out.map_batches(c4_filter_batch, batch_format="pyarrow")
+
+
 def _pages_line_dedup(sf_dir: str):
     """Corpus-global boilerplate line removal (RefinedWeb-style): lines
     in ≥5 distinct docs dropped everywhere; per-doc digest of the
@@ -1393,6 +1418,16 @@ def _doc_safe_split(sf_dir: str):
     return safe_split(docs, eval_permille=100)
 
 
+def _doc_shuffle_shards(sf_dir: str):
+    """Deterministic seeded global shuffle + shard assignment (the
+    training-export order): order key = salted md5 of doc_id, shard =
+    key mod 16, dense in-shard positions by (key hash, doc_id)."""
+    from horizon_ocr_python_ray.stages.sampling import shuffle_shards
+
+    docs = _sf_table(sf_dir, "documents", columns=["doc_id"])
+    return shuffle_shards(docs, key="doc_id", nshards=16)
+
+
 def _emb_semdedup(sf_dir: str):
     """SemDeDup composite: broadcast k-means model → streaming assign →
     one cluster groupby bounds the quadratic cosine scan."""
@@ -1495,6 +1530,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # pages_extract..doc_packing; round 3 leads with the TPC-H /
     # web-graph / curation block that was judge-mimic-verified only.
     return {
+        "pages_html_meta": _pages_html_meta,
+        "pages_c4_filter": _pages_c4_filter,
+        "doc_shuffle_shards": _doc_shuffle_shards,
         "doc_normalize": _doc_normalize,
         "cust_order_dist": _cust_order_dist,
         "doc_quality_gate": _doc_quality_gate,
@@ -2500,6 +2538,59 @@ def oracle_sql() -> dict[str, str]:
         # line document-frequency table, the df>=5 drop-set, and the
         # order-preserving rewrite (list_filter keeps original line
         # order), digesting the cleaned text exactly like the engine.
+        # Metadata harvest replay over the RAW page payloads: the same
+        # exact byte-prefix gate (hex compare — DuckDB has no blob
+        # substring) and the same RE2 field kernels.
+        "pages_html_meta": f"""
+            WITH h AS (
+              SELECT url, cast(html AS VARCHAR) AS s
+              FROM read_parquet('{pages_sf0_01}')
+              WHERE left(hex(html), 28) = hex('<!DOCTYPE html'::BLOB)
+            )
+            SELECT url,
+                   coalesce(regexp_extract(s, '<title>([^<]*)</title>', 1),
+                            '') AS title,
+                   CAST(len(regexp_extract_all(s, '<a ')) AS BIGINT)
+                     AS n_anchors,
+                   CAST(len(regexp_extract_all(s, '<p>')) AS BIGINT)
+                     AS n_paragraphs,
+                   CAST(len(regexp_extract_all(s, '<h[1-6]>')) AS BIGINT)
+                     AS n_headings
+            FROM h
+        """,
+        # C4 heuristic cleaning replay: the SAME RE2 line rules
+        # (terminal punct, >=5 token runs, boilerplate phrases) as
+        # list_filter lambdas, the same doc drops, and the md5 of the
+        # order-preserving kept-line reassembly — byte-identical to the
+        # engine's Arrow-kernel pass (functions/c4filter.py).
+        "pages_c4_filter": f"""
+            WITH g AS (
+              SELECT url, extracted_text AS t,
+                     string_split(extracted_text, chr(10)) AS ls
+              FROM read_parquet('{golden_sf0_01}')
+            ), k AS (
+              SELECT url, t, ls,
+                     list_filter(ls, x ->
+                        regexp_matches(x, '[.!?"]$')
+                        AND len(regexp_extract_all(x, '[^ \t]+')) >= 5
+                        AND NOT contains(lower(x), 'javascript')
+                        AND NOT contains(lower(x), 'cookie policy')
+                        AND NOT contains(lower(x), 'privacy policy')
+                        AND NOT contains(lower(x), 'terms of use')
+                     ) AS kept
+              FROM g
+            )
+            SELECT url,
+                   CAST(len(ls) AS BIGINT) AS n_lines,
+                   CAST(len(kept) AS BIGINT) AS n_kept,
+                   CAST(coalesce(list_sum(list_transform(kept,
+                        x -> len(regexp_extract_all(x, '[^ \t]+')))), 0)
+                        AS BIGINT) AS n_tokens_kept,
+                   md5(array_to_string(kept, chr(10))) AS clean_md5
+            FROM k
+            WHERE NOT contains(t, '{{') AND NOT contains(lower(t), 'lorem ipsum')
+              AND len(kept) >= 3
+        """,
         "pages_line_dedup": f"""
             WITH g AS (
               SELECT url, string_split(extracted_text, chr(10)) AS ls
@@ -3738,6 +3829,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Leakage-safe split: the split key is the content group's
         # min-doc_id representative; identical texts always co-split.
+        # Seeded-shuffle export replay: salted md5 order key, shard =
+        # key mod 16, dense in-shard positions by (key, doc_id) — the
+        # window row_number reproduces the engine's per-shard sort.
+        "doc_shuffle_shards": """
+            WITH h AS (
+              SELECT doc_id,
+                     md5_number_lower(CAST(doc_id AS VARCHAR) || ':shuf') AS hv
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(hv % 16 AS BIGINT) AS shard,
+                   CAST(row_number() OVER (
+                          PARTITION BY hv % 16 ORDER BY hv, doc_id) - 1
+                        AS BIGINT) AS pos
+            FROM h
+        """,
         "doc_safe_split": """
             WITH g AS (
               SELECT doc_id, md5(COALESCE(text, '')) AS content_md5

@@ -219,3 +219,49 @@ def safe_split(ds, text_col: str = "text", key: str = "doc_id",
     hashed = ds.map_batches(add_md5, batch_format="pyarrow")
     return grouped_reduce(hashed, "content_md5", bucket_split,
                           batch_format="pandas")
+
+
+SHUFFLE_SALT = ":shuf"  # appended to the key before hashing (oracle-mirrored)
+
+
+def shuffle_shards(ds, key: str = "doc_id", nshards: int = 16):
+    """Deterministic seeded global shuffle + shard assignment — the
+    training-export step (every LM run wants the corpus in a fixed
+    pseudo-random order, split into N equal-ish shard files).
+
+    Order key = ``md5_low64(str(key) + SHUFFLE_SALT)``: content-free,
+    re-shard-stable, and uniform, so ordering by it IS a shuffle; the
+    salt decouples this permutation from the ``hash_split`` buckets.
+    ``shard = order_key % nshards``; within a shard rows get dense
+    positions 0..m-1 by ``(order_key, key)`` (total order — md5
+    collisions on stringified keys are broken by the key itself).
+    Output: (key, shard, pos).
+
+    Scale shape: one hash shuffle on ``shard``; the per-shard sort is
+    bounded by corpus/nshards, so ``nshards`` scales with the corpus
+    exactly like the range-partitioned sorted sink (``state/sortsink.py``
+    — use that variant when the shard payload must also be WRITTEN in
+    order; this operator is the assignment/audit projection)."""
+
+    def add_keys(t: pa.Table) -> pa.Table:
+        ks = t.column(key).to_pylist()
+        hs = [_md5_low64(str(k) + SHUFFLE_SALT) for k in ks]
+        return pa.table({
+            key: t.column(key),
+            "shuffle_hash": pa.array(hs, pa.uint64()),
+            "shard": pa.array([h % nshards for h in hs], pa.int64()),
+        })
+
+    def enumerate_shard(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[
+            ("shuffle_hash", "ascending"), (key, "ascending")])
+        g = group.take(order)
+        return pa.table({
+            key: g.column(key),
+            "shard": g.column("shard"),
+            "pos": pa.array(range(g.num_rows), pa.int64()),
+        })
+
+    keyed = ds.map_batches(add_keys, batch_format="pyarrow")
+    return keyed.groupby("shard").map_groups(
+        enumerate_shard, batch_format="pyarrow")

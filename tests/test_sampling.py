@@ -114,3 +114,42 @@ def test_stratified_sample_small_stratum_keeps_all(ray_session):
     })
     out = stratified_sample(ray.data.from_arrow(t), k=10).to_pandas()
     assert len(out) == 3  # strata smaller than k keep every row
+
+
+def test_shuffle_shards_assignment_and_positions(ray_session):
+    import ray.data
+
+    from horizon_ocr_python_ray.stages.sampling import SHUFFLE_SALT, shuffle_shards
+
+    ids = list(range(200))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64())})
+    out = shuffle_shards(ray.data.from_arrow(t), nshards=16).to_pandas()
+
+    # Every key exactly once; shard is the salted-md5 bucket.
+    assert sorted(out["doc_id"]) == ids
+    expect_shard = {k: _md5_low64(str(k) + SHUFFLE_SALT) % 16 for k in ids}
+    assert all(expect_shard[k] == s for k, s in zip(out["doc_id"], out["shard"]))
+
+    # Positions are dense 0..m-1 per shard and ordered by the hash.
+    for shard, grp in out.groupby("shard"):
+        grp = grp.sort_values("pos")
+        assert list(grp["pos"]) == list(range(len(grp)))
+        hs = [_md5_low64(str(k) + SHUFFLE_SALT) for k in grp["doc_id"]]
+        assert hs == sorted(hs)
+
+
+def test_shuffle_shards_stable_under_resharding(ray_session):
+    import ray.data
+
+    from horizon_ocr_python_ray.stages.sampling import shuffle_shards
+
+    ids = list(range(300))
+    one = pa.table({"doc_id": pa.array(ids, pa.int64())})
+    rev = pa.table({"doc_id": pa.array(ids[::-1], pa.int64())})
+    a = shuffle_shards(ray.data.from_arrow(one), nshards=8).to_pandas()
+    b = (shuffle_shards(ray.data.from_arrow(rev).repartition(7), nshards=8)
+         .to_pandas())
+    key = ["doc_id"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
