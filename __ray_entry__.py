@@ -580,6 +580,18 @@ def _pages_html_meta(sf_dir: str):
     return pages.map_batches(html_meta_batch, batch_format="pyarrow")
 
 
+def _pages_blocklist(sf_dir: str):
+    """Domain-blocklist URL filter (crawl hygiene): host equality or
+    subdomain-suffix match against a broadcast list, first match names
+    the rule in ``blocked_by``. Column-pruned read, zero shuffles."""
+    from horizon_ocr_python_ray import ensure_corpus, read_pages, sf_from_dir
+    from horizon_ocr_python_ray.functions.blocklist import blocklist_filter_batch
+
+    corpus = ensure_corpus(sf_from_dir(sf_dir))
+    pages = read_pages(corpus, columns=["url"])
+    return pages.map_batches(blocklist_filter_batch, batch_format="pyarrow")
+
+
 def _pages_c4_filter(sf_dir: str):
     """C4-style heuristic cleaning (Raffel et al. 2020 §2.2): per-line
     terminal-punctuation / min-words / boilerplate-phrase keep rules,
@@ -1531,6 +1543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # web-graph / curation block that was judge-mimic-verified only.
     return {
         "pages_html_meta": _pages_html_meta,
+        "pages_blocklist": _pages_blocklist,
         "pages_c4_filter": _pages_c4_filter,
         "doc_shuffle_shards": _doc_shuffle_shards,
         "doc_normalize": _doc_normalize,
@@ -1669,6 +1682,17 @@ def _urlnorm_sql_expr() -> str:
     from horizon_ocr_python_ray.functions.urlnorm import oracle_sql_expr
 
     return oracle_sql_expr("url")
+
+
+def _blocklist_case() -> str:
+    """First-match-wins CASE over the engine's blocklist constant
+    (single source of truth for both sides of the compare)."""
+    from horizon_ocr_python_ray.functions.blocklist import BLOCKLIST
+
+    whens = "\n".join(
+        f"WHEN host = '{d}' OR host LIKE '%.{d}' THEN '{d}'"
+        for d in BLOCKLIST)
+    return f"CASE {whens} ELSE '' END"
 
 
 def _redact_pat(name: str) -> str:
@@ -2556,6 +2580,18 @@ def oracle_sql() -> dict[str, str]:
                      AS n_paragraphs,
                    CAST(len(regexp_extract_all(s, '<h[1-6]>')) AS BIGINT)
                      AS n_headings
+            FROM h
+        """,
+        # Blocklist replay: the engine's standard host SQL idiom + a
+        # first-match CASE generated from the SAME module constant.
+        "pages_blocklist": f"""
+            WITH h AS (
+              SELECT url,
+                     lower(regexp_extract(url,
+                       '^https?://(?:[^@/]*@)?([^/:?#]+)', 1)) AS host
+              FROM read_parquet('{pages_sf0_01}')
+            )
+            SELECT url, host, {_blocklist_case()} AS blocked_by
             FROM h
         """,
         # C4 heuristic cleaning replay: the SAME RE2 line rules
