@@ -1430,6 +1430,16 @@ def _doc_safe_split(sf_dir: str):
     return safe_split(docs, eval_permille=100)
 
 
+def _events_cms_counts(sf_dir: str):
+    """Count-Min sketch per-key frequency estimates (probe = the 20
+    smallest user ids): fixed-size counter-matrix monoid, zero shuffles;
+    the oracle replays the sketch cells exactly."""
+    from horizon_ocr_python_ray.stages.cms import cms_probe_counts
+
+    events = _sf_table(sf_dir, "events", columns=["user_id"])
+    return cms_probe_counts(events, key_col="user_id", k=20)
+
+
 def _doc_shuffle_shards(sf_dir: str):
     """Deterministic seeded global shuffle + shard assignment (the
     training-export order): order key = salted md5 of doc_id, shard =
@@ -1544,6 +1554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pages_html_meta": _pages_html_meta,
         "pages_blocklist": _pages_blocklist,
+        "events_cms_counts": _events_cms_counts,
         "pages_c4_filter": _pages_c4_filter,
         "doc_shuffle_shards": _doc_shuffle_shards,
         "doc_normalize": _doc_normalize,
@@ -3865,6 +3876,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Leakage-safe split: the split key is the content group's
         # min-doc_id representative; identical texts always co-split.
+        # Count-Min sketch replay: rebuild the SAME 4×1024 counter cells
+        # (md5-low64 of key:row mod width) in SQL and take the per-probe
+        # min — bit-identical registers, exact estimate compare.
+        "events_cms_counts": """
+            WITH depth AS (
+              SELECT unnest([0, 1, 2, 3]) AS r
+            ), cells AS (
+              SELECT d.r,
+                     md5_number_lower(CAST(e.user_id AS VARCHAR) || ':'
+                                      || CAST(d.r AS VARCHAR)) % 1024 AS cell,
+                     count(*) AS v
+              FROM events e CROSS JOIN depth d
+              GROUP BY 1, 2
+            ), probes AS (
+              SELECT DISTINCT user_id FROM events ORDER BY user_id LIMIT 20
+            ), pcells AS (
+              SELECT p.user_id, d.r,
+                     md5_number_lower(CAST(p.user_id AS VARCHAR) || ':'
+                                      || CAST(d.r AS VARCHAR)) % 1024 AS cell
+              FROM probes p CROSS JOIN depth d
+            )
+            SELECT pc.user_id,
+                   CAST(min(coalesce(c.v, 0)) AS BIGINT) AS est_count
+            FROM pcells pc
+            LEFT JOIN cells c ON pc.r = c.r AND pc.cell = c.cell
+            GROUP BY pc.user_id
+        """,
         # Seeded-shuffle export replay: salted md5 order key, shard =
         # key mod 16, dense in-shard positions by (key, doc_id) — the
         # window row_number reproduces the engine's per-shard sort.
