@@ -11,6 +11,11 @@ Common-Crawl-style pages corpus at the scale factor implied by
 ``num_cpus=8`` and ``num_cpus=32`` on the same (pre-generated, page-cache
 -warm) input and reports throughputs + scaling efficiency
 = (t_lo/t_hi)/(hi/lo); 1.0 = linear.
+
+``--audit``: runs ONLY the headline pipeline and prints the
+``ds.stats()``-derived plan evidence (per-stage task counts, wall
+spread, in-UDF share) as JSON — the reproducible form of the
+design-for-scale audit recorded in BASELINE.md.
 """
 
 from __future__ import annotations
@@ -162,9 +167,80 @@ def run_scaling() -> dict:
     }
 
 
+def run_audit() -> dict:
+    """Headline-only run that parses ``ds.stats()`` into the audit
+    numbers: per-stage task count, min/mean/max task wall, and the
+    share of remote time spent inside the UDF (vs scheduling/exchange).
+    Zero shuffles on this path is asserted structurally (no all-to-all
+    operator in the stats)."""
+    import re
+
+    import ray
+
+    from horizon_ocr_python_ray import build_extract_pipeline, ensure_corpus, read_pages, sf_from_dir
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True)
+    corpus = ensure_corpus(sf_from_dir(sf_dir))
+    warm = ensure_corpus(0.01)  # untimed worker-import warmup, as run_bench
+    build_extract_pipeline(read_pages(warm)).write_parquet("/tmp/hopr_audit_warm")
+    shutil.rmtree("/tmp/hopr_audit_warm", ignore_errors=True)
+    out_dir = "/tmp/hopr_audit_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.monotonic()
+    out = build_extract_pipeline(read_pages(corpus))
+    out.write_parquet(out_dir)
+    wall = time.monotonic() - t0
+    stats = out.stats()
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    stages = []
+    # One block per operator: "Operator N <name>: ... N tasks executed,
+    # N blocks produced in Ns" followed by indented metric lines.
+    for m in re.finditer(
+            r"Operator \d+ (\S+):[^\n]*?(\d+) tasks executed", stats):
+        stages.append({"stage": m.group(1), "tasks": int(m.group(2))})
+    walls = re.findall(
+        r"Remote wall time: ([\d.]+)(ms|s|us) min, ([\d.]+)(ms|s|us) max, "
+        r"([\d.]+)(ms|s|us) mean, ([\d.]+)(ms|s|us) total", stats)
+    udfs = re.findall(
+        r"UDF time: ([\d.]+)(ms|s|us) min, ([\d.]+)(ms|s|us) max, "
+        r"([\d.]+)(ms|s|us) mean, ([\d.]+)(ms|s|us) total", stats)
+
+    def sec(v: str, u: str) -> float:
+        return float(v) * {"s": 1.0, "ms": 1e-3, "us": 1e-6}[u]
+
+    for st_rec, w in zip(stages, walls):
+        st_rec["wall_min_s"] = round(sec(w[0], w[1]), 3)
+        st_rec["wall_max_s"] = round(sec(w[2], w[3]), 3)
+        st_rec["wall_mean_s"] = round(sec(w[4], w[5]), 3)
+        st_rec["wall_total_s"] = round(sec(w[6], w[7]), 3)
+        lo_s = sec(w[0], w[1])  # unrounded: the 3-dp display value can be 0.0
+        st_rec["task_spread"] = round(sec(w[2], w[3]) / lo_s, 2) if lo_s else None
+    total_remote = sum(s.get("wall_total_s", 0.0) for s in stages)
+    total_udf = sum(sec(u[6], u[7]) for u in udfs)
+    ray.shutdown()
+    return {
+        "metric": "headline_audit",
+        "wall_s": round(wall, 3),
+        "num_cpus": num_cpus,
+        "sf": sf_from_dir(sf_dir),
+        "stages": stages,
+        "remote_total_s": round(total_remote, 2),
+        "udf_total_s": round(total_udf, 2),
+        "in_udf_share": round(total_udf / total_remote, 3) if total_remote else None,
+        "has_all_to_all": ("AllToAll" in stats or "Aggregate" in stats
+                           or "Sort" in stats),
+    }
+
+
 if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--audit" in sys.argv:
+        print(json.dumps(run_audit()))
     else:
         print(json.dumps(run_bench()))
