@@ -592,6 +592,19 @@ def _pages_blocklist(sf_dir: str):
     return pages.map_batches(blocklist_filter_batch, batch_format="pyarrow")
 
 
+def _pages_zorder(sf_dir: str):
+    """Z-order (Morton) layout keys over (host-hash, crawl-hour): the
+    lakehouse OPTIMIZE ZORDER primitive — one key whose ranges prune in
+    both dimensions. Stateless projection, zero shuffles; composes with
+    the sorted sink for the clustered write."""
+    from horizon_ocr_python_ray import ensure_corpus, read_pages, sf_from_dir
+    from horizon_ocr_python_ray.functions.zorder import zorder_batch
+
+    corpus = ensure_corpus(sf_from_dir(sf_dir))
+    pages = read_pages(corpus, columns=["url", "warc_ts"])
+    return pages.map_batches(zorder_batch, batch_format="pyarrow")
+
+
 def _pages_c4_filter(sf_dir: str):
     """C4-style heuristic cleaning (Raffel et al. 2020 §2.2): per-line
     terminal-punctuation / min-words / boilerplate-phrase keep rules,
@@ -1555,6 +1568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_html_meta": _pages_html_meta,
         "pages_blocklist": _pages_blocklist,
         "events_cms_counts": _events_cms_counts,
+        "pages_zorder": _pages_zorder,
         "pages_c4_filter": _pages_c4_filter,
         "doc_shuffle_shards": _doc_shuffle_shards,
         "doc_normalize": _doc_normalize,
@@ -1693,6 +1707,14 @@ def _urlnorm_sql_expr() -> str:
     from horizon_ocr_python_ray.functions.urlnorm import oracle_sql_expr
 
     return oracle_sql_expr("url")
+
+
+def _morton_sql(h: str, t: str) -> str:
+    """Morton-interleave SQL expression from the engine kernel module
+    (single source of truth for the bit layout)."""
+    from horizon_ocr_python_ray.functions.zorder import morton_sql_expr
+
+    return morton_sql_expr(h, t)
 
 
 def _blocklist_case() -> str:
@@ -2592,6 +2614,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(s, '<h[1-6]>')) AS BIGINT)
                      AS n_headings
             FROM h
+        """,
+        # Z-order replay: same host hash (md5-low64 mod 2^16), same
+        # crawl-hour index, and the interleave as a generated 32-term
+        # bit expression from the engine's own kernel module.
+        "pages_zorder": f"""
+            WITH d AS (
+              SELECT url,
+                     lower(regexp_extract(url,
+                       '^https?://(?:[^@/]*@)?([^/:?#]+)', 1)) AS host,
+                     CAST(md5_number_lower(lower(regexp_extract(url,
+                       '^https?://(?:[^@/]*@)?([^/:?#]+)', 1))) % 65536
+                       AS BIGINT) AS h16,
+                     CAST((epoch_us(warc_ts) // 3600000000) % 65536
+                       AS BIGINT) AS t16
+              FROM read_parquet('{pages_sf0_01}')
+            )
+            SELECT url, host,
+                   CAST({_morton_sql('h16', 't16')} AS BIGINT) AS zkey,
+                   CAST({_morton_sql('h16', 't16')} // 16777216 AS BIGINT)
+                     AS zbucket
+            FROM d
         """,
         # Blocklist replay: the engine's standard host SQL idiom + a
         # first-match CASE generated from the SAME module constant.
