@@ -73,3 +73,40 @@ def test_zorder_batch_shape():
     assert zb == [z >> 24 for z in zk]
     # same host, hour 0 vs hour 1: keys differ in the t dimension only
     assert zk[0] != zk[1]
+
+
+def test_zorder_clustered_write_prunes(ray_session, tmp_path):
+    """Composition: z-keys + the range-partitioned sorted sink give a
+    layout where a (host, hour) point lookup touches a bounded file
+    subset using only the manifest's [key_min, key_max] ranges — the
+    pruning property that justifies the operator at 100 TB."""
+    import ray.data
+
+    from horizon_ocr_python_ray.state.sortsink import write_sorted_parquet
+
+    hosts = [f"h{i:02d}.example.org" for i in range(16)]
+    rows = {
+        "url": pa.array([f"https://{hosts[i % 16]}/p/{i}" for i in range(2000)],
+                        pa.string()),
+        "warc_ts": pa.array([(i % 64) * 3_600_000_000 for i in range(2000)],
+                            pa.timestamp("us")),
+    }
+    ds = ray.data.from_arrow(pa.table(rows)).repartition(4)
+    keyed = ds.map_batches(zorder_batch, batch_format="pyarrow")
+    manifest = write_sorted_parquet(keyed, "zkey", str(tmp_path), num_partitions=8)
+
+    # Disjoint, ordered ranges (sortsink contract over the z-key).
+    assert list(manifest["pid"]) == sorted(manifest["pid"])
+    for a, b in zip(manifest["key_max"], manifest["key_min"][1:]):
+        assert a <= b
+
+    # Point lookup: every (host-hash, hour) cell maps to ONE z-key, so
+    # the manifest ranges prune to at most 2 candidate files (1 + a
+    # possible boundary overlap when a cut lands on the key).
+    probe = keyed.take_all()[0]
+    candidates = [
+        p for p, lo, hi in zip(manifest["pid"], manifest["key_min"],
+                               manifest["key_max"])
+        if lo <= probe["zkey"] <= hi
+    ]
+    assert 1 <= len(candidates) <= 2
