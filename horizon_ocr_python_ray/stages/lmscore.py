@@ -20,20 +20,21 @@ quality gate consumes. (A real deployment swaps the model for KenLM and
 the integer terms for log-probs; the Ray plan is identical.)
 
 Scale shape (100 TB):
-- Train pass: per-batch ``Counter`` combiners emit one ``(gram, partial
-  count)`` row per DISTINCT gram per batch → narrow ``groupby().sum()``.
+- Train pass: per-batch Arrow ``value_counts`` combiners emit one
+  ``(gram, partial count)`` row per DISTINCT gram per batch → narrow ``groupby().sum()``.
   Token occurrences never cross the cluster.
 - The model broadcast is guarded by ``BROADCAST_VOCAB_MAX`` /
   ``BROADCAST_BIGRAM_MAX``; beyond it the correct plan is the explode +
   hash-join on gram (the ``topterms.py`` shuffle-join shape) and this
   module refuses loudly rather than silently OOMing a worker.
-- Score pass: per-document numpy ``searchsorted`` against the broadcast
-  sorted model arrays — no Python dict probes per token.
+- Score pass: whole-batch Arrow tokenize + dictionary-encode, one
+  ``searchsorted`` over the batch's DISTINCT tokens against the
+  broadcast sorted model arrays, transition terms vectorized across the
+  batch with cross-document boundaries masked — no Python loops over
+  tokens or documents anywhere.
 """
 
 from __future__ import annotations
-
-from collections import Counter
 
 import numpy as np
 import pyarrow as pa
@@ -64,23 +65,66 @@ def _doc_tokens(text: str) -> list[str]:
     return [t.lower() for t in tokens(text)]
 
 
+def _compact_tokens(batch: pa.Table):
+    """Arrow-vectorized ``_doc_tokens`` for a whole batch: (flat
+    non-empty lowered token array, per-doc token counts int64). Reuses
+    the RE2-aligned tokenizer of ``ranking._flat_tokens`` (same
+    ``\\S+``/``split()`` parity argument); per-row Python never touches
+    token text."""
+    import pyarrow.compute as pc
+
+    from .ranking import _flat_tokens
+
+    la, _, n_tokens = _flat_tokens(batch)
+    compact = la.filter(pc.not_equal(la, "").fill_null(False))
+    if isinstance(compact, pa.ChunkedArray):
+        compact = compact.combine_chunks()
+    return compact, n_tokens.astype(np.int64)
+
+
+def _transition_mask(n_tokens: np.ndarray) -> np.ndarray:
+    """Boolean mask over consecutive positions of the batch-compacted
+    token array: True where (i, i+1) belong to the SAME document."""
+    total = int(n_tokens.sum())
+    mask = np.ones(max(total - 1, 0), dtype=bool)
+    interior = np.cumsum(n_tokens)[:-1]  # doc boundaries
+    interior = interior[(interior > 0) & (interior < total)]
+    mask[interior - 1] = False
+    return mask
+
+
 def _partial_counts(batch: pa.Table) -> pa.Table:
     """Batch combiner: (gram, w2, partial count) rows — unigram rows use
-    w2 = "" (tokens are \\S+ so "" never collides with a real token)."""
-    uni: Counter = Counter()
-    big: Counter = Counter()
-    for text in batch.column("text").to_pylist():
-        toks = _doc_tokens(text)
-        uni.update(toks)
-        big.update(zip(toks, toks[1:]))
-    w1s, w2s, cs = [], [], []
-    for t, c in uni.items():
-        w1s.append(t); w2s.append(""); cs.append(c)
-    for (a, b), c in big.items():
-        w1s.append(a); w2s.append(b); cs.append(c)
-    return pa.table({"w1": pa.array(w1s, pa.string()),
-                     "w2": pa.array(w2s, pa.string()),
-                     "c": pa.array(cs, pa.int64())})
+    w2 = "" (tokens are \\S+ so "" never collides with a real token).
+    Fully vectorized: Arrow tokenize + ``value_counts``; adjacent-pair
+    keys join with a space (tokens cannot contain one) and split back
+    on the FIRST space only."""
+    import pyarrow.compute as pc
+
+    compact, n_tokens = _compact_tokens(batch)
+    uni = compact.value_counts()
+    w1s = [uni.field("values")]
+    w2s = [pa.nulls(len(uni), pa.string()).fill_null("")]
+    cs = [uni.field("counts").cast(pa.int64())]
+
+    tmask = _transition_mask(n_tokens)
+    if len(tmask):
+        m = pa.array(tmask)
+        pairs = pc.binary_join_element_wise(
+            compact.slice(0, len(compact) - 1).filter(m),
+            compact.slice(1).filter(m), " ")
+        bvc = pairs.value_counts()
+        split = pc.split_pattern(bvc.field("values"), pattern=" ",
+                                 max_splits=1)
+        flat = pc.list_flatten(split)
+        w1s.append(flat.take(pa.array(range(0, 2 * len(bvc), 2), pa.int64())))
+        w2s.append(flat.take(pa.array(range(1, 2 * len(bvc), 2), pa.int64())))
+        cs.append(bvc.field("counts").cast(pa.int64()))
+    return pa.table({"w1": pa.concat_arrays([a.combine_chunks() if
+                                             isinstance(a, pa.ChunkedArray)
+                                             else a for a in w1s]),
+                     "w2": pa.concat_arrays(w2s),
+                     "c": pa.concat_arrays(cs)})
 
 
 def _prune_grams(batch: pa.Table) -> pa.Table:
@@ -157,35 +201,51 @@ def _score_batch(batch: pa.Table, model_ref) -> pa.Table:
     vocab, c1, total = m["vocab"], m["c1"], m["total"]
     bkey, c2 = m["bkey"], m["c2"]
     v = len(vocab)
-    ids_out, ntok_out, ntr_out, score_out = [], [], [], []
-    for doc_id, text in zip(batch.column("doc_id").to_pylist(),
-                            batch.column("text").to_pylist()):
-        toks = _doc_tokens(text)
-        n = len(toks)
-        if n < 2 or len(vocab) == 0:
-            ids_out.append(doc_id); ntok_out.append(n)
-            ntr_out.append(0); score_out.append(0)
-            continue
-        arr = np.asarray(toks, dtype=str)
-        ids = np.minimum(np.searchsorted(vocab, arr), len(vocab) - 1)
-        known = vocab[ids] == arr  # OOV only when scoring a held-out set
-        c1_prev = np.where(known[:-1], c1[ids[:-1]], 1)
-        c1_next = np.where(known[1:], c1[ids[1:]], 0)
-        keys = ids[:-1].astype(np.int64) * v + ids[1:]
-        if len(bkey):
-            pos = np.minimum(np.searchsorted(bkey, keys), len(bkey) - 1)
-            hit = (bkey[pos] == keys) & known[:-1] & known[1:]
-            big_term = (SCALE * c2[pos]) // c1_prev
-        else:
-            hit = np.zeros(len(keys), bool)
-            big_term = np.zeros(len(keys), np.int64)
-        uni_term = (SCALE * c1_next) // total
-        terms = np.where(hit, big_term, uni_term)
-        ids_out.append(doc_id); ntok_out.append(n)
-        ntr_out.append(n - 1); score_out.append(int(terms.sum()))
+    doc_ids = batch.column("doc_id").cast(pa.int64())
+    compact, n_tokens = _compact_tokens(batch)
+    ntr = np.maximum(n_tokens - 1, 0)
+    if v == 0 or len(compact) == 0:
+        return pa.Table.from_arrays(
+            [doc_ids, pa.array(n_tokens, pa.int64()),
+             pa.array(np.zeros(len(n_tokens), np.int64()), pa.int64()),
+             pa.array(np.zeros(len(n_tokens), np.int64()), pa.int64())],
+            schema=_SCORE_SCHEMA)
+
+    # Vocabulary lookup once per DISTINCT token in the batch (dictionary
+    # encode), then gather — the searchsorted runs over ~|vocab| strings
+    # instead of every token occurrence.
+    de = compact.dictionary_encode()
+    uniq = np.asarray(de.dictionary.to_pylist(), dtype=str)
+    idx = de.indices.to_numpy(zero_copy_only=False)
+    ids_u = np.minimum(np.searchsorted(vocab, uniq), v - 1)
+    known_u = vocab[ids_u] == uniq  # OOV only when scoring a held-out set
+    ids = ids_u[idx]
+    known = known_u[idx]
+
+    tmask = _transition_mask(n_tokens)
+    c1_prev = np.where(known[:-1], c1[ids[:-1]], 1)
+    c1_next = np.where(known[1:], c1[ids[1:]], 0)
+    keys = ids[:-1].astype(np.int64) * v + ids[1:]
+    if len(bkey):
+        pos = np.minimum(np.searchsorted(bkey, keys), len(bkey) - 1)
+        hit = (bkey[pos] == keys) & known[:-1] & known[1:]
+        big_term = (SCALE * c2[pos]) // c1_prev
+    else:
+        hit = np.zeros(len(keys), bool)
+        big_term = np.zeros(len(keys), np.int64)
+    uni_term = (SCALE * c1_next) // total
+    terms = np.where(hit, big_term, uni_term)
+    terms = np.where(tmask, terms, 0)  # cross-document transitions: none
+
+    # Per-doc segment sums of the transition terms (prefix-sum gather).
+    bounds = np.concatenate([[0], np.cumsum(n_tokens)])
+    tcum = np.concatenate([[0], np.cumsum(terms, dtype=np.int64)])
+    starts = np.minimum(bounds[:-1], len(terms))
+    ends = np.maximum(np.minimum(bounds[1:] - 1, len(terms)), starts)
+    scores = tcum[ends] - tcum[starts]
     return pa.Table.from_arrays(
-        [pa.array(ids_out, pa.int64()), pa.array(ntok_out, pa.int64()),
-         pa.array(ntr_out, pa.int64()), pa.array(score_out, pa.int64())],
+        [doc_ids, pa.array(n_tokens, pa.int64()),
+         pa.array(ntr, pa.int64()), pa.array(scores, pa.int64())],
         schema=_SCORE_SCHEMA)
 
 
