@@ -37,8 +37,6 @@ from collections import Counter
 
 import pyarrow as pa
 
-from ..functions.textstats import tokens
-
 #: Misra–Gries capacity: undercount error ≤ total_tokens / MG_CAPACITY.
 MG_CAPACITY_DEFAULT = 8192
 #: Candidates forwarded to the exact pass — a safety multiple of k.
@@ -46,10 +44,14 @@ CANDIDATE_MULTIPLE = 8
 
 
 def _batch_term_counts(batch: pa.Table) -> Counter:
-    counts: Counter = Counter()
-    for text in batch.column("text").to_pylist():
-        counts.update(t.lower() for t in tokens(text))
-    return counts
+    """Arrow-vectorized term counts (tokenize + ``value_counts``); the
+    Counter is built from one row per DISTINCT term, never per token."""
+    from .lmscore import _compact_tokens
+
+    compact, _ = _compact_tokens(batch)
+    vc = compact.value_counts()
+    return Counter(dict(zip(vc.field("values").to_pylist(),
+                            vc.field("counts").to_pylist())))
 
 
 def _partial_tf(batch: pa.Table) -> pa.Table:
@@ -199,11 +201,23 @@ def corpus_top_terms(docs_ds, k: int = 50, plan: str = "auto",
 # -- bigrams ------------------------------------------------------------------
 
 def _batch_bigram_counts(batch: pa.Table) -> Counter:
-    counts: Counter = Counter()
-    for text in batch.column("text").to_pylist():
-        toks = [t.lower() for t in tokens(text)]
-        counts.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
-    return counts
+    """Arrow-vectorized adjacent-pair counts: the same space-joined
+    ``"a b"`` keys, cross-document transitions masked out."""
+    import pyarrow.compute as pc
+
+    from .lmscore import _compact_tokens, _transition_mask
+
+    compact, n_tokens = _compact_tokens(batch)
+    tmask = _transition_mask(n_tokens)
+    if not len(tmask):
+        return Counter()
+    m = pa.array(tmask)
+    pairs = pc.binary_join_element_wise(
+        compact.slice(0, len(compact) - 1).filter(m),
+        compact.slice(1).filter(m), " ")
+    vc = pairs.value_counts()
+    return Counter(dict(zip(vc.field("values").to_pylist(),
+                            vc.field("counts").to_pylist())))
 
 
 def _partial_bigram_tf(batch: pa.Table) -> pa.Table:
