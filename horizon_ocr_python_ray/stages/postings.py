@@ -23,18 +23,22 @@ import hashlib
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.textstats import tokens
-
 
 def _distinct_pairs(batch: pa.Table) -> pa.Table:
-    ids, terms = [], []
-    for did, text in zip(batch.column("doc_id").to_pylist(),
-                         batch.column("text").to_pylist()):
-        for t in set(tokens((text or "").lower())):
-            ids.append(did)
-            terms.append(t)
-    return pa.table({"term": pa.array(terms, pa.string()),
-                     "doc_id": pa.array(ids, pa.int64())})
+    """(term, doc_id) distinct pairs, Arrow-vectorized: batch-wide
+    tokenize (``lmscore._compact_tokens``), doc ids repeated by token
+    count, and the per-doc ``set()`` replaced by a C++ group-by
+    distinct."""
+    import numpy as np
+
+    from .lmscore import _compact_tokens
+
+    compact, n_tokens = _compact_tokens(batch)
+    did = batch.column("doc_id").cast(pa.int64()).to_numpy(
+        zero_copy_only=False)
+    rep = np.repeat(did, n_tokens)
+    t = pa.table({"term": compact, "doc_id": pa.array(rep, pa.int64())})
+    return t.group_by(["term", "doc_id"]).aggregate([])
 
 
 def corpus_postings(docs_ds, min_df: int = 2):
