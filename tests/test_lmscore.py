@@ -117,3 +117,51 @@ def test_singleton_bigrams_pruned_remotely(ray_session):
             .set_index("doc_id").sort_index())
     assert (local["lm_score"] == dist["lm_score"]).all()
     assert local.loc[0, "lm_score"] == SCALE + SCALE // 5
+
+
+def test_vectorized_scorer_matches_naive_reference(ray_session):
+    """Differential check of the batch-vectorized scorer against a naive
+    per-document implementation of the documented integer formula
+    (bigram term if the pruned bigram exists, else unigram backoff) on
+    randomized multi-doc batches incl. empty/one-token/OOV docs."""
+    from horizon_ocr_python_ray.stages.lmscore import _doc_tokens
+
+    rng = np.random.default_rng(11)
+    vocab_words = ["alpha", "beta", "gamma", "delta", "eps"]
+    train_texts = [
+        " ".join(rng.choice(vocab_words, size=rng.integers(2, 30)))
+        for _ in range(40)
+    ]
+    m = train_bigram_model(_docs(train_texts))
+
+    # Held-out scoring set with empties, singletons, tabs and OOV terms.
+    score_texts = [
+        "", "alpha", "alpha beta gamma", "zzz alpha zzz",
+        "alpha\tbeta\ngamma  delta", "ZZZ yyy xxx",
+    ] + [" ".join(rng.choice(vocab_words + ["oov1", "oov2"],
+                             size=rng.integers(0, 25)))
+         for _ in range(30)]
+    batch = pa.table({
+        "doc_id": pa.array(range(len(score_texts)), pa.int64()),
+        "text": pa.array(score_texts, pa.string()),
+    })
+    got = _score_batch(batch, m).to_pandas()
+
+    vocab = list(m["vocab"])
+    c1 = {w: int(c) for w, c in zip(vocab, m["c1"])}
+    v = len(vocab)
+    big = {(int(k) // v, int(k) % v): int(c)
+           for k, c in zip(m["bkey"], m["c2"])}
+    vid = {w: i for i, w in enumerate(vocab)}
+    for row, text in zip(got.itertuples(index=False), score_texts):
+        toks = _doc_tokens(text)
+        assert row.n_tokens == len(toks)
+        assert row.n_transitions == max(len(toks) - 1, 0)
+        score = 0
+        for a, b in zip(toks, toks[1:]):
+            ia, ib = vid.get(a), vid.get(b)
+            if ia is not None and ib is not None and (ia, ib) in big:
+                score += (SCALE * big[(ia, ib)]) // c1[a]
+            else:
+                score += (SCALE * c1.get(b, 0)) // m["total"]
+        assert row.lm_score == score, text
