@@ -1560,61 +1560,14 @@ def _doc_dsir(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registry ordering is rotated each round: the external driver
-    # correctness-checks a prefix of this dict (50 entries in round 2),
-    # so the block it has NOT yet checked goes first. Round 2 checked
-    # pages_extract..doc_packing; round 3 leads with the TPC-H /
-    # web-graph / curation block that was judge-mimic-verified only.
+    # correctness-checks a prefix of this dict (50 entries in rounds
+    # 2-3), so the block it has NOT yet checked goes first. Rounds 1-3
+    # together covered 100 of the 130 entries; the 30 that have never
+    # been in a driver prefix (registry positions 51-81 of round 3:
+    # pages_reocr .. concentrated_suppliers) now lead, followed by
+    # queries new in round 4, then the longest-ago-checked (round 2)
+    # block for re-verification.
     return {
-        "pages_html_meta": _pages_html_meta,
-        "pages_blocklist": _pages_blocklist,
-        "events_cms_counts": _events_cms_counts,
-        "pages_zorder": _pages_zorder,
-        "pages_c4_filter": _pages_c4_filter,
-        "doc_shuffle_shards": _doc_shuffle_shards,
-        "doc_normalize": _doc_normalize,
-        "cust_order_dist": _cust_order_dist,
-        "doc_quality_gate": _doc_quality_gate,
-        "doc_repeated_ngrams": _doc_repeated_ngrams,
-        "doc_substring_dedup": _doc_substring_dedup,
-        "events_window_join": _events_window_join,
-        "events_approx_users": _events_approx_users,
-        "doc_incremental_dedup": _doc_incremental_dedup,
-        "doc_split": _doc_split,
-        "doc_stratified_sample": _doc_stratified_sample,
-        "emb_centroids": _emb_centroids,
-        "emb_gram": _emb_gram,
-        "emb_kmeans": _emb_kmeans,
-        "corpus_postings": _corpus_postings,
-        "corpus_top_terms": _corpus_top_terms,
-        "corpus_top_bigrams": _corpus_top_bigrams,
-        "pages_host_quota": _pages_host_quota,
-        "pages_url_dedup": _pages_url_dedup,
-        "pages_url_dedup_windowed": _pages_url_dedup_windowed,
-        "pages_dup_losers": _pages_dup_losers,
-        "pages_curation_funnel": _pages_curation_funnel,
-        "pages_host_stats": _pages_host_stats,
-        "pages_host_lang": _pages_host_lang,
-        "doc_mean_rank": _doc_mean_rank,
-        "pages_metrics": _pages_metrics,
-        "pages_errors": _pages_errors,
-        "doc_lang_unique": _doc_lang_unique,
-        "pages_markdown": _pages_markdown,
-        "lineitem_filtered_revenue": _q6,
-        "minhash_dup_clusters": _minhash_dup_clusters,
-        "lineitem_pricing_summary": _q1,
-        "revenue_by_nation": _revenue_by_nation,
-        "revenue_by_region": _revenue_by_region,
-        "promo_revenue": _promo_revenue,
-        "priority_lines": _priority_lines,
-        "top_orders": _top_orders,
-        "orders_by_mktsegment": _orders_by_mktsegment,
-        "orders_exists": _orders_exists,
-        "top_supplier": _top_supplier,
-        "part_small_qty": _part_small_qty,
-        "big_orders": _big_orders,
-        "cust_idle": _cust_idle,
-        "doc_lm_score": _doc_lm_score,
-        "media_motion": _media_motion,
         "pages_reocr": _pages_reocr,
         "pages_outlinks": _pages_outlinks,
         "host_linkgraph": _host_linkgraph,
@@ -1645,6 +1598,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_volume": _nation_volume,
         "nation_profit": _nation_profit,
         "concentrated_suppliers": _concentrated_suppliers,
+        # --- queries new in round 4 ---
+        # (inserted here so they land inside the 50-entry driver prefix)
         # --- block below was driver-checked in round 2 (CORRECTNESS_r02) ---
         "pages_extract": _pages_extract,
         "pages_route_counts": _pages_route_counts,
@@ -1696,6 +1651,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_decontam": _doc_decontam,
         "doc_chunks": _doc_chunks,
         "doc_packing": _doc_packing,
+        # --- block below was driver-checked in round 3 (CORRECTNESS_r03) ---
+        "pages_html_meta": _pages_html_meta,
+        "pages_blocklist": _pages_blocklist,
+        "events_cms_counts": _events_cms_counts,
+        "pages_zorder": _pages_zorder,
+        "pages_c4_filter": _pages_c4_filter,
+        "doc_shuffle_shards": _doc_shuffle_shards,
+        "doc_normalize": _doc_normalize,
+        "cust_order_dist": _cust_order_dist,
+        "doc_quality_gate": _doc_quality_gate,
+        "doc_repeated_ngrams": _doc_repeated_ngrams,
+        "doc_substring_dedup": _doc_substring_dedup,
+        "events_window_join": _events_window_join,
+        "events_approx_users": _events_approx_users,
+        "doc_incremental_dedup": _doc_incremental_dedup,
+        "doc_split": _doc_split,
+        "doc_stratified_sample": _doc_stratified_sample,
+        "emb_centroids": _emb_centroids,
+        "emb_gram": _emb_gram,
+        "emb_kmeans": _emb_kmeans,
+        "corpus_postings": _corpus_postings,
+        "corpus_top_terms": _corpus_top_terms,
+        "corpus_top_bigrams": _corpus_top_bigrams,
+        "pages_host_quota": _pages_host_quota,
+        "pages_url_dedup": _pages_url_dedup,
+        "pages_url_dedup_windowed": _pages_url_dedup_windowed,
+        "pages_dup_losers": _pages_dup_losers,
+        "pages_curation_funnel": _pages_curation_funnel,
+        "pages_host_stats": _pages_host_stats,
+        "pages_host_lang": _pages_host_lang,
+        "doc_mean_rank": _doc_mean_rank,
+        "pages_metrics": _pages_metrics,
+        "pages_errors": _pages_errors,
+        "doc_lang_unique": _doc_lang_unique,
+        "pages_markdown": _pages_markdown,
+        "lineitem_filtered_revenue": _q6,
+        "minhash_dup_clusters": _minhash_dup_clusters,
+        "lineitem_pricing_summary": _q1,
+        "revenue_by_nation": _revenue_by_nation,
+        "revenue_by_region": _revenue_by_region,
+        "promo_revenue": _promo_revenue,
+        "priority_lines": _priority_lines,
+        "top_orders": _top_orders,
+        "orders_by_mktsegment": _orders_by_mktsegment,
+        "orders_exists": _orders_exists,
+        "top_supplier": _top_supplier,
+        "part_small_qty": _part_small_qty,
+        "big_orders": _big_orders,
+        "cust_idle": _cust_idle,
+        "doc_lm_score": _doc_lm_score,
+        "media_motion": _media_motion,
     }
 
 
