@@ -51,6 +51,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Sum
 
+from ..functions.collect import collect_tables, iter_tables
 from .analytics import (
     BROADCAST_BUILD_MAX_ROWS,
     _probe,
@@ -121,9 +122,8 @@ def orders_exists_q4(sf_dir: str, num_partitions: int = 8, plan: str = "auto"):
         return agg.rename_columns(["o_orderpriority", "p_n"])
 
     if plan == "broadcast":
-        parts = [t for t in ray.get(
-            li.map_batches(returned_partial, batch_format="pyarrow")
-            .to_arrow_refs()) if t.num_rows]
+        parts = collect_tables(
+            li.map_batches(returned_partial, batch_format="pyarrow"))
         keys = (np.unique(np.concatenate(
             [t.column("l_orderkey").to_numpy() for t in parts]))
             if parts else np.empty(0, np.int64))
@@ -330,11 +330,8 @@ def _fold_or_shuffle_having(partials, thr_e2: int) -> pd.DataFrame:
     acc: list[pa.Table] = []
     n_keys = 0
     over = False
-    refs = partials.to_arrow_refs()
-    for ref in refs:
-        t = ray.get(ref)
-        if t.num_rows:
-            acc.append(t)
+    for t in iter_tables(partials):
+        acc.append(t)
         if sum(a.num_rows for a in acc) > 262_144 or over:
             merged = (pa.concat_tables(acc).group_by("l_orderkey")
                       .aggregate([("p_q", "sum")])
@@ -486,7 +483,7 @@ def cust_idle_q22(sf_dir: str, since: str = "2000-01-01",
     recent = orders.map_batches(recent_keys_partial, batch_format="pyarrow")
 
     if plan == "broadcast":
-        parts = [t for t in ray.get(recent.to_arrow_refs()) if t.num_rows]
+        parts = collect_tables(recent)
         keys = (np.unique(np.concatenate(
             [t.column("o_custkey").to_numpy() for t in parts]))
             if parts else np.empty(0, np.int64))
@@ -579,7 +576,7 @@ def waiting_supplier_q21(sf_dir: str, num_partitions: int = 8,
         return agg.rename_columns(["l_orderkey", "l_suppkey", "p"])
 
     if plan == "broadcast":
-        parts = [t for t in ray.get(fkeys.to_arrow_refs()) if t.num_rows]
+        parts = collect_tables(fkeys)
         keys = (np.unique(np.concatenate(
             [t.column("o_orderkey").to_numpy() for t in parts]))
             if parts else np.empty(0, np.int64))
@@ -693,7 +690,7 @@ def returned_top_customers_q10(sf_dir: str, quarter: str = "1996-01-01",
     win = orders.map_batches(window_orders, batch_format="pyarrow")
 
     if plan == "broadcast":
-        parts = [t for t in ray.get(win.to_arrow_refs()) if t.num_rows]
+        parts = collect_tables(win)
         ok = (pa.concat_tables(parts) if parts
               else pa.table({"o_orderkey": pa.array([], pa.int64()),
                              "o_custkey": pa.array([], pa.int64())}))
@@ -731,9 +728,8 @@ def returned_top_customers_q10(sf_dir: str, quarter: str = "1996-01-01",
                                             ("c_custkey", "ascending")])
         return t.take(idx[:k])
 
-    parts = [t for t in ray.get(
-        by_cust.map_batches(topk_partial, batch_format="pyarrow")
-        .to_arrow_refs()) if t.num_rows]
+    parts = collect_tables(
+        by_cust.map_batches(topk_partial, batch_format="pyarrow"))
     cdf = (pa.concat_tables(parts).to_pandas() if parts
            else pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
                               "revenue_e4": pd.Series(dtype="int64")}))
@@ -870,12 +866,18 @@ def disjunctive_revenue_q19(sf_dir: str, num_partitions: int = 8,
               ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
     part = _tbl(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
 
-    brand_ids = {b: i for i, (b, *_ ) in enumerate(Q19_BUNDLES)}
+    bundle_brands = pa.array([b for b, *_ in Q19_BUNDLES], pa.string())
 
     def part_attrs() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         pdf = part.to_pandas().sort_values("p_partkey")
         keys = pdf["p_partkey"].to_numpy(np.int64)
-        bid = pdf["p_brand"].map(lambda b: brand_ids.get(b, -1)).to_numpy(np.int64)
+        # brand → bundle index via the Arrow index_in kernel (vectorized
+        # hash probe; brands are distinct so first-match == dict lookup),
+        # -1 for parts outside every bundle — no per-row Python on the
+        # corpus-sized part table.
+        bid = pc.index_in(pa.array(pdf["p_brand"], pa.string()),
+                          value_set=bundle_brands).fill_null(-1)
+        bid = bid.to_numpy(zero_copy_only=False).astype(np.int64)
         size = pdf["p_size"].to_numpy(np.int64)
         return keys, bid, size
 
@@ -911,9 +913,9 @@ def disjunctive_revenue_q19(sf_dir: str, num_partitions: int = 8,
                          on=("l_partkey",), right_on=("p_partkey",))
 
         def rev_partial_j(t: pa.Table) -> pa.Table:
-            bid = np.array([brand_ids.get(b, -1)
-                            for b in t.column("p_brand").to_pylist()],
-                           np.int64)
+            bid = pc.index_in(t.column("p_brand"),
+                              value_set=bundle_brands).fill_null(-1)
+            bid = bid.to_numpy(zero_copy_only=False).astype(np.int64)
             size = t.column("p_size").to_numpy().astype(np.int64)
             qty_e2 = _e2(t.column("l_quantity")).to_numpy()
             m = eval_bundles(bid, size, qty_e2)

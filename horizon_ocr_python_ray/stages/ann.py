@@ -37,6 +37,7 @@ import pandas as pd
 import pyarrow as pa
 
 import ray
+from ..functions.collect import collect_block_refs, iter_tables
 
 
 def _batch_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
@@ -396,9 +397,8 @@ def ivf_topk(emb_ds, query: np.ndarray, k: int = 10, n_clusters: int = 16,
         )
 
     r = np.zeros(len(cents))
-    for ref_part in assigned.map_batches(
-            _resid_partial, batch_format="pyarrow").to_arrow_refs():
-        part = ray.get(ref_part)
+    for part in iter_tables(assigned.map_batches(
+            _resid_partial, batch_format="pyarrow")):
         cl = np.asarray(part.column("cluster"), dtype=np.int64)
         if len(cl):
             np.maximum.at(r, cl, np.asarray(part.column("r"), dtype=np.float64))
@@ -492,7 +492,7 @@ def embedding_near_dup_pairs(emb_ds, threshold: float = 0.95):
     shard. O(n²) flops is inherent to exactness; the sub-quadratic path
     is :func:`embedding_near_dup_pairs_lsh`.
     """
-    shard_refs = emb_ds.select_columns(["vec_id", "embedding"]).to_arrow_refs()
+    shard_refs = collect_block_refs(emb_ds.select_columns(["vec_id", "embedding"]))
     refs_ref = ray.put(shard_refs)
 
     class PairFinder:
@@ -573,7 +573,7 @@ def emb_nn_join(emb_ds):
     answer; the scale path composes :func:`ivf_topk`'s coarse clusters
     (or :mod:`.kmeans`) to restrict each sweep to same-cluster shards.
     """
-    shard_refs = emb_ds.select_columns(["vec_id", "embedding"]).to_arrow_refs()
+    shard_refs = collect_block_refs(emb_ds.select_columns(["vec_id", "embedding"]))
     refs_ref = ray.put(shard_refs)
 
     def nn_task(batch: pa.Table, refs_ref) -> pa.Table:

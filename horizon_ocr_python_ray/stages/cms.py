@@ -27,6 +27,7 @@ import numpy as np
 import pyarrow as pa
 
 from .sketches import _md5_low64
+from ..functions.collect import iter_tables
 
 DEPTH = 4
 WIDTH = 1024
@@ -71,11 +72,9 @@ def cms_matrix(ds, key_col: str) -> np.ndarray:
     partials = ds.map_batches(_partial_matrix, batch_format="pyarrow",
                               fn_kwargs={"key_col": key_col})
     m = np.zeros((DEPTH, WIDTH), dtype=np.int64)
-    for ref in partials.to_arrow_refs():
-        t = ray.get(ref)
-        if t.num_rows:
-            np.add.at(m, (t.column("r").to_numpy(), t.column("cell").to_numpy()),
-                      t.column("v").to_numpy())
+    for t in iter_tables(partials):
+        np.add.at(m, (t.column("r").to_numpy(), t.column("cell").to_numpy()),
+                  t.column("v").to_numpy())
     return m
 
 
@@ -96,8 +95,8 @@ def cms_probe_counts(events_ds, key_col: str = "user_id", k: int = 20):
         _probe_partial, batch_format="pyarrow",
         fn_kwargs={"key_col": key_col, "k": k})
     seen: set[int] = set()
-    for ref in probes_parts.to_arrow_refs():
-        seen.update(ray.get(ref).column(key_col).to_pylist())
+    for t in iter_tables(probes_parts):
+        seen.update(t.column(key_col).to_pylist())
     probes = sorted(seen)[:k]
 
     m = cms_matrix(events_ds, key_col)

@@ -29,6 +29,7 @@ arbitrarily-large-registry fallback.
 from __future__ import annotations
 
 import pyarrow as pa
+from ..functions.collect import collect_tables
 
 MEMBER_TYPE = pa.list_(
     pa.struct([("url", pa.string()), ("warc_ts", pa.timestamp("us")), ("lang", pa.string())])
@@ -189,7 +190,7 @@ def build_dup_registry(sniffed_ds, approx_rows: int | None = None):
     if approx_rows is not None and approx_rows <= DRIVER_REGISTRY_MAX_ROWS:
         import ray
 
-        got = [t for t in ray.get(narrow.to_arrow_refs()) if t.num_rows]
+        got = collect_tables(narrow)
         if not got:
             return set(), {}
         table = pa.concat_tables(got).combine_chunks()
@@ -223,9 +224,8 @@ def build_dup_registry(sniffed_ds, approx_rows: int | None = None):
 
     import ray
 
-    got = [x for x in ray.get(
-        narrow.map_batches(members_only, batch_format="pyarrow").to_arrow_refs()
-    ) if x.num_rows]
+    got = collect_tables(
+        narrow.map_batches(members_only, batch_format="pyarrow"))
     if not got:
         return set(), {}
     return _registry_from_members(pa.concat_tables(got))

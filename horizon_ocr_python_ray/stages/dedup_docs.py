@@ -15,6 +15,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..functions.collect import collect_table, collect_tables
 from ..functions.minhash import (
     band_hash_matrix,
     estimated_jaccard,
@@ -23,7 +24,6 @@ from ..functions.minhash import (
     minhash_signature,
     minhash_signatures_batch,
     shingle_hashes,
-    simhash64,
 )
 
 
@@ -128,7 +128,7 @@ def _discover_pairs_driver(bands) -> list[tuple[int, int]]:
     valid below :data:`DRIVER_MAX_BAND_ROWS`."""
     import ray
 
-    band_tables = [t for t in ray.get(bands.to_arrow_refs()) if t.num_rows]
+    band_tables = collect_tables(bands)
     if not band_tables:
         return []
     tbl = pa.concat_tables(band_tables).combine_chunks()
@@ -350,15 +350,84 @@ def minhash_near_dup_verified(docs_ds, num_hashes: int = 128, num_bands: int = 3
 _SIMHASH_TOKEN_CACHE: dict[str, int] = {}
 
 
+#: Worker-global reusable scratch buffers for the SimHash kernel. Fresh
+#: large numpy allocations are mmap-backed and re-fault their pages on
+#: every batch (measured ~10 MB/s first-touch on the target VM class vs
+#: GB/s on warm pages), so the two token-length work arrays are
+#: allocated once per worker and sliced per batch.
+_SIMHASH_SCRATCH: dict[str, np.ndarray] = {}
+
+
+def _simhash_scratch(name: str, n: int, dtype) -> np.ndarray:
+    buf = _SIMHASH_SCRATCH.get(name)
+    if buf is None or buf.size < n or buf.dtype != dtype:
+        buf = np.empty(n + (n >> 2) + 16, dtype=dtype)
+        _SIMHASH_SCRATCH[name] = buf
+    return buf[:n]
+
+
 def simhash_batch(batch: pa.Table) -> pa.Table:
-    if len(_SIMHASH_TOKEN_CACHE) > 1_000_000:
-        _SIMHASH_TOKEN_CACHE.clear()
-    texts = batch.column("text").to_pylist()
-    vals = [simhash64(t or "", _SIMHASH_TOKEN_CACHE) - (1 << 63) for t in texts]  # signed domain
+    """Whole-batch vectorized SimHash (signed int64 domain): Arrow
+    tokenize of ``lower(text)`` (``\\S+`` parity with
+    :func:`~..functions.minhash.simhash64`), dictionary-encode so
+    ``md5_low64`` runs once per DISTINCT token (worker-cached across
+    batches), then per-doc bit-majority as 64 shift/mask/
+    ``np.add.reduceat`` sweeps over ONE reused token-length scratch
+    buffer — no per-document Python, no (tokens × 64) bit-matrix
+    materialization. Byte-equal to per-doc ``simhash64`` (differential
+    test in ``tests/test_minhash.py``)."""
+    import pyarrow.compute as pc
+
+    from ..functions.minhash import md5_low64
+    from .ranking import _flat_tokens
+
+    ids = batch.column("doc_id")
+    la, _, n_tokens = _flat_tokens(batch)
+    compact = la.filter(pc.not_equal(la, "").fill_null(False))
+    if isinstance(compact, pa.ChunkedArray):
+        compact = compact.combine_chunks()
+    n_tokens = n_tokens.astype(np.int64)
+    ndocs = len(n_tokens)
+    ntok = len(compact)
+    if ntok == 0:  # all-empty batch: simhash64("") == 0
+        return pa.Table.from_arrays(
+            [ids, pa.array(np.full(ndocs, -(1 << 63), np.int64), pa.int64())],
+            names=["doc_id", "simhash"])
+
+    de = compact.dictionary_encode()
+    uniq = de.dictionary.to_pylist()
+    idx = de.indices.to_numpy(zero_copy_only=False)
+    cache = _SIMHASH_TOKEN_CACHE
+    if len(cache) > 1_000_000:
+        cache.clear()
+    uh = np.empty(len(uniq), dtype=np.uint64)
+    for i, tok in enumerate(uniq):
+        h = cache.get(tok)
+        if h is None:
+            h = md5_low64(tok)
+            cache[tok] = h
+        uh[i] = h
+
+    # Token-occurrence hashes + a zero sentinel slot so reduceat segment
+    # starts may equal ntok (trailing empty docs).
+    hs = _simhash_scratch("hs", ntok + 1, np.uint64)
+    np.take(uh, idx, out=hs[:ntok])
+    hs[ntok] = 0
+    tmp = _simhash_scratch("tmp", ntok + 1, np.uint64)
+    starts = np.concatenate([[0], np.cumsum(n_tokens)[:-1]])
+    nonempty = n_tokens > 0
+    u = np.zeros(ndocs, dtype=np.uint64)
+    for b in range(64):
+        np.right_shift(hs, np.uint64(b), out=tmp)
+        np.bitwise_and(tmp, np.uint64(1), out=tmp)
+        ssum = np.add.reduceat(tmp, starts).astype(np.int64)
+        # empty-doc segments alias a neighbor's slot under reduceat's
+        # repeated-index rule — their majority must come out False
+        maj = nonempty & (ssum * 2 > n_tokens)
+        u |= maj.astype(np.uint64) << np.uint64(b)
+    vals = (u ^ np.uint64(1 << 63)).view(np.int64)  # unsigned → signed domain
     return pa.Table.from_arrays(
-        [batch.column("doc_id"), pa.array(vals, pa.int64())],
-        names=["doc_id", "simhash"],
-    )
+        [ids, pa.array(vals, pa.int64())], names=["doc_id", "simhash"])
 
 
 def _popcount64(v: np.ndarray) -> np.ndarray:
@@ -408,7 +477,11 @@ def simhash_near_dup_pairs(docs_ds, max_hamming: int = 3, plan: str = "auto"):
     materialized once for its two consumers (band explosion + candidate
     lookup); candidate discovery reuses the MinHash driver/distributed
     plan switch; only candidate sketches (multiplicity ~ duplicate rate)
-    and the final pair list ever reach the driver.
+    and the final pair list ever reach the driver. Because BOTH plans end
+    with the deduped pair list on the driver, the XOR-popcount verify runs
+    right there over the (already collected) candidate sketches — one
+    vectorized numpy pass, zero extra dataset executions, and no new
+    driver bound beyond the pair list the discovery step already pays.
     """
     import pyarrow.compute as pc
     import ray
@@ -435,31 +508,33 @@ def simhash_near_dup_pairs(docs_ds, max_hamming: int = 3, plan: str = "auto"):
     if not pairs_sorted:
         return ray.data.from_arrow(pairs_schema.empty_table())
 
+    # Candidate-sketch lookup: one is_in filter pass over the materialized
+    # sketch table; only candidate rows (≤ 2 × pairs) reach the driver.
     cand_ids = pa.array(sorted({d for p in pairs_sorted for d in p}), pa.int64())
-    cand = sims.map_batches(
-        lambda t: t.filter(pc.is_in(t.column("doc_id"), value_set=cand_ids)),
-        batch_format="pyarrow",
-    ).take_all()
-    ref = ray.put({r["doc_id"]: r["simhash"] for r in cand})
+    cand = collect_table(
+        sims.map_batches(
+            lambda t: t.filter(pc.is_in(t.column("doc_id"), value_set=cand_ids)),
+            batch_format="pyarrow",
+        ),
+        schema=pa.schema([("doc_id", pa.int64()), ("simhash", pa.int64())]),
+    )
+    sketch = dict(zip(cand.column("doc_id").to_pylist(),
+                      cand.column("simhash").to_pylist()))
 
-    pairs_ds = ray.data.from_arrow(pa.Table.from_arrays(
-        [pa.array([p[0] for p in pairs_sorted], pa.int64()),
-         pa.array([p[1] for p in pairs_sorted], pa.int64())],
-        names=["doc_a", "doc_b"],
-    ))
-
-    def verify_task(t: pa.Table) -> pa.Table:
-        sketch = ray.get(ref)  # zero-copy plasma read per task; dict is tiny
-        a = np.fromiter((sketch[d] for d in t.column("doc_a").to_pylist()),
-                        dtype=np.int64, count=t.num_rows).view(np.uint64)
-        b = np.fromiter((sketch[d] for d in t.column("doc_b").to_pylist()),
-                        dtype=np.int64, count=t.num_rows).view(np.uint64)
-        ham = _popcount64(a ^ b)
-        out = t.append_column("hamming", pa.array(ham, pa.int64()))
-        return out.filter(pc.less_equal(out.column("hamming"),
-                                        pa.scalar(max_hamming)))
-
-    return pairs_ds.map_batches(verify_task, batch_format="pyarrow")
+    pa_np = np.fromiter((p[0] for p in pairs_sorted), dtype=np.int64,
+                        count=len(pairs_sorted))
+    pb_np = np.fromiter((p[1] for p in pairs_sorted), dtype=np.int64,
+                        count=len(pairs_sorted))
+    a = np.fromiter((sketch[d] for d in pa_np.tolist()), dtype=np.int64,
+                    count=len(pa_np)).view(np.uint64)
+    b = np.fromiter((sketch[d] for d in pb_np.tolist()), dtype=np.int64,
+                    count=len(pb_np)).view(np.uint64)
+    ham = _popcount64(a ^ b).astype(np.int64)
+    keep = ham <= max_hamming
+    return ray.data.from_arrow(pa.Table.from_arrays(
+        [pa.array(pa_np[keep], pa.int64()), pa.array(pb_np[keep], pa.int64()),
+         pa.array(ham[keep], pa.int64())],
+        names=["doc_a", "doc_b", "hamming"]))
 
 
 # -- n-gram Jaccard verification --------------------------------------------
@@ -514,12 +589,11 @@ def collect_texts_for_ids(docs_ds, ids) -> dict[int, str]:
     if not ids:
         return {}
     id_set = pa.array(sorted(ids), pa.int64())
-    got = [t for t in ray.get(
+    got = collect_tables(
         docs_ds.select_columns(["doc_id", "text"]).map_batches(
             lambda t: t.filter(pc.is_in(t.column("doc_id"), value_set=id_set)),
             batch_format="pyarrow",
-        ).to_arrow_refs()
-    ) if t.num_rows]
+        ))
     if not got:
         return {}
     tbl = pa.concat_tables(got)
@@ -756,8 +830,12 @@ def near_dup_clusters_distributed(pairs_ds, max_iters: int = 25):
                 [t.column("u"), t.column("label")], names=["node", "label"]),
             batch_format="pyarrow",
         ).materialize()
-        old = sum(r["label"] for r in labels.select_columns(["label"]).take_all())
-        new = sum(r["label"] for r in new_labels.select_columns(["label"]).take_all())
+        # Distributed convergence check: min-label propagation only ever
+        # DECREASES labels, so the label sum is a strictly-monotone
+        # progress measure — equal sums ⇒ fixed point. Dataset.sum runs
+        # as a distributed aggregate; nothing per-node reaches the driver.
+        old = labels.sum("label")
+        new = new_labels.sum("label")
         labels = new_labels
         if old == new:
             break

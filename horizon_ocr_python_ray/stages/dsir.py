@@ -35,6 +35,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 import ray
+from ..functions.collect import iter_tables
 
 #: Hashed-feature bucket count (power of two, matches the paper's
 #: fixed-dimension hashed unigram features; small enough to fold).
@@ -104,10 +105,7 @@ def build_weights(docs: ray.data.Dataset, target_lang: str = "en") -> np.ndarray
     )
     raw = np.zeros(N_BUCKETS, np.int64)
     tgt = np.zeros(N_BUCKETS, np.int64)
-    for ref in partials.to_arrow_refs():
-        t = ray.get(ref)
-        if not t.num_rows:
-            continue
+    for t in iter_tables(partials):
         b = t.column("bkt").to_numpy()
         raw[b] += t.column("n_raw").to_numpy()
         tgt[b] += t.column("n_target").to_numpy()
@@ -172,10 +170,7 @@ def lang_drift(docs: ray.data.Dataset) -> ray.data.Dataset:
 
     partials = docs.map_batches(hist_partial, batch_format="pyarrow")
     per_lang: dict[str, np.ndarray] = {}
-    for ref in partials.to_arrow_refs():
-        t = ray.get(ref)
-        if not t.num_rows:
-            continue
+    for t in iter_tables(partials):
         for lang, b, c in zip(t.column("lang").to_pylist(),
                               t.column("bkt").to_pylist(),
                               t.column("c").to_pylist()):

@@ -84,7 +84,9 @@ def extract_batch_task(batch: pa.Table, cfg: ExtractConfig) -> pa.Table:
 
 
 def add_extract_stage(ds, cfg: ExtractConfig | None = None, concurrency: int | None = None,
-                      batch_size: int = 256, stateful: bool | None = None):
+                      batch_size: int = 256, stateful: bool | None = None,
+                      num_gpus: float | None = None,
+                      ray_remote_args: dict | None = None):
     """Attach the route-dispatched extraction stage.
 
     ``stateful=False`` (default): plain-function ``map_batches`` on Ray's
@@ -100,8 +102,18 @@ def add_extract_stage(ds, cfg: ExtractConfig | None = None, concurrency: int | N
     (GB-scale model weights, GPU contexts): spawn cost is amortized and
     ``num_gpus``/placement can be attached. Measured on this kernel the
     actor spawn/import storm costs more than it saves (see BASELINE.md).
+
+    Device placement (reference ``config.py:81-90`` ``device=auto``):
+    ``num_gpus`` reserves GPU fractions per actor/task and any extra
+    ``ray_remote_args`` (``resources={...}``, ``accelerator_type``,
+    ``scheduling_strategy``, ...) pass straight through to
+    ``map_batches``, so the heavy stage deploys unchanged on a GPU
+    cluster — on this CPU-only test box both default to unset.
     """
     cfg = cfg or DEFAULT_CONFIG
+    remote_args = dict(ray_remote_args or {})
+    if num_gpus is not None:
+        remote_args["num_gpus"] = num_gpus
     if stateful:
         from .dedup import _pool_max
 
@@ -113,10 +125,12 @@ def add_extract_stage(ds, cfg: ExtractConfig | None = None, concurrency: int | N
             # Autoscaling pool (min 1): never reserves the whole node up
             # front, so read/sniff/write stages aren't starved.
             concurrency=(1, concurrency or _pool_max(cfg.doc.recognize_concurrency)),
+            **remote_args,
         )
     return ds.map_batches(
         extract_batch_task,
         fn_kwargs={"cfg": cfg},
         batch_format="pyarrow",
         batch_size=batch_size,
+        **remote_args,
     )

@@ -36,6 +36,7 @@ from __future__ import annotations
 from collections import Counter
 
 import pyarrow as pa
+from ..functions.collect import collect_tables, iter_tables
 
 #: Misra–Gries capacity: undercount error ≤ total_tokens / MG_CAPACITY.
 MG_CAPACITY_DEFAULT = 8192
@@ -127,9 +128,8 @@ def corpus_top_terms(docs_ds, k: int = 50, plan: str = "auto",
         import ray
 
         folded: Counter = Counter()
-        for ref in docs_ds.map_batches(
-                _partial_tf, batch_format="pyarrow").to_arrow_refs():
-            t = ray.get(ref)
+        for t in iter_tables(docs_ds.map_batches(
+                _partial_tf, batch_format="pyarrow")):
             folded.update(dict(zip(t.column("term").to_pylist(),
                                    t.column("partial_n").to_pylist())))
             if len(folded) > fold_vocab_max:
@@ -143,12 +143,8 @@ def corpus_top_terms(docs_ds, k: int = 50, plan: str = "auto",
 
         totals = (docs_ds.map_batches(_partial_tf, batch_format="pyarrow")
                   .groupby("term").aggregate(Sum("partial_n", alias_name="n")))
-        parts = [ref for ref in totals.map_batches(
-            lambda t: _local_topk(t, k, "n"), batch_format="pyarrow"
-        ).to_arrow_refs()]
-        import ray
-
-        return _finish_topk([ray.get(r) for r in parts], k, "n")
+        return _finish_topk(collect_tables(totals.map_batches(
+            lambda t: _local_topk(t, k, "n"), batch_format="pyarrow")), k, "n")
     if plan != "sketch":
         raise ValueError(f"unknown plan: {plan!r}")
 
@@ -157,10 +153,9 @@ def corpus_top_terms(docs_ds, k: int = 50, plan: str = "auto",
     # Pass 1: per-batch MG summaries, folded on the driver (each summary
     # is ≤ mg_capacity rows — driver memory is O(mg_capacity)).
     summary: Counter = Counter()
-    for ref in docs_ds.map_batches(
+    for t in iter_tables(docs_ds.map_batches(
             lambda t: _mg_summary_batch(t, mg_capacity),
-            batch_format="pyarrow").to_arrow_refs():
-        t = ray.get(ref)
+            batch_format="pyarrow")):
         summary = _mg_fold(
             summary,
             Counter(dict(zip(t.column("term").to_pylist(),
@@ -184,9 +179,8 @@ def corpus_top_terms(docs_ds, k: int = 50, plan: str = "auto",
         )
 
     exact: Counter = Counter()
-    for ref in docs_ds.map_batches(
-            count_candidates, batch_format="pyarrow").to_arrow_refs():
-        t = ray.get(ref)
+    for t in iter_tables(docs_ds.map_batches(
+            count_candidates, batch_format="pyarrow")):
         exact.update(dict(zip(t.column("term").to_pylist(),
                               t.column("partial_n").to_pylist())))
     terms = sorted(exact)
@@ -242,9 +236,8 @@ def corpus_top_bigrams(docs_ds, k: int = 50, plan: str = "auto",
         import ray
 
         folded: Counter = Counter()
-        for ref in docs_ds.map_batches(
-                _partial_bigram_tf, batch_format="pyarrow").to_arrow_refs():
-            t = ray.get(ref)
+        for t in iter_tables(docs_ds.map_batches(
+                _partial_bigram_tf, batch_format="pyarrow")):
             folded.update(dict(zip(t.column("term").to_pylist(),
                                    t.column("partial_n").to_pylist())))
             if len(folded) > fold_vocab_max:
@@ -260,7 +253,5 @@ def corpus_top_bigrams(docs_ds, k: int = 50, plan: str = "auto",
 
     totals = (docs_ds.map_batches(_partial_bigram_tf, batch_format="pyarrow")
               .groupby("term").aggregate(Sum("partial_n", alias_name="n")))
-    parts = [ref for ref in totals.map_batches(
-        lambda t: _local_topk(t, k, "n"), batch_format="pyarrow"
-    ).to_arrow_refs()]
-    return _finish_topk([ray.get(r) for r in parts], k, "n")
+    return _finish_topk(collect_tables(totals.map_batches(
+        lambda t: _local_topk(t, k, "n"), batch_format="pyarrow")), k, "n")

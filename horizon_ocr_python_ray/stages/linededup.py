@@ -27,6 +27,7 @@ import hashlib
 from collections import Counter
 
 import pyarrow as pa
+from ..functions.collect import iter_tables
 
 #: Default document-frequency threshold: a line present in this many
 #: distinct documents is boilerplate.
@@ -86,10 +87,8 @@ def _line_df_table_driver_fold(partials) -> pa.Table:
     empty = pa.table(
         {"line": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
     chunk: list[pa.Table] = [empty]
-    for ref in partials.to_arrow_refs():
-        t = ray.get(ref)
-        if t.num_rows:
-            chunk.append(t.rename_columns(["line", "df"]))
+    for t in iter_tables(partials):
+        chunk.append(t.rename_columns(["line", "df"]))
         if len(chunk) >= 64:
             chunk = [_fold(chunk)]
     return _fold(chunk) if len(chunk) > 1 else chunk[0]

@@ -48,6 +48,7 @@ from ray.data.aggregate import Count, Sum
 
 from ..functions.links import outlinks_batch
 from ..functions.sniff import sniff_route
+from ..functions.collect import collect_tables
 
 #: Fixed-point scale of the rank column (rank_e12 = rank × 1e12).
 RANK_SCALE = 1_000_000_000_000
@@ -199,7 +200,7 @@ def host_components(
     distributed label propagation (iterate-until-fixpoint); this one
     pins the sweep count so the oracle can replay it exactly."""
     partials = _edge_partials(pages)
-    tables = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
+    tables = collect_tables(partials)
     edges = (
         pa.concat_tables(tables).group_by(["src_host", "dst_host"]).aggregate([])
         if tables
@@ -241,7 +242,7 @@ def host_pagerank(
     if plan in ("auto", "broadcast"):
         # Edge partials are already batch-distinct; the global distinct
         # folds on the driver (graph state ≪ corpus), capped.
-        tables = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
+        tables = collect_tables(partials)
         edges = (
             pa.concat_tables(tables).group_by(["src_host", "dst_host"]).aggregate([])
             if tables
@@ -272,11 +273,8 @@ def host_pagerank(
         )
         return g.rename_columns(["src_host", "p_n"])
 
-    deg_tbls = [
-        t for t in ray.get(
-            edges_ds.map_batches(deg_partial, batch_format="pyarrow").to_arrow_refs()
-        ) if t.num_rows
-    ]
+    deg_tbls = collect_tables(
+        edges_ds.map_batches(deg_partial, batch_format="pyarrow"))
 
     def node_partial(t: pa.Table) -> pa.Table:
         cols = []
@@ -286,11 +284,8 @@ def host_pagerank(
         both = pa.table({"host": pa.concat_arrays(cols)})
         return both.group_by("host").aggregate([])
 
-    node_tbls = [
-        t for t in ray.get(
-            edges_ds.map_batches(node_partial, batch_format="pyarrow").to_arrow_refs()
-        ) if t.num_rows
-    ]
+    node_tbls = collect_tables(
+        edges_ds.map_batches(node_partial, batch_format="pyarrow"))
     if not node_tbls:
         return _rank_table(np.array([], object), np.array([], np.int64))
     hosts = np.unique(
@@ -328,7 +323,7 @@ def host_pagerank(
             .groupby("dst_host").aggregate(Sum("p_c", alias_name="c"))
         )
         nxt = np.full(len(hosts), RANK_BASE, np.int64)
-        in_tbls = [t for t in ray.get(sums.to_arrow_refs()) if t.num_rows]
+        in_tbls = collect_tables(sums)
         if in_tbls:
             it = pa.concat_tables(in_tbls)
             ti = np.searchsorted(hosts, it.column("dst_host").to_numpy(zero_copy_only=False))

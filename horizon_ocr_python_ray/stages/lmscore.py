@@ -47,6 +47,7 @@ import pyarrow as pa
 import ray
 
 from ..functions.textstats import tokens
+from ..functions.collect import iter_tables
 
 #: Integer scale of each transition term (fits int64 with room: SCALE ·
 #: c2 ≤ 1e6 · corpus tokens).
@@ -176,10 +177,7 @@ def train_bigram_model(docs_ds) -> dict:
     # Pull block-by-block with a running cap so the loud refusal fires
     # BEFORE driver memory blows, not after.
     parts, rows = [], 0
-    for ref in counts.to_arrow_refs():
-        x = ray.get(ref)
-        if not x.num_rows:
-            continue
+    for x in iter_tables(counts):
         rows += x.num_rows
         if rows > BROADCAST_VOCAB_MAX + BROADCAST_BIGRAM_MAX:
             raise ModelTooLargeError(

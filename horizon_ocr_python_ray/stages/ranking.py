@@ -28,6 +28,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 from ray.data.aggregate import Sum
+from ..functions.collect import collect_tables, iter_tables
 
 
 def _token_counts(text: str) -> int:
@@ -94,8 +95,7 @@ def doc_global_rank(docs: ray.data.Dataset) -> ray.data.Dataset:
                          "c": pa.array(c, pa.int64())})
 
     hist: dict[tuple[int, int], int] = {}
-    for ref in keyed.map_batches(hist_partial, batch_format="pyarrow").to_arrow_refs():
-        t = ray.get(ref)
+    for t in iter_tables(keyed.map_batches(hist_partial, batch_format="pyarrow")):
         for v, b, c in zip(t.column("v").to_pylist(), t.column("b").to_pylist(),
                            t.column("c").to_pylist()):
             hist[(v, b)] = hist.get((v, b), 0) + c
@@ -162,10 +162,7 @@ def top_df_terms(docs: ray.data.Dataset, n: int) -> list[tuple[int, str]]:
     df_ds = (docs.map_batches(df_partial, batch_format="pyarrow")
              .groupby("term").aggregate(Sum("p_df", alias_name="df")))
     best: list[tuple[int, str]] = []
-    for ref in df_ds.to_arrow_refs():
-        t = ray.get(ref)
-        if not t.num_rows:
-            continue
+    for t in iter_tables(df_ds):
         block = sorted(
             (-int(df), term)
             for term, df in zip(t.column("term").to_pylist(),
@@ -214,9 +211,8 @@ def tfidf_topk(
             pa.schema([("doc_id", pa.int64()), ("score_e6", pa.int64()),
                        ("n_tokens", pa.int64())]))
 
-    parts = [t for t in ray.get(
-        docs.map_batches(score_partial, batch_format="pyarrow").to_arrow_refs()
-    ) if t.num_rows]
+    parts = collect_tables(
+        docs.map_batches(score_partial, batch_format="pyarrow"))
     merged = (pa.concat_tables(parts).to_pandas() if parts
               else pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                                  "score_e6": pd.Series(dtype="int64"),

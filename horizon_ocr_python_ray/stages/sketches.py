@@ -24,6 +24,7 @@ from __future__ import annotations
 import hashlib
 
 import pyarrow as pa
+from ..functions.collect import iter_tables
 
 #: Register-index bits: m = 2^p registers per group.
 DEFAULT_P = 12
@@ -119,10 +120,8 @@ def hll_registers(ds, group_col: str, member_col: str, p: int = DEFAULT_P,
                           "r": pa.array([], pa.int64())})
         chunk = [empty]
         try:
-            for ref in partials.to_arrow_refs():
-                t = ray.get(ref)
-                if t.num_rows:
-                    chunk.append(t)
+            for t in iter_tables(partials):
+                chunk.append(t)
                 if len(chunk) >= 64:
                     chunk = [_fold(chunk)]
             out = _fold(chunk) if len(chunk) > 1 else chunk[0]

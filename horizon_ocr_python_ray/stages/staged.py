@@ -186,10 +186,20 @@ def reassemble_group(group: pa.Table) -> pa.Table:
     return _result_table(ids, [text], [spans], [errs[0] if errs else None])
 
 
-def build_staged_pipeline(sniffed_ds, cfg: ExtractConfig | None = None):
+def build_staged_pipeline(sniffed_ds, cfg: ExtractConfig | None = None,
+                          num_gpus: float | None = None,
+                          ray_remote_args: dict | None = None):
     """sniffed dataset (url, warc_ts, html, text, lang, route, content_hash)
-    → extraction results, via per-route branches + union."""
+    → extraction results, via per-route branches + union.
+
+    ``num_gpus`` / ``ray_remote_args`` attach device placement to the
+    HEAVY branch only (the recognize actor pool — reference
+    ``config.py:81-90`` device=auto); the cheap html/text/binary branches
+    stay CPU tasks."""
     cfg = cfg or DEFAULT_CONFIG
+    remote_args = dict(ray_remote_args or {})
+    if num_gpus is not None:
+        remote_args["num_gpus"] = num_gpus
     html_ds = (
         sniffed_ds.map_batches(_route_filter((sniff_mod.ROUTE_HTML,)), batch_format="pyarrow")
         .map_batches(html_extract_batch, fn_kwargs={"cfg": cfg}, batch_format="pyarrow",
@@ -214,6 +224,7 @@ def build_staged_pipeline(sniffed_ds, cfg: ExtractConfig | None = None):
             batch_format="pyarrow",
             batch_size=cfg.doc.recognize_batch_size,
             concurrency=(1, cfg.doc.recognize_concurrency),
+            **remote_args,
         )
         .groupby("url")
         .map_groups(reassemble_group, batch_format="pyarrow")

@@ -30,6 +30,7 @@ from collections import Counter
 import pyarrow as pa
 
 from ..functions.textstats import tokens
+from ..functions.collect import iter_tables
 
 #: Above this many distinct terms the broadcast plan refuses (a real
 #: web-scale vocabulary needs the shuffle-join plan instead).
@@ -94,10 +95,8 @@ def build_df_table(docs_ds) -> "pa.Table":
     partials = docs_ds.map_batches(_partial_df, batch_format="pyarrow")
     acc = empty
     chunk: list[pa.Table] = [acc]
-    for ref in partials.to_arrow_refs():
-        t = ray.get(ref)
-        if t.num_rows:
-            chunk.append(t.rename_columns(["term", "df"]))
+    for t in iter_tables(partials):
+        chunk.append(t.rename_columns(["term", "df"]))
         if len(chunk) >= 64:
             chunk = [_fold(chunk)]
     out = _fold(chunk) if len(chunk) > 1 else chunk[0]
@@ -219,10 +218,8 @@ def build_rank_table(docs_ds) -> "pa.Table":
 
     partials = docs_ds.map_batches(_partial_tf, batch_format="pyarrow")
     acc = [empty]
-    for ref in partials.to_arrow_refs():
-        t = ray.get(ref)
-        if t.num_rows:
-            acc.append(t.rename_columns(["term", "df"]))
+    for t in iter_tables(partials):
+        acc.append(t.rename_columns(["term", "df"]))
         if len(acc) >= 64:
             acc = [_fold(acc)]
     tf = _fold(acc) if len(acc) > 1 else acc[0]

@@ -25,6 +25,19 @@ _CONSISTENCY_NAMES = ("total", "subtotal", "tax")
 _DATE_NAMES = ("date", "due_date")
 
 
+def _parse_unique(series: pd.Series, fn) -> pd.Series:
+    """Apply a string parser ONCE per distinct value, then gather: field
+    values repeat heavily across documents (amounts, dates), so the
+    Python parse runs O(unique) times and the per-row pass is a C-speed
+    dict gather."""
+    memo = {v: (fn(v) if isinstance(v, str) else None)
+            for v in series.dropna().unique()}
+    out = series.map(memo)
+    # keep object dtype with None nulls (an all-missing column would
+    # otherwise become float64 NaN and poison downstream str comparisons)
+    return out.astype(object).where(out.notna(), None)
+
+
 def annotate_checks(batch: pa.Table) -> pa.Table:
     """fields rows → + (n_checks, n_passed) per row."""
     names = batch.column("name").to_pylist()
@@ -67,8 +80,7 @@ def summarize_bucket(df: pd.DataFrame) -> pd.DataFrame:
     for c in _CONSISTENCY_NAMES:
         if c not in piv.columns:
             piv[c] = None
-    parsed = {c: piv[c].map(lambda v: parse_amount(v)
-                            if isinstance(v, str) else None)
+    parsed = {c: _parse_unique(piv[c], parse_amount)
               for c in _CONSISTENCY_NAMES}
     ok_all = (parsed["total"].notna() & parsed["subtotal"].notna()
               & parsed["tax"].notna())
@@ -88,10 +100,8 @@ def summarize_bucket(df: pd.DataFrame) -> pd.DataFrame:
     for c in _DATE_NAMES:
         if c not in dpiv.columns:
             dpiv[c] = None
-    inv = dpiv["date"].map(lambda v: normalize_date(v)
-                           if isinstance(v, str) else None)
-    due = dpiv["due_date"].map(lambda v: normalize_date(v)
-                               if isinstance(v, str) else None)
+    inv = _parse_unique(dpiv["date"], normalize_date)
+    due = _parse_unique(dpiv["due_date"], normalize_date)
     d_ok = inv.notna() & due.notna()
     d_checked = d_ok.astype("int64")
     d_passed = (d_ok & (due >= inv)).astype("int64")

@@ -37,6 +37,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
+from ..functions.collect import collect_tables
 
 SAMPLE_PER_BATCH = 64
 
@@ -62,9 +63,8 @@ def write_sorted_parquet(ds, key: str, out_dir: str,
         keep = np.argsort(h, kind="stable")[:SAMPLE_PER_BATCH]
         return t.select([key]).take(pa.array(np.sort(keep)))
 
-    parts = [t for t in ray.get(
-        ds.map_batches(sample_partial, batch_format="pyarrow").to_arrow_refs()
-    ) if t.num_rows]
+    parts = collect_tables(
+        ds.map_batches(sample_partial, batch_format="pyarrow"))
     if not parts:
         return pd.DataFrame(columns=["pid", "rows", "key_min", "key_max", "path"])
     sample = np.sort(pa.concat_tables(parts).column(key).to_numpy(

@@ -208,6 +208,28 @@ def test_simhash_near_dup_exact_vs_bruteforce():
     assert len(want) > 0  # fixture actually exercises the ball
 
 
+def test_simhash_batch_matches_per_doc_kernel():
+    """The batch-vectorized SimHash kernel (Arrow tokenize +
+    dictionary-encoded md5 + reduceat bit-majority) is byte-equal to the
+    per-document simhash64 on adversarial inputs: empty docs, one-token
+    docs, whitespace runs, repeated tokens, mixed case, batch-leading
+    and batch-trailing empties."""
+    from horizon_ocr_python_ray.functions.minhash import simhash64
+    from horizon_ocr_python_ray.stages.dedup_docs import simhash_batch
+
+    rng = np.random.default_rng(17)
+    words = ["alpha", "Beta", "GAMMA", "delta", "x", "longword" * 5]
+    texts = ["", "  ", "solo", "a\tb\nc", "dup dup dup dup"]
+    texts += [" ".join(rng.choice(words, size=rng.integers(0, 40)))
+              for _ in range(60)]
+    texts += ["", "trailing empty then text", ""]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    got = simhash_batch(t).column("simhash").to_pylist()
+    want = [simhash64(x or "", {}) - (1 << 63) for x in texts]
+    assert got == want
+
+
 def test_simhash_near_dup_plans_equal():
     from horizon_ocr_python_ray.stages.dedup_docs import simhash_near_dup_pairs
 
