@@ -568,6 +568,46 @@ def _pages_redact(sf_dir: str):
     return out.map_batches(redact_batch, batch_format="pyarrow")
 
 
+def _pages_doc_meta(sf_dir: str):
+    """S4 metadata probe: header-only page count for binary-doc and
+    image payloads — counts the raw ``"page":`` byte markers without
+    JSON-parsing or glyph-decoding anything (reference io/pdf.py:144-173
+    counts page objects without rasterizing). Column-pruned read, one
+    byte scan per row, zero shuffles."""
+    from horizon_ocr_python_ray import ensure_corpus, read_pages, sf_from_dir
+    from horizon_ocr_python_ray.functions.docformat import probe_batch
+
+    corpus = ensure_corpus(sf_from_dir(sf_dir))
+    pages = read_pages(corpus, columns=["url", "html"])
+    return pages.map_batches(probe_batch, batch_format="pyarrow")
+
+
+def _pages_complexity_route(sf_dir: str):
+    """A11 classify-and-route analog: header-only complexity bands
+    (page volume + low-confidence alt-record markers) → extraction-
+    variant routing table → band counts. Batch-local combiner → 3-row
+    groupby; the payload never decodes and never shuffles."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from horizon_ocr_python_ray import ensure_corpus, read_pages, sf_from_dir
+    from horizon_ocr_python_ray.stages.complexity import complexity_batch
+
+    corpus = ensure_corpus(sf_from_dir(sf_dir))
+    pages = read_pages(corpus, columns=["url", "html"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        scored = complexity_batch(t)
+        g = pa.TableGroupBy(
+            scored.select(["complexity", "extract_variant"]),
+            ["complexity", "extract_variant"]).aggregate([([], "count_all")])
+        return g.rename_columns(["complexity", "extract_variant", "p_n"])
+
+    return (pages.map_batches(partial, batch_format="pyarrow")
+            .groupby(["complexity", "extract_variant"])
+            .aggregate(Sum("p_n", alias_name="n")))
+
+
 def _pages_html_meta(sf_dir: str):
     """CC-index-style metadata harvest: title + anchor/paragraph/heading
     counts for payloads passing the exact ``<!DOCTYPE html`` byte-prefix
@@ -1600,6 +1640,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "concentrated_suppliers": _concentrated_suppliers,
         # --- queries new in round 4 ---
         # (inserted here so they land inside the 50-entry driver prefix)
+        "pages_doc_meta": _pages_doc_meta,
+        "pages_complexity_route": _pages_complexity_route,
         # --- block below was driver-checked in round 2 (CORRECTNESS_r02) ---
         "pages_extract": _pages_extract,
         "pages_route_counts": _pages_route_counts,
@@ -1748,6 +1790,10 @@ def oracle_sql() -> dict[str, str]:
     # disk — the pages corpus is not among the pre-registered views.
     # Generating the corpus is Ray-free and cached, so ensure it here.
     from horizon_ocr_python_ray import ensure_corpus
+    from horizon_ocr_python_ray.functions.docformat import (
+        DOC_MAGIC as _DOC_MAGIC,
+        IMG_MAGIC as _IMG_MAGIC,
+    )
 
     corpus_sf0_01 = ensure_corpus(0.01)
     golden_sf0_01 = corpus_sf0_01 + "/golden.parquet"
@@ -2604,6 +2650,70 @@ def oracle_sql() -> dict[str, str]:
         # Metadata harvest replay over the RAW page payloads: the same
         # exact byte-prefix gate (hex compare — DuckDB has no blob
         # substring) and the same RE2 field kernels.
+        # S4 metadata-probe replay: same byte-prefix gates (hex compare),
+        # page count = occurrences of the raw '"page":' marker in the
+        # ASCII SYNDOC body (json.dumps ensure_ascii) — corrupt DOC_MAGIC
+        # payloads contain no marker and probe to 0, images are 1-page.
+        # DuckDB's BLOB→VARCHAR cast escapes quotes to the literal text
+        # \\x22, so the needle is the escaped marker counted by replace()
+        # length arithmetic (regex would re-interpret \\x22 as a hex
+        # escape).
+        "pages_doc_meta": f"""
+            SELECT url, 'doc' AS route,
+                   CAST((len(cast(html AS VARCHAR))
+                         - len(replace(cast(html AS VARCHAR),
+                                       '{{needle}}', '')))
+                        // {{needle_len}} AS BIGINT) AS page_count
+            FROM read_parquet('{pages_sf0_01}')
+            WHERE left(hex(html), {{doc_hex_len}}) = '{{doc_hex}}'
+            UNION ALL
+            SELECT url, 'image' AS route, CAST(1 AS BIGINT) AS page_count
+            FROM read_parquet('{pages_sf0_01}')
+            WHERE left(hex(html), {{img_hex_len}}) = '{{img_hex}}'
+        """.replace("{needle_len}", str(len(r"\x22page\x22:"))).replace(
+            "{needle}", r"\x22page\x22:").replace(
+            "{doc_hex_len}", str(2 * len(_DOC_MAGIC))).replace(
+            "{doc_hex}", _DOC_MAGIC.hex().upper()).replace(
+            "{img_hex_len}", str(2 * len(_IMG_MAGIC))).replace(
+            "{img_hex}", _IMG_MAGIC.hex().upper()),
+        # A11 routing-table replay: same escaped-needle counts over the
+        # raw payload text, same band thresholds (pages>=4 | alts>=6 →
+        # complex → staged; pages<=1 & alts=0 → simple; else medium).
+        "pages_complexity_route": f"""
+            WITH probes AS (
+              SELECT CASE
+                       WHEN left(hex(html), {{doc_hex_len}}) = '{{doc_hex}}'
+                       THEN (len(cast(html AS VARCHAR))
+                             - len(replace(cast(html AS VARCHAR),
+                                           '{{page_needle}}', '')))
+                            // {{needle_len}}
+                       ELSE 1 END AS pages,
+                     (len(cast(html AS VARCHAR))
+                      - len(replace(cast(html AS VARCHAR),
+                                    '{{alt_needle}}', '')))
+                     // {{alt_needle_len}} AS alts
+              FROM read_parquet('{pages_sf0_01}')
+              WHERE left(hex(html), {{doc_hex_len}}) = '{{doc_hex}}'
+                 OR left(hex(html), {{img_hex_len}}) = '{{img_hex}}'
+            ), bands AS (
+              SELECT CASE WHEN pages >= 4 OR alts >= 6 THEN 'complex'
+                          WHEN pages <= 1 AND alts = 0 THEN 'simple'
+                          ELSE 'medium' END AS complexity
+              FROM probes
+            )
+            SELECT complexity,
+                   CASE complexity WHEN 'complex' THEN 'staged'
+                        ELSE 'combined' END AS extract_variant,
+                   COUNT(*) AS n
+            FROM bands GROUP BY 1, 2
+        """.replace("{needle_len}", str(len(r"\x22page\x22:"))).replace(
+            "{page_needle}", r"\x22page\x22:").replace(
+            "{alt_needle_len}", str(len(r"\x22alt\x22:"))).replace(
+            "{alt_needle}", r"\x22alt\x22:").replace(
+            "{doc_hex_len}", str(2 * len(_DOC_MAGIC))).replace(
+            "{doc_hex}", _DOC_MAGIC.hex().upper()).replace(
+            "{img_hex_len}", str(2 * len(_IMG_MAGIC))).replace(
+            "{img_hex}", _IMG_MAGIC.hex().upper()),
         "pages_html_meta": f"""
             WITH h AS (
               SELECT url, cast(html AS VARCHAR) AS s

@@ -68,6 +68,47 @@ def encode_image_payload(page: dict[str, Any]) -> bytes:
     return IMG_MAGIC + json.dumps(page, separators=(",", ":"), sort_keys=True).encode("utf-8")
 
 
+def probe_page_count(payload: bytes) -> int:
+    """Header-only page count — the metadata probe that does NOT decode
+    the document (reference ``io/pdf.py:144-173`` counts page objects
+    from the raw PDF header/xref without rasterizing). For the SYNDOC
+    stand-in the equivalent cheap scan counts the per-page ``"page":``
+    markers in the raw bytes: no JSON parse, no glyph decode, no line
+    records materialized. Images are single-page; anything else probes
+    to 0. The body is ASCII by construction (``json.dumps`` default
+    ``ensure_ascii``), so a byte scan is exact."""
+    if payload is None:
+        return 0
+    if payload.startswith(DOC_MAGIC):
+        return payload.count(b'"page":')
+    if payload.startswith(IMG_MAGIC):
+        return 1
+    return 0
+
+
+def probe_batch(batch) -> "pa.Table":  # noqa: F821 — annotation only
+    """(url, html) rows → (url, route, page_count) for binary-doc and
+    image payloads (html/text rows are dropped: they have no page
+    structure to probe). One cheap byte scan per row; the payload column
+    is consumed and dropped in this same stage."""
+    import pyarrow as pa
+
+    from .sniff import ROUTE_DOC, ROUTE_IMAGE, sniff_route
+
+    urls, routes, counts = [], [], []
+    for url, payload in zip(batch.column("url").to_pylist(),
+                            batch.column("html").to_pylist()):
+        route = sniff_route(payload)
+        if route not in (ROUTE_DOC, ROUTE_IMAGE):
+            continue
+        urls.append(url)
+        routes.append(route)
+        counts.append(probe_page_count(payload))
+    return pa.table({"url": pa.array(urls, pa.string()),
+                     "route": pa.array(routes, pa.string()),
+                     "page_count": pa.array(counts, pa.int64())})
+
+
 def decode_doc_payload(payload: bytes) -> list[dict[str, Any]]:
     if not payload.startswith(DOC_MAGIC):
         raise ValueError("not a SYNDOC payload")

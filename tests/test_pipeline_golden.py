@@ -54,3 +54,31 @@ def test_grouped_dedup_variant_byte_identity(corpus_dir, golden_map):
 
 def test_registry_dedup_variant_byte_identity(corpus_dir, golden_map):
     _assert_matches_golden(_run(corpus_dir, variant="registry"), golden_map)
+
+
+def test_complexity_routed_pipeline_byte_identity(corpus_dir, golden_map):
+    """A11 routing analog: splitting the corpus by header-only
+    complexity bands (combined stage for simple/medium, staged pipeline
+    for complex) changes the execution shape, never the bytes."""
+    from horizon_ocr_python_ray.stages.complexity import (
+        build_complexity_routed_pipeline,
+    )
+
+    out = build_complexity_routed_pipeline(read_pages(corpus_dir))
+    _assert_matches_golden(out.to_pandas(), golden_map)
+
+
+def test_complexity_bands_all_populated(corpus_dir):
+    """The synthetic corpus exercises every band and both variants."""
+    from horizon_ocr_python_ray.stages.complexity import complexity_batch
+    import pyarrow.parquet as pq
+    import glob
+    import pyarrow as pa
+
+    tabs = [pq.read_table(f, columns=["url", "html"])
+            for f in sorted(glob.glob(corpus_dir + "/pages/*.parquet"))]
+    scored = complexity_batch(pa.concat_tables(tabs))
+    bands = set(scored.column("complexity").to_pylist())
+    assert bands == {"simple", "medium", "complex"}
+    variants = set(scored.column("extract_variant").to_pylist())
+    assert variants == {"combined", "staged"}
