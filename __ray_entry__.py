@@ -1167,6 +1167,17 @@ def _money_e2(t, cols):
     return t
 
 
+def _media_audio_energy(sf_dir: str):
+    """Media decode with a fully ANALYTIC oracle: WAV payloads carry
+    md5-derived int16 samples, the engine recovers them through the real
+    RIFF/PCM codec, and DuckDB recomputes n_samples/sum_sq/peak_abs from
+    the planted parameters alone — no golden fixture file in the loop."""
+    from horizon_ocr_python_ray import sf_from_dir
+    from horizon_ocr_python_ray.stages.multimodal import media_audio_energy_for_n
+
+    return media_audio_energy_for_n(max(30, int(sf_from_dir(sf_dir) * 30_000)))
+
+
 def _media_preprocess(sf_dir: str):
     from horizon_ocr_python_ray import sf_from_dir
     from horizon_ocr_python_ray.stages.multimodal import media_preprocess_for_n
@@ -1642,6 +1653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (inserted here so they land inside the 50-entry driver prefix)
         "pages_doc_meta": _pages_doc_meta,
         "pages_complexity_route": _pages_complexity_route,
+        "media_audio_energy": _media_audio_energy,
         # --- block below was driver-checked in round 2 (CORRECTNESS_r02) ---
         "pages_extract": _pages_extract,
         "pages_route_counts": _pages_route_counts,
@@ -1838,6 +1850,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id, feature, value
             FROM read_parquet('{_GOLDEN_MEDIA}/media_features.parquet')
             WHERE n_rows = greatest(30, (SELECT (count(*) * 3) // 100 FROM events))
+        """,
+        # Non-self-referential media oracle: regenerate the planted
+        # md5-noise waveform (same md5_number_lower construction as the
+        # HLL/CMS oracles) and recompute the integer energy features
+        # analytically — the engine must recover the identical samples
+        # from the real RIFF/WAV container bytes.
+        "media_audio_energy": """
+            WITH ids AS (
+              -- range() cannot take a subquery: over-generate and filter
+              SELECT range AS media_id FROM range(1000000)
+              WHERE range < greatest(30, (SELECT (count(*) * 3) // 100
+                                          FROM events))
+            ),
+            counts AS (
+              SELECT media_id,
+                     256 + CAST(md5_number_lower('apn:42:' ||
+                           CAST(media_id AS VARCHAR)) % 1024 AS BIGINT) AS n
+              FROM ids
+            ),
+            samples AS (
+              SELECT c.media_id,
+                     CAST(md5_number_lower('ap:42:' ||
+                          CAST(c.media_id AS VARCHAR) || ':' ||
+                          CAST(k AS VARCHAR)) % 32768 AS BIGINT) - 16384 AS s
+              FROM counts c, unnest(generate_series(0, c.n - 1)) AS u(k)
+            )
+            SELECT media_id, COUNT(*) AS n_samples,
+                   CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+                   CAST(MAX(abs(s)) AS BIGINT) AS peak_abs
+            FROM samples GROUP BY media_id
         """,
         "media_preprocess": f"""
             SELECT media_id, height, width, noise_level, readability,

