@@ -171,8 +171,10 @@ def run_audit() -> dict:
     """Headline-only run that parses ``ds.stats()`` into the audit
     numbers: per-stage task count, min/mean/max task wall, and the
     share of remote time spent inside the UDF (vs scheduling/exchange).
-    Zero shuffles on this path is asserted structurally (no all-to-all
-    operator in the stats)."""
+    ``has_all_to_all`` REPORTS (not asserts) whether any operator NAME
+    contains an exchange (AllToAll/Sort/Aggregate/Shuffle/Repartition);
+    ``exchange_ops`` lists the offenders so a regression is visible in
+    the recorded audit JSON."""
     import re
 
     import ray
@@ -196,31 +198,51 @@ def run_audit() -> dict:
     stats = out.stats()
     shutil.rmtree(out_dir, ignore_errors=True)
 
-    stages = []
-    # One block per operator: "Operator N <name>: ... N tasks executed,
-    # N blocks produced in Ns" followed by indented metric lines.
-    for m in re.finditer(
-            r"Operator \d+ (\S+):[^\n]*?(\d+) tasks executed", stats):
-        stages.append({"stage": m.group(1), "tasks": int(m.group(2))})
-    walls = re.findall(
-        r"Remote wall time: ([\d.]+)(ms|s|us) min, ([\d.]+)(ms|s|us) max, "
-        r"([\d.]+)(ms|s|us) mean, ([\d.]+)(ms|s|us) total", stats)
-    udfs = re.findall(
-        r"UDF time: ([\d.]+)(ms|s|us) min, ([\d.]+)(ms|s|us) max, "
-        r"([\d.]+)(ms|s|us) mean, ([\d.]+)(ms|s|us) total", stats)
-
     def sec(v: str, u: str) -> float:
         return float(v) * {"s": 1.0, "ms": 1e-3, "us": 1e-6}[u]
 
-    for st_rec, w in zip(stages, walls):
-        st_rec["wall_min_s"] = round(sec(w[0], w[1]), 3)
-        st_rec["wall_max_s"] = round(sec(w[2], w[3]), 3)
-        st_rec["wall_mean_s"] = round(sec(w[4], w[5]), 3)
-        st_rec["wall_total_s"] = round(sec(w[6], w[7]), 3)
-        lo_s = sec(w[0], w[1])  # unrounded: the 3-dp display value can be 0.0
-        st_rec["task_spread"] = round(sec(w[2], w[3]) / lo_s, 2) if lo_s else None
+    wall_re = re.compile(
+        r"Remote wall time: ([\d.]+)(ms|s|us) min, ([\d.]+)(ms|s|us) max, "
+        r"([\d.]+)(ms|s|us) mean, ([\d.]+)(ms|s|us) total")
+    udf_re = re.compile(
+        r"UDF time: ([\d.]+)(ms|s|us) min, ([\d.]+)(ms|s|us) max, "
+        r"([\d.]+)(ms|s|us) mean, ([\d.]+)(ms|s|us) total")
+
+    # Parse each operator block AS A UNIT (split on the "Operator N"
+    # headers): an operator without a wall/UDF line (input/metadata
+    # stages) then simply lacks those fields instead of shifting every
+    # later stage's metrics onto the wrong operator.
+    stages = []
+    total_udf = 0.0
+    blocks = re.split(r"(?=Operator \d+ )", stats)
+    for block in blocks:
+        head = re.match(r"Operator \d+ (\S+):", block)
+        tasks = re.search(r"(\d+) tasks executed", block)
+        if not head or not tasks:
+            continue
+        st_rec = {"stage": head.group(1), "tasks": int(tasks.group(1))}
+        w = wall_re.search(block)
+        if w:
+            g = w.groups()
+            st_rec["wall_min_s"] = round(sec(g[0], g[1]), 3)
+            st_rec["wall_max_s"] = round(sec(g[2], g[3]), 3)
+            st_rec["wall_mean_s"] = round(sec(g[4], g[5]), 3)
+            st_rec["wall_total_s"] = round(sec(g[6], g[7]), 3)
+            lo_s = sec(g[0], g[1])  # unrounded: 3-dp display can be 0.0
+            st_rec["task_spread"] = (round(sec(g[2], g[3]) / lo_s, 2)
+                                     if lo_s else None)
+        u = udf_re.search(block)
+        if u:
+            ug = u.groups()
+            st_rec["udf_total_s"] = round(sec(ug[6], ug[7]), 3)
+            total_udf += sec(ug[6], ug[7])
+        stages.append(st_rec)
     total_remote = sum(s.get("wall_total_s", 0.0) for s in stages)
-    total_udf = sum(sec(u[6], u[7]) for u in udfs)
+    # All-to-all detection on OPERATOR NAMES only (a stat line merely
+    # containing the word "Sort" must not count as a shuffle).
+    exchange_ops = [s["stage"] for s in stages
+                    if re.search(r"(AllToAll|Sort|Aggregate|Shuffle|"
+                                 r"Repartition)", s["stage"])]
     ray.shutdown()
     return {
         "metric": "headline_audit",
@@ -231,8 +253,8 @@ def run_audit() -> dict:
         "remote_total_s": round(total_remote, 2),
         "udf_total_s": round(total_udf, 2),
         "in_udf_share": round(total_udf / total_remote, 3) if total_remote else None,
-        "has_all_to_all": ("AllToAll" in stats or "Aggregate" in stats
-                           or "Sort" in stats),
+        "has_all_to_all": bool(exchange_ops),
+        "exchange_ops": exchange_ops,
     }
 
 

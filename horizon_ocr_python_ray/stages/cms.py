@@ -79,7 +79,11 @@ def cms_matrix(ds, key_col: str) -> np.ndarray:
 
 
 def _probe_partial(batch: pa.Table, key_col: str, k: int) -> pa.Table:
-    u = np.unique(batch.column(key_col).to_numpy(zero_copy_only=False))
+    # drop_null first: a null key would surface as NaN/None from
+    # to_numpy and diverge from the oracle's DISTINCT ... ORDER BY
+    # (which never yields NULL among the first k probes)
+    col = batch.column(key_col).drop_null()
+    u = np.unique(col.to_numpy(zero_copy_only=False))
     return pa.table({key_col: pa.array(np.sort(u)[:k], pa.int64())})
 
 

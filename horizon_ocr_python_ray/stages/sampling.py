@@ -244,12 +244,21 @@ def shuffle_shards(ds, key: str = "doc_id", nshards: int = 16):
     order; this operator is the assignment/audit projection)."""
 
     def add_keys(t: pa.Table) -> pa.Table:
-        ks = t.column(key).to_pylist()
-        hs = [_md5_low64(str(k) + SHUFFLE_SALT) for k in ks]
+        import numpy as np
+
+        from ..functions.zorder import _md5_low64_np
+
+        ks = np.array([str(k) + SHUFFLE_SALT
+                       for k in t.column(key).to_pylist()], dtype=object)
+        # hash once per DISTINCT key, gather back (zorder pattern) —
+        # the md5 itself is the only per-string Python left
+        uniq, inv = np.unique(ks, return_inverse=True)
+        hs = _md5_low64_np(uniq)[inv]
         return pa.table({
             key: t.column(key),
             "shuffle_hash": pa.array(hs, pa.uint64()),
-            "shard": pa.array([h % nshards for h in hs], pa.int64()),
+            "shard": pa.array((hs % np.uint64(nshards)).astype(np.int64),
+                              pa.int64()),
         })
 
     def enumerate_shard(group: pa.Table) -> pa.Table:

@@ -71,6 +71,12 @@ def measure(nproc: int, reps: int) -> float:
 
 def main() -> None:
     global _PAYLOADS
+    # _PAYLOADS is populated in the parent and inherited via fork; under
+    # a spawn start method workers would see the empty module list and
+    # report zero rates. Fail loudly instead of measuring garbage.
+    assert mp.get_start_method() == "fork", (
+        "kernel_ceiling requires the fork start method (workers inherit "
+        "the parent's in-memory payload corpus)")
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else REPS_DEFAULT
     _PAYLOADS = _payloads()
     lo, hi = 8, 30
