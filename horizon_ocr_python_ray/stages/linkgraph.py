@@ -200,29 +200,93 @@ def host_components(
     distributed label propagation (iterate-until-fixpoint); this one
     pins the sweep count so the oracle can replay it exactly."""
     partials = _edge_partials(pages)
-    tables = collect_tables(partials)
-    edges = (
-        pa.concat_tables(tables).group_by(["src_host", "dst_host"]).aggregate([])
-        if tables
-        else pa.table({"src_host": pa.array([], pa.string()),
-                       "dst_host": pa.array([], pa.string())})
+    if plan in ("auto", "broadcast"):
+        tables = collect_tables(partials)
+        edges = (
+            pa.concat_tables(tables).group_by(["src_host", "dst_host"]).aggregate([])
+            if tables
+            else pa.table({"src_host": pa.array([], pa.string()),
+                           "dst_host": pa.array([], pa.string())})
+        )
+        if edges.num_rows <= BROADCAST_MAX_EDGES or plan == "broadcast":
+            s = edges.column("src_host").to_numpy(zero_copy_only=False)
+            d = edges.column("dst_host").to_numpy(zero_copy_only=False)
+            hosts = np.unique(np.concatenate([s, d])) if len(s) else np.array([], object)
+            si = np.searchsorted(hosts, s).astype(np.int64)
+            di = np.searchsorted(hosts, d).astype(np.int64)
+            u = np.concatenate([si, di])  # undirected: both directions
+            v = np.concatenate([di, si])
+            lab = np.arange(len(hosts), dtype=np.int64)
+            for _ in range(sweeps):
+                nxt = lab.copy()
+                np.minimum.at(nxt, v, lab[u])
+                lab = np.minimum(lab, nxt)
+            return ray.data.from_arrow(pa.table({
+                "host": pa.array(hosts.tolist(), pa.string()),
+                "comp_label": pa.array([hosts[i] for i in lab], pa.string()),
+            }))
+        # fall through: too many edges to hold on the driver
+    elif plan != "partitioned":
+        raise ValueError(f"unknown plan {plan!r}; expected auto|broadcast|partitioned")
+
+    # Partitioned plan (bit-identical labels — tested): edges stay a
+    # Dataset; per sweep only the PER-HOST label vector is broadcast
+    # (ray.put once, read per task) and only per-host incoming minima
+    # return — the same O(hosts) driver state host_pagerank's
+    # partitioned loop already carries, with synchronous sweep
+    # semantics (mins computed from the PREVIOUS sweep's labels).
+    from ray.data.aggregate import Min
+
+    edges_ds = (
+        partials.groupby(["src_host", "dst_host"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+        .materialize()  # consumed once per sweep + once for the node set
     )
-    if edges.num_rows > BROADCAST_MAX_EDGES and plan != "broadcast":
-        raise NotImplementedError(
-            "past the broadcast cap, run the converged distributed label "
-            "propagation (stages/dedup_docs.py:near_dup_clusters_distributed "
-            "pattern) — the fixed-sweep oracle form is a small-graph surface")
-    s = edges.column("src_host").to_numpy(zero_copy_only=False)
-    d = edges.column("dst_host").to_numpy(zero_copy_only=False)
-    hosts = np.unique(np.concatenate([s, d])) if len(s) else np.array([], object)
-    si = np.searchsorted(hosts, s).astype(np.int64)
-    di = np.searchsorted(hosts, d).astype(np.int64)
-    u = np.concatenate([si, di])  # undirected: both directions
-    v = np.concatenate([di, si])
+
+    def node_partial(t: pa.Table) -> pa.Table:
+        cols = []
+        for name in ("src_host", "dst_host"):
+            c = t.column(name)
+            cols.append(c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c)
+        both = pa.table({"host": pa.concat_arrays(cols)})
+        return both.group_by("host").aggregate([])
+
+    node_tbls = collect_tables(
+        edges_ds.map_batches(node_partial, batch_format="pyarrow"))
+    if not node_tbls:
+        return ray.data.from_arrow(pa.table({
+            "host": pa.array([], pa.string()),
+            "comp_label": pa.array([], pa.string())}))
+    hosts = np.unique(
+        pa.concat_tables(node_tbls).column("host").to_numpy(zero_copy_only=False))
+    hosts_ref = ray.put(hosts)
     lab = np.arange(len(hosts), dtype=np.int64)
     for _ in range(sweeps):
+        lab_ref = ray.put(lab)
+
+        def min_partial(t: pa.Table, _l=lab_ref, _h=hosts_ref) -> pa.Table:
+            hv, lv = ray.get(_h), ray.get(_l)
+            s = t.column("src_host").to_numpy(zero_copy_only=False)
+            d = t.column("dst_host").to_numpy(zero_copy_only=False)
+            si = np.searchsorted(hv, s)
+            di = np.searchsorted(hv, d)
+            g = pa.table({
+                "host": pa.array(np.concatenate([d, s])),
+                "m": pa.array(np.concatenate([lv[si], lv[di]]), pa.int64()),
+            })
+            return (g.group_by("host").aggregate([("m", "min")])
+                    .rename_columns(["host", "p_m"]))
+
+        mins = (edges_ds.map_batches(min_partial, batch_format="pyarrow")
+                .groupby("host").aggregate(Min("p_m", alias_name="m")))
         nxt = lab.copy()
-        np.minimum.at(nxt, v, lab[u])
+        in_tbls = collect_tables(mins)
+        if in_tbls:
+            it = pa.concat_tables(in_tbls)
+            ti = np.searchsorted(
+                hosts, it.column("host").to_numpy(zero_copy_only=False))
+            np.minimum.at(nxt, ti, it.column("m").to_numpy())
         lab = np.minimum(lab, nxt)
     return ray.data.from_arrow(pa.table({
         "host": pa.array(hosts.tolist(), pa.string()),

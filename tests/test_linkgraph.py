@@ -205,3 +205,18 @@ def test_pagerank_plans_bit_identical(corpus_dir):
     # Zipf-skewed host pool: the heaviest host must out-rank the tail.
     top = b.sort_values("rank_e12", ascending=False).iloc[0]
     assert top.host == "host000.example.org"
+
+
+def test_host_components_plans_bit_identical(corpus_dir):
+    """The partitioned fixed-sweep plan (edges stay a Dataset, only the
+    per-host label vector broadcasts per sweep) produces exactly the
+    broadcast plan's labels."""
+    from horizon_ocr_python_ray import read_pages
+    from horizon_ocr_python_ray.stages.linkgraph import host_components
+
+    a = (host_components(read_pages(corpus_dir), sweeps=4, plan="broadcast")
+         .to_pandas().sort_values("host").reset_index(drop=True))
+    b = (host_components(read_pages(corpus_dir), sweeps=4, plan="partitioned")
+         .to_pandas().sort_values("host").reset_index(drop=True))
+    assert a.equals(b)
+    assert len(a) > 0
