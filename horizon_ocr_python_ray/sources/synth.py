@@ -813,10 +813,16 @@ def sf_to_rows(sf: float) -> int:
 
 
 def sf_from_dir(sf_dir: str) -> float:
-    """Parse '.../sf0.01' → 0.01."""
+    """Parse '.../sf0.01' → 0.01 (also accepts the corpus cache layout
+    '.../seed42_sf4_v14')."""
+    import re
+
     base = os.path.basename(os.path.normpath(sf_dir))
     if base.startswith("sf"):
         return float(base[2:])
+    m = re.search(r"_sf([0-9.]+)_v\d+$", base)
+    if m:
+        return float(m.group(1))
     raise ValueError(f"cannot parse scale factor from {sf_dir!r}")
 
 

@@ -31,3 +31,11 @@ def test_variant_passthrough(corpus_dir):
     out = process_pages(read_pages(corpus_dir),
                         ProcessingOptions(variant="staged", dedup=False))
     assert out["extract"].count() > 0
+
+
+def test_sf_from_dir_accepts_corpus_cache_layout():
+    from horizon_ocr_python_ray.sources.synth import sf_from_dir
+
+    assert sf_from_dir("/root/testdata/sf0.01") == 0.01
+    assert sf_from_dir("/tmp/hopr_corpus/seed42_sf4_v14") == 4.0
+    assert sf_from_dir("/tmp/hopr_corpus/seed42_sf0.1_v14/") == 0.1
