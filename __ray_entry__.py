@@ -1175,7 +1175,11 @@ def _media_audio_energy(sf_dir: str):
     from horizon_ocr_python_ray import sf_from_dir
     from horizon_ocr_python_ray.stages.multimodal import media_audio_energy_for_n
 
-    return media_audio_energy_for_n(max(30, int(sf_from_dir(sf_dir) * 30_000)))
+    # min(…, 1M) mirrors the oracle's range(1000000) over-generation
+    # ceiling (DuckDB range() can't take a subquery) — reached only past
+    # sf≈33, far above any driver scale, but pinned on BOTH sides.
+    return media_audio_energy_for_n(
+        min(1_000_000, max(30, int(sf_from_dir(sf_dir) * 30_000))))
 
 
 def _media_preprocess(sf_dir: str):

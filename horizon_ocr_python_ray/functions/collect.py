@@ -43,9 +43,23 @@ def collect_block_refs(ds) -> list:
     """Object refs of every block of ``ds`` (arrow blocks stay in the
     object store; the driver holds only refs) — the ref-shipping
     counterpart of :func:`collect_tables`, again minus
-    ``to_arrow_refs``'s limit-1 schema re-execution."""
+    ``to_arrow_refs``'s limit-1 schema re-execution.
+
+    Contract: blocks ship AS STORED (zero-copy); unlike
+    ``to_arrow_refs`` there is no driver-side pandas→arrow conversion
+    step. Consumers that ``ray.get`` these refs must normalize with
+    :func:`as_arrow_table` (identity for the pyarrow blocks every stage
+    in this repo emits)."""
     return [br for bundle in ds.iter_internal_ref_bundles()
             for br in bundle.block_refs]
+
+
+def as_arrow_table(block) -> pa.Table:
+    """Normalize one fetched block to a pyarrow Table (zero-copy
+    identity for arrow blocks, converts pandas blocks)."""
+    from ray.data.block import BlockAccessor
+
+    return BlockAccessor.for_block(block).to_arrow()
 
 
 def collect_tables(ds) -> List[pa.Table]:

@@ -87,19 +87,27 @@ def probe_page_count(payload: bytes) -> int:
 
 
 def probe_batch(batch) -> "pa.Table":  # noqa: F821 — annotation only
-    """(url, html) rows → (url, route, page_count) for binary-doc and
-    image payloads (html/text rows are dropped: they have no page
-    structure to probe). One cheap byte scan per row; the payload column
-    is consumed and dropped in this same stage."""
+    """(url, html) rows → (url, route, page_count) for SYNDOC/SYNIMG
+    payloads (html/text rows are dropped: they have no page structure
+    to probe). Gates on the exact container magics — the same gate the
+    DuckDB oracle replays by hex prefix and the complexity router uses
+    — NOT the looser ``sniff_route`` families (a bare ``%PDF-`` or PNG
+    payload without the SYN marker has no byte-countable page
+    structure, so emitting a row for it would diverge from the oracle).
+    One cheap byte scan per row; the payload column is consumed and
+    dropped in this same stage."""
     import pyarrow as pa
-
-    from .sniff import ROUTE_DOC, ROUTE_IMAGE, sniff_route
 
     urls, routes, counts = [], [], []
     for url, payload in zip(batch.column("url").to_pylist(),
                             batch.column("html").to_pylist()):
-        route = sniff_route(payload)
-        if route not in (ROUTE_DOC, ROUTE_IMAGE):
+        if payload is None:
+            continue
+        if payload.startswith(DOC_MAGIC):
+            route = "doc"
+        elif payload.startswith(IMG_MAGIC):
+            route = "image"
+        else:
             continue
         urls.append(url)
         routes.append(route)

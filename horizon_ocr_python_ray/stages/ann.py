@@ -474,7 +474,10 @@ def _shard_matrix(ref) -> tuple[np.ndarray, np.ndarray]:
     key = ref.hex()
     got = _SHARD_CACHE.get(key)
     if got is None:
-        tbl: pa.Table = ray.get(ref)  # zero-copy read from the object store
+        from ..functions.collect import as_arrow_table
+
+        # zero-copy read; as_arrow_table is identity for arrow blocks
+        tbl: pa.Table = as_arrow_table(ray.get(ref))
         ids, emb = _batch_matrix(tbl)
         got = (ids, _normalize(emb))
         _SHARD_CACHE[key] = got
@@ -543,9 +546,10 @@ def _int_shard(ref) -> tuple[np.ndarray, np.ndarray]:
     key = ref.hex()
     got = _INT_SHARD_CACHE.get(key)
     if got is None:
+        from ..functions.collect import as_arrow_table
         from .vecagg import EMB_SCALE, _round_half_away
 
-        ids, emb = _batch_matrix(ray.get(ref))
+        ids, emb = _batch_matrix(as_arrow_table(ray.get(ref)))
         x = _round_half_away(emb.astype(np.float64) * EMB_SCALE)
         order = np.argsort(ids)
         got = (ids[order].astype(np.int64), x[order])

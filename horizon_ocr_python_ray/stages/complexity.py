@@ -47,18 +47,20 @@ VARIANT_ROUTING = {
 }
 
 
-def classify_payload(payload: bytes | None) -> tuple[int, int, str]:
-    """One payload → (page_count, alt_markers, complexity). Byte scans
-    only — never decodes JSON or glyphs (the nano-classifier cost
-    analog)."""
-    if payload is None:
-        return 0, 0, "simple"
-    if payload.startswith(DOC_MAGIC):
-        pages = payload.count(b'"page":')
-    elif payload.startswith(IMG_MAGIC):
-        pages = 1
-    else:
-        return 0, 0, "simple"
+def classify_payload(payload: bytes | None) -> tuple[int, int, str] | None:
+    """One payload → (page_count, alt_markers, complexity), or ``None``
+    for payloads with no page structure (html/text/other — they always
+    take the cheap path). Byte scans only — never decodes JSON or
+    glyphs (the nano-classifier cost analog). The page count IS
+    :func:`..functions.docformat.probe_page_count` — one shared gate so
+    ``pages_doc_meta`` and ``pages_complexity_route`` can never
+    diverge."""
+    from ..functions.docformat import probe_page_count
+
+    if payload is None or not (payload.startswith(DOC_MAGIC)
+                               or payload.startswith(IMG_MAGIC)):
+        return None
+    pages = probe_page_count(payload)
     alts = payload.count(b'"alt":')
     if pages >= COMPLEX_MIN_PAGES or alts >= COMPLEX_MIN_ALT_MARKERS:
         return pages, alts, "complex"
@@ -75,10 +77,10 @@ def complexity_batch(batch: pa.Table) -> pa.Table:
     urls, pages, alts, bands, variants = [], [], [], [], []
     for url, payload in zip(batch.column("url").to_pylist(),
                             batch.column("html").to_pylist()):
-        if payload is None or not (payload.startswith(DOC_MAGIC)
-                                   or payload.startswith(IMG_MAGIC)):
+        got = classify_payload(payload)
+        if got is None:
             continue
-        p, a, band = classify_payload(payload)
+        p, a, band = got
         urls.append(url)
         pages.append(p)
         alts.append(a)
@@ -99,21 +101,33 @@ def build_complexity_routed_pipeline(pages_ds, cfg=None):
     complex → union. Html/text rows ride the combined stage (their path
     is identical in both variants). Output schema and bytes match the
     plain combined pipeline exactly (tested); only the execution shape
-    of the heavy slice changes."""
+    of the heavy slice changes.
+
+    Cost note: Ray Data streams each branch from its own lineage, so
+    the source read + sniff + classify byte-scan run once PER BRANCH
+    (2× scan; classify is header-only and ~100× cheaper than extract).
+    That is the honest price of giving the complex slice a different
+    execution shape under streaming execution — the same price the
+    reference pays when its classifier routes a document to a separate
+    deployment. When the split itself must be single-scan, the answer
+    is the plain combined variant (per-row dispatch inside one stage),
+    not this router."""
     from .extract_stage import add_extract_stage
     from .route import add_sniff_stage
     from .staged import build_staged_pipeline
 
     sniffed = add_sniff_stage(pages_ds)
 
+    def _band(p) -> str:
+        got = classify_payload(p)
+        return got[2] if got is not None else "simple"
+
     def _is_complex(t: pa.Table) -> pa.Table:
-        mask = [classify_payload(p)[2] == "complex"
-                for p in t.column("html").to_pylist()]
+        mask = [_band(p) == "complex" for p in t.column("html").to_pylist()]
         return t.filter(pa.array(mask, pa.bool_()))
 
     def _not_complex(t: pa.Table) -> pa.Table:
-        mask = [classify_payload(p)[2] != "complex"
-                for p in t.column("html").to_pylist()]
+        mask = [_band(p) != "complex" for p in t.column("html").to_pylist()]
         return t.filter(pa.array(mask, pa.bool_()))
 
     cheap = add_extract_stage(

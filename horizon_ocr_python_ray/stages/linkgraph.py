@@ -48,7 +48,7 @@ from ray.data.aggregate import Count, Sum
 
 from ..functions.links import outlinks_batch
 from ..functions.sniff import sniff_route
-from ..functions.collect import collect_tables
+from ..functions.collect import collect_tables, iter_tables
 
 #: Fixed-point scale of the rank column (rank_e12 = rank × 1e12).
 RANK_SCALE = 1_000_000_000_000
@@ -183,6 +183,35 @@ def _rank_table(hosts: np.ndarray, r: np.ndarray) -> ray.data.Dataset:
     )
 
 
+
+def _edges_if_small(partials, cap: int):
+    """Stream the batch-distinct edge partials to the driver under a
+    RUNNING row cap: fold every 64 tables into a global distinct so the
+    bound tracks DISTINCT edges (partials overlap across batches), and
+    bail out with ``None`` the moment the fold exceeds ``cap`` — the
+    driver never holds more than ~cap + one block of rows, so the
+    broadcast-vs-partitioned decision itself can't OOM on a huge graph.
+    Returns the distinct edge Table when it fits."""
+    empty = pa.table({"src_host": pa.array([], pa.string()),
+                      "dst_host": pa.array([], pa.string())})
+    chunk = [empty]
+    pending = 0
+    for t in iter_tables(partials):
+        chunk.append(t)
+        pending += t.num_rows
+        if pending > cap or len(chunk) >= 64:
+            folded = (pa.concat_tables(chunk)
+                      .group_by(["src_host", "dst_host"]).aggregate([]))
+            if folded.num_rows > cap:
+                return None
+            chunk = [folded]
+            pending = 0
+    out = (pa.concat_tables(chunk)
+           .group_by(["src_host", "dst_host"]).aggregate([])
+           if len(chunk) > 1 else chunk[0])
+    return None if out.num_rows > cap else out
+
+
 def host_components(
     pages: ray.data.Dataset, sweeps: int = 4, plan: str = "auto"
 ) -> ray.data.Dataset:
@@ -201,14 +230,10 @@ def host_components(
     pins the sweep count so the oracle can replay it exactly."""
     partials = _edge_partials(pages)
     if plan in ("auto", "broadcast"):
-        tables = collect_tables(partials)
-        edges = (
-            pa.concat_tables(tables).group_by(["src_host", "dst_host"]).aggregate([])
-            if tables
-            else pa.table({"src_host": pa.array([], pa.string()),
-                           "dst_host": pa.array([], pa.string())})
-        )
-        if edges.num_rows <= BROADCAST_MAX_EDGES or plan == "broadcast":
+        cap = (BROADCAST_MAX_EDGES if plan == "auto"
+               else (1 << 62))  # explicit broadcast: caller takes the risk
+        edges = _edges_if_small(partials, cap)
+        if edges is not None:
             s = edges.column("src_host").to_numpy(zero_copy_only=False)
             d = edges.column("dst_host").to_numpy(zero_copy_only=False)
             hosts = np.unique(np.concatenate([s, d])) if len(s) else np.array([], object)
@@ -305,15 +330,12 @@ def host_pagerank(
 
     if plan in ("auto", "broadcast"):
         # Edge partials are already batch-distinct; the global distinct
-        # folds on the driver (graph state ≪ corpus), capped.
-        tables = collect_tables(partials)
-        edges = (
-            pa.concat_tables(tables).group_by(["src_host", "dst_host"]).aggregate([])
-            if tables
-            else pa.table({"src_host": pa.array([], pa.string()),
-                           "dst_host": pa.array([], pa.string())})
-        )
-        if edges.num_rows <= BROADCAST_MAX_EDGES or plan == "broadcast":
+        # folds on the driver under a RUNNING cap (bail before memory
+        # blows, not after — _edges_if_small).
+        cap = (BROADCAST_MAX_EDGES if plan == "auto"
+               else (1 << 62))  # explicit broadcast: caller takes the risk
+        edges = _edges_if_small(partials, cap)
+        if edges is not None:
             s = edges.column("src_host").to_numpy(zero_copy_only=False)
             d = edges.column("dst_host").to_numpy(zero_copy_only=False)
             hosts = np.unique(np.concatenate([s, d])) if len(s) else np.array([], object)

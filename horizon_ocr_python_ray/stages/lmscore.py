@@ -167,13 +167,17 @@ def train_bigram_counts(docs_ds):
             .map_batches(_prune_grams, batch_format="pyarrow"))
 
 
-def train_bigram_model(docs_ds) -> dict:
+def train_bigram_model(docs_ds, counts=None) -> dict:
     """One counting pass → broadcast-ready integer model dict.
 
     Raises :class:`ModelTooLargeError` when the pruned model exceeds the
     broadcast budget — ``doc_lm_score(plan="auto")`` then falls back to
-    the gram hash-join plan."""
-    counts = train_bigram_counts(docs_ds)
+    the gram hash-join plan. ``counts`` lets the caller pass an
+    already-built (ideally materialized) gram-count Dataset so the
+    fallback can REUSE the counting pass instead of re-running the
+    corpus-wide shuffle."""
+    if counts is None:
+        counts = train_bigram_counts(docs_ds)
     # Pull block-by-block with a running cap so the loud refusal fires
     # BEFORE driver memory blows, not after.
     parts, rows = [], 0
@@ -321,7 +325,8 @@ def _doc_base(batch: pa.Table) -> pa.Table:
     })
 
 
-def doc_lm_score_join(docs_ds, score_docs_ds=None, num_partitions: int = 8):
+def doc_lm_score_join(docs_ds, score_docs_ds=None, num_partitions: int = 8,
+                      counts=None):
     """Fully distributed gram hash-join scoring plan — the 100 TB path
     when the pruned model exceeds the broadcast budget.
 
@@ -356,7 +361,9 @@ def doc_lm_score_join(docs_ds, score_docs_ds=None, num_partitions: int = 8):
 
     from .joins import safe_join
 
-    counts = train_bigram_counts(docs_ds).materialize()
+    if counts is None:
+        counts = train_bigram_counts(docs_ds)
+    counts = counts.materialize()  # no-op if already materialized
     target = score_docs_ds if score_docs_ds is not None else docs_ds
     base = target.map_batches(_doc_base, batch_format="pyarrow")
 
@@ -457,13 +464,19 @@ def doc_lm_score(docs_ds, score_docs_ds=None, plan: str = "auto",
     if plan == "join":
         return doc_lm_score_join(docs_ds, score_docs_ds,
                                  num_partitions=num_partitions)
+    # Materialize the pruned gram counts ONCE: the broadcast attempt
+    # streams them, and if it overflows the budget the join fallback
+    # reuses the same counts instead of re-running the corpus-wide
+    # tokenize + gram shuffle (the most expensive stage of the query).
+    counts = train_bigram_counts(docs_ds).materialize()
     try:
-        model = train_bigram_model(docs_ds)
+        model = train_bigram_model(docs_ds, counts=counts)
     except ModelTooLargeError:
         if plan == "broadcast":
             raise
         return doc_lm_score_join(docs_ds, score_docs_ds,
-                                 num_partitions=num_partitions)
+                                 num_partitions=num_partitions,
+                                 counts=counts)
     model_ref = ray.put(model)
     del model  # single copy: workers read the plasma object zero-copy
     target = score_docs_ds if score_docs_ds is not None else docs_ds

@@ -250,10 +250,10 @@ def shuffle_shards(ds, key: str = "doc_id", nshards: int = 16):
 
         ks = np.array([str(k) + SHUFFLE_SALT
                        for k in t.column(key).to_pylist()], dtype=object)
-        # hash once per DISTINCT key, gather back (zorder pattern) —
-        # the md5 itself is the only per-string Python left
-        uniq, inv = np.unique(ks, return_inverse=True)
-        hs = _md5_low64_np(uniq)[inv]
+        # shuffle keys are per-row unique (doc ids), so no dedup pass —
+        # hash the salted strings directly; the md5 itself is the only
+        # per-string Python left, the modulo/order math is vectorized
+        hs = _md5_low64_np(ks)
         return pa.table({
             key: t.column(key),
             "shuffle_hash": pa.array(hs, pa.uint64()),
