@@ -22,9 +22,55 @@ import os as _os
 from collections.abc import Callable
 from typing import Any
 
-#: Pinned golden fixtures for the media queries (tools/gen_media_golden.py).
+#: Pinned golden fixture for the re-OCR query (tools/gen_reocr_golden.py).
+#: Round 4: the three media queries now have fully ANALYTIC oracles
+#: (planted md5 parameters replayed in SQL) and no longer read goldens.
 _GOLDEN_MEDIA = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
                               "data", "golden")
+
+
+def _probe_pix_sql(id_expr: str, y_expr: str, x_expr: str) -> str:
+    """DuckDB expression regenerating one planted image-probe pixel —
+    the SQL twin of ``stages/multimodal._probe_image_pixels`` (key
+    ``mpx:42:{id}:{y}:{x}``, three variants keyed on the image-row
+    ordinal ``id // 3``)."""
+    m = (f"md5_number_lower('mpx:42:' || CAST({id_expr} AS VARCHAR) || ':' "
+         f"|| CAST({y_expr} AS VARCHAR) || ':' || CAST({x_expr} AS VARCHAR))")
+    return (f"(CASE (({id_expr}) // 3) % 3 "
+            f"WHEN 0 THEN CAST({m} % 256 AS BIGINT) "
+            f"WHEN 1 THEN 120 + CAST({m} % 16 AS BIGINT) "
+            f"ELSE CAST({m} % 40 AS BIGINT) END)")
+
+
+#: Shared CTE prefix for the three media-probe oracles: fixture row ids
+#: (media fixture n = max(30, sf*30000) = events*3/100) and the planted
+#: image parameters (dims from md5, orientation/variant from the
+#: image-row ordinal) — the SQL twin of ``gen_media_probe_table``.
+_PROBE_IDS_SQL = """
+            ids AS (
+              SELECT range AS media_id FROM range(1000000)
+              WHERE range < greatest(30, (SELECT (count(*) * 3) // 100
+                                          FROM events))
+            )"""
+_PROBE_IMG_SQL = """
+            img AS (
+              SELECT media_id,
+                     ((media_id // 3) % 8) + 1 AS o,
+                     [16, 24, 32][CAST(md5_number_lower(
+                         'mpw:42:' || CAST(media_id AS VARCHAR)) % 3
+                         AS INTEGER) + 1] AS w,
+                     [16, 24][CAST(md5_number_lower(
+                         'mph:42:' || CAST(media_id AS VARCHAR)) % 2
+                         AS INTEGER) + 1] AS h
+              FROM ids WHERE media_id % 3 = 0
+            )"""
+_PROBE_VID_SQL = """
+            vid AS (
+              SELECT media_id,
+                     2 + CAST(md5_number_lower('mpvn:42:' ||
+                         CAST(media_id AS VARCHAR)) % 10 AS BIGINT) AS nf
+              FROM ids WHERE media_id % 3 = 2
+            )"""
 
 
 def _sf_table(sf_dir: str, name: str, columns: list[str] | None = None):
@@ -1144,10 +1190,17 @@ def _doc_lang_unique(sf_dir: str):
 
 
 def _media_features(sf_dir: str):
+    """Media decode with a fully ANALYTIC oracle (round-4: replaces the
+    builder-written golden parquet): planted md5 pixels/samples/frames
+    go through the REAL PNG/WAV/APNG codecs and integer feature monoids;
+    DuckDB regenerates the content from the planted parameters. The
+    image px_wsum weights pixels by display raveled index, so all 8
+    EXIF orientation undos are value-checked."""
     from horizon_ocr_python_ray import sf_from_dir
-    from horizon_ocr_python_ray.stages.multimodal import media_features_for_n
+    from horizon_ocr_python_ray.stages.multimodal import media_features_probe_for_n
 
-    return media_features_for_n(max(30, int(sf_from_dir(sf_dir) * 30_000)))
+    return media_features_probe_for_n(
+        min(1_000_000, max(30, int(sf_from_dir(sf_dir) * 30_000))))
 
 
 def _money_e2(t, cols):
@@ -1183,19 +1236,31 @@ def _media_audio_energy(sf_dir: str):
 
 
 def _media_preprocess(sf_dir: str):
+    """Real PNG decode + orientation undo + readability-threshold replay
+    over planted md5 pixels, plus the REAL preprocess chain in its
+    shape-preserving configuration (dewarp=False) so the output dims are
+    analytic. Round-4: fully analytic oracle, no golden parquet; the
+    chain's pixel-level behavior stays pinned by the byte-identity
+    pytest goldens (tests/test_multimodal.py, tests/test_imageproc.py)."""
     from horizon_ocr_python_ray import sf_from_dir
-    from horizon_ocr_python_ray.stages.multimodal import media_preprocess_for_n
+    from horizon_ocr_python_ray.stages.multimodal import media_preprocess_probe_for_n
 
-    return media_preprocess_for_n(max(30, int(sf_from_dir(sf_dir) * 30_000)))
+    return media_preprocess_probe_for_n(
+        min(1_000_000, max(30, int(sf_from_dir(sf_dir) * 30_000))))
 
 
 def _media_motion(sf_dir: str):
     """Per-video temporal motion energy over decoded APNG frame stacks —
-    integer-exact (sum/max of absolute frame deltas)."""
+    integer-exact (sum/max of absolute frame deltas). Round-4: the
+    fixture plants md5 base rasters panned by 2px/frame, so the oracle
+    recomputes motion analytically ((nf-1) × one circular-shift delta
+    sum) instead of reading a golden file; the engine still diffs every
+    decoded frame pair for real."""
     from horizon_ocr_python_ray import sf_from_dir
-    from horizon_ocr_python_ray.stages.multimodal import media_motion_for_n
+    from horizon_ocr_python_ray.stages.multimodal import media_motion_probe_for_n
 
-    return media_motion_for_n(max(30, int(sf_from_dir(sf_dir) * 30_000)))
+    return media_motion_probe_for_n(
+        min(1_000_000, max(30, int(sf_from_dir(sf_dir) * 30_000))))
 
 
 def _q1(sf_dir: str):
@@ -1842,18 +1907,92 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(len(spans)) AS BIGINT) AS n_spans
             FROM read_parquet('{golden_sf0_01}') GROUP BY route
         """,
-        # Media decode + preprocess vs the pinned golden fixtures
-        # (data/golden/, regenerated by tools/gen_media_golden.py):
-        # DuckDB cannot decode PNG streams, so the oracle is
-        # byte-stability against fixtures whose VALUES are guaranteed by
-        # the codec/kernel unit suites (tests/test_png.py,
-        # tests/test_imageproc.py). The n_rows slice follows the
-        # driver's sf: events = sf·1,000,000 rows, media fixture =
-        # max(30, sf·30000) = greatest(30, events·3/100).
+        # Non-self-referential media oracle (round 4): every pixel /
+        # sample / frame of the probe fixture is an md5-derived integer,
+        # so the oracle REGENERATES the content from the planted
+        # parameters and recomputes each integer feature analytically —
+        # the engine must recover identical content through the real
+        # PNG / RIFF-WAV / APNG codecs. px_wsum weights each pixel by
+        # its display raveled index (yy*W + xx after the EXIF
+        # orientation undo); the video pan structure makes every frame
+        # sum equal the base sum.
         "media_features": f"""
-            SELECT media_id, feature, value
-            FROM read_parquet('{_GOLDEN_MEDIA}/media_features.parquet')
-            WHERE n_rows = greatest(30, (SELECT (count(*) * 3) // 100 FROM events))
+            WITH {_PROBE_IDS_SQL},
+            {_PROBE_IMG_SQL},
+            ipx AS (
+              SELECT i.media_id, i.o, i.w, i.h, uy.y AS y, ux.x AS x,
+                     {_probe_pix_sql('i.media_id', 'uy.y', 'ux.x')} AS p
+              FROM img i,
+                   unnest(generate_series(0, i.h - 1)) AS uy(y),
+                   unnest(generate_series(0, i.w - 1)) AS ux(x)
+            ),
+            ifeat AS (
+              SELECT media_id,
+                     CAST(count(*) AS DOUBLE) AS px_n,
+                     CAST(sum(p) AS DOUBLE) AS px_sum,
+                     CAST(sum(p * p) AS DOUBLE) AS px_sumsq,
+                     CAST(sum(p * (yy * dw + xx)) AS DOUBLE) AS px_wsum
+              FROM (
+                SELECT media_id, p,
+                       CASE WHEN o >= 5 THEN h ELSE w END AS dw,
+                       CASE o WHEN 1 THEN y WHEN 2 THEN y
+                              WHEN 3 THEN h - 1 - y WHEN 4 THEN h - 1 - y
+                              WHEN 5 THEN x WHEN 6 THEN x
+                              ELSE w - 1 - x END AS yy,
+                       CASE o WHEN 1 THEN x WHEN 2 THEN w - 1 - x
+                              WHEN 3 THEN w - 1 - x WHEN 4 THEN x
+                              WHEN 5 THEN y WHEN 6 THEN h - 1 - y
+                              WHEN 7 THEN h - 1 - y ELSE y END AS xx
+                FROM ipx)
+              GROUP BY media_id
+            ),
+            acounts AS (
+              SELECT media_id,
+                     256 + CAST(md5_number_lower('mpan:42:' ||
+                           CAST(media_id AS VARCHAR)) % 1024 AS BIGINT) AS n
+              FROM ids WHERE media_id % 3 = 1
+            ),
+            asamples AS (
+              SELECT c.media_id,
+                     CAST(md5_number_lower('mpa:42:' ||
+                          CAST(c.media_id AS VARCHAR) || ':' ||
+                          CAST(k AS VARCHAR)) % 32768 AS BIGINT) - 16384 AS s
+              FROM acounts c, unnest(generate_series(0, c.n - 1)) AS u(k)
+            ),
+            afeat AS (
+              SELECT media_id, CAST(count(*) AS DOUBLE) AS n_samples,
+                     CAST(sum(s * s) AS DOUBLE) AS sum_sq,
+                     CAST(max(abs(s)) AS DOUBLE) AS peak_abs
+              FROM asamples GROUP BY media_id
+            ),
+            {_PROBE_VID_SQL},
+            vpx AS (
+              SELECT v.media_id, v.nf,
+                     CAST(md5_number_lower('mpv:42:' ||
+                          CAST(v.media_id AS VARCHAR) || ':' ||
+                          CAST(uy.y AS VARCHAR) || ':' ||
+                          CAST(ux.x AS VARCHAR)) % 256 AS BIGINT) AS p
+              FROM vid v, unnest(generate_series(0, 15)) AS uy(y),
+                   unnest(generate_series(0, 15)) AS ux(x)
+            ),
+            vfeat AS (
+              SELECT media_id, CAST(any_value(nf) AS DOUBLE) AS n_frames,
+                     256.0 AS px_per_frame,
+                     CAST(any_value(nf) * sum(p) AS DOUBLE) AS frames_sum,
+                     CAST(max(p) AS DOUBLE) AS frames_max
+              FROM vpx GROUP BY media_id
+            )
+            SELECT media_id, 'px_n' AS feature, px_n AS value FROM ifeat
+            UNION ALL SELECT media_id, 'px_sum', px_sum FROM ifeat
+            UNION ALL SELECT media_id, 'px_sumsq', px_sumsq FROM ifeat
+            UNION ALL SELECT media_id, 'px_wsum', px_wsum FROM ifeat
+            UNION ALL SELECT media_id, 'n_samples', n_samples FROM afeat
+            UNION ALL SELECT media_id, 'sum_sq', sum_sq FROM afeat
+            UNION ALL SELECT media_id, 'peak_abs', peak_abs FROM afeat
+            UNION ALL SELECT media_id, 'n_frames', n_frames FROM vfeat
+            UNION ALL SELECT media_id, 'px_per_frame', px_per_frame FROM vfeat
+            UNION ALL SELECT media_id, 'frames_sum', frames_sum FROM vfeat
+            UNION ALL SELECT media_id, 'frames_max', frames_max FROM vfeat
         """,
         # Non-self-referential media oracle: regenerate the planted
         # md5-noise waveform (same md5_number_lower construction as the
@@ -1885,11 +2024,71 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(abs(s)) AS BIGINT) AS peak_abs
             FROM samples GROUP BY media_id
         """,
+        # Readability-threshold replay over the regenerated planted
+        # pixels (imageproc.assess_readability's published thresholds:
+        # contrast<30, laplacian-var<100, brightness<50/>230,
+        # noise>1000, size<500) + the shape-preserving preprocess
+        # chain's analytic output dims. The three planted variants sit
+        # orders of magnitude from every threshold, so numpy-vs-VAR_POP
+        # float drift cannot flip a flag.
         "media_preprocess": f"""
-            SELECT media_id, height, width, noise_level, readability,
-                   issues, error
-            FROM read_parquet('{_GOLDEN_MEDIA}/media_preprocess.parquet')
-            WHERE n_rows = greatest(30, (SELECT (count(*) * 3) // 100 FROM events))
+            WITH {_PROBE_IDS_SQL},
+            {_PROBE_IMG_SQL},
+            ipx AS (
+              SELECT i.media_id, i.o, i.w, i.h, uy.y AS y, ux.x AS x,
+                     {_probe_pix_sql('i.media_id', 'uy.y', 'ux.x')} AS p
+              FROM img i,
+                   unnest(generate_series(0, i.h - 1)) AS uy(y),
+                   unnest(generate_series(0, i.w - 1)) AS ux(x)
+            ),
+            lap AS (
+              SELECT media_id, o, w, h, p,
+                     ({_probe_pix_sql('media_id', 'greatest(y - 1, 0)', 'x')}
+                      + {_probe_pix_sql('media_id', 'least(y + 1, h - 1)', 'x')}
+                      + {_probe_pix_sql('media_id', 'y', 'greatest(x - 1, 0)')}
+                      + {_probe_pix_sql('media_id', 'y', 'least(x + 1, w - 1)')}
+                      - 4 * p) AS l
+              FROM ipx
+            ),
+            stat AS (
+              SELECT media_id, any_value(o) AS o, any_value(w) AS w,
+                     any_value(h) AS h,
+                     count(*) AS n_pix, sum(p) AS pix_sum,
+                     sum(p * p) AS pix_sumsq,
+                     avg(CAST(p AS DOUBLE)) AS mean_p,
+                     stddev_pop(CAST(p AS DOUBLE)) AS std_p,
+                     var_pop(CAST(l AS DOUBLE)) AS lapvar
+              FROM lap GROUP BY media_id
+            ),
+            flags AS (
+              SELECT media_id, n_pix, pix_sum, pix_sumsq,
+                     CASE WHEN o >= 5 THEN w ELSE h END AS dh,
+                     CASE WHEN o >= 5 THEN h ELSE w END AS dw,
+                     CASE WHEN std_p < 30.0 THEN 'low_contrast' END AS f1,
+                     CASE WHEN lapvar < 100.0 THEN 'blurry' END AS f2,
+                     CASE WHEN mean_p < 50.0 THEN 'too_dark'
+                          WHEN mean_p > 230.0 THEN 'too_bright' END AS f3,
+                     CASE WHEN lapvar > 1000.0 THEN 'high_noise' END AS f4
+              FROM stat
+            )
+            SELECT media_id,
+                   CAST(dh AS INTEGER) AS height,
+                   CAST(dw AS INTEGER) AS width,
+                   CAST(n_pix AS BIGINT) AS n_pix,
+                   CAST(pix_sum AS BIGINT) AS pix_sum,
+                   CAST(pix_sumsq AS BIGINT) AS pix_sumsq,
+                   CASE WHEN n_iss = 0 THEN 'good'
+                        WHEN n_iss <= 2 THEN 'fair'
+                        ELSE 'poor' END AS readability,
+                   concat_ws(',', f1, f2, f3, f4, f5) AS issues,
+                   CAST(NULL AS VARCHAR) AS error
+            FROM (SELECT *,
+                    CASE WHEN dh < 500 OR dw < 500
+                         THEN 'low_resolution' END AS f5,
+                    ((f1 IS NOT NULL)::INT + (f2 IS NOT NULL)::INT
+                     + (f3 IS NOT NULL)::INT + (f4 IS NOT NULL)::INT
+                     + (dh < 500 OR dw < 500)::INT) AS n_iss
+                  FROM flags) q
         """,
         # Bigram-LM likelihood score, replayed exactly: same tokenizer
         # (lowercase whitespace split), same pruning (count >= 2), same
@@ -1934,13 +2133,37 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN terms t ON t.doc_id = d.doc_id
             GROUP BY d.doc_id, d.text
         """,
-        # Video motion energy vs the pinned golden fixture (integer-exact
-        # frame-delta sums; DuckDB cannot decode APNG streams).
+        # Video motion energy, analytically replayed: frame f of the
+        # probe APNG is the md5 base raster rolled 2f columns, so every
+        # consecutive |frame delta| has the same value multiset —
+        # motion_abs_sum = (nf-1) * Σ|base[y,(x-2) mod 16] - base[y,x]|.
+        # The engine diffs every REAL decoded frame pair and must land
+        # on the identical integers.
         "media_motion": f"""
-            SELECT media_id, n_frames, px_per_frame, motion_abs_sum,
-                   max_delta, error
-            FROM read_parquet('{_GOLDEN_MEDIA}/media_motion.parquet')
-            WHERE n_rows = greatest(30, (SELECT (count(*) * 3) // 100 FROM events))
+            WITH {_PROBE_IDS_SQL},
+            {_PROBE_VID_SQL},
+            vpx AS (
+              SELECT v.media_id, v.nf,
+                     CAST(md5_number_lower('mpv:42:' ||
+                          CAST(v.media_id AS VARCHAR) || ':' ||
+                          CAST(uy.y AS VARCHAR) || ':' ||
+                          CAST(ux.x AS VARCHAR)) % 256 AS BIGINT) AS p,
+                     CAST(md5_number_lower('mpv:42:' ||
+                          CAST(v.media_id AS VARCHAR) || ':' ||
+                          CAST(uy.y AS VARCHAR) || ':' ||
+                          CAST((ux.x + 14) % 16 AS VARCHAR)) % 256
+                          AS BIGINT) AS p2
+              FROM vid v, unnest(generate_series(0, 15)) AS uy(y),
+                   unnest(generate_series(0, 15)) AS ux(x)
+            )
+            SELECT media_id,
+                   CAST(any_value(nf) AS BIGINT) AS n_frames,
+                   CAST(256 AS BIGINT) AS px_per_frame,
+                   CAST((any_value(nf) - 1) * sum(abs(p2 - p))
+                        AS BIGINT) AS motion_abs_sum,
+                   CAST(max(abs(p2 - p)) AS BIGINT) AS max_delta,
+                   CAST(NULL AS VARCHAR) AS error
+            FROM vpx GROUP BY media_id
         """,
         # Re-OCR strategy ladder vs the pinned golden fixture
         # (tools/gen_reocr_golden.py): DuckDB cannot replay the raster /

