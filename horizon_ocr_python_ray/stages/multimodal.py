@@ -456,11 +456,17 @@ def gen_audio_probe_table(n_rows: int, seed: int = 42) -> pa.Table:
     PARAMETERS, with no builder-written golden file in the loop. The
     payloads are still REAL RIFF/WAV PCM streams; the engine's job is
     to recover the samples from the container bytes."""
+    return _audio_probe_rows_for_ids(range(n_rows), seed)
+
+
+def _audio_probe_rows_for_ids(row_ids, seed: int = 42) -> pa.Table:
+    """Audio probe rows for an explicit id list (worker kernel; see
+    :func:`_probe_rows_for_ids`)."""
     from ..functions.wav import encode_wav
     from .sketches import _md5_low64
 
     ids, kinds, payloads, metas = [], [], [], []
-    for i in range(n_rows):
+    for i in row_ids:
         n = 256 + _md5_low64(f"apn:{seed}:{i}") % 1024
         s = np.fromiter(
             (_md5_low64(f"ap:{seed}:{i}:{k}") % 32768 - 16384 for k in range(n)),
@@ -503,13 +509,25 @@ def audio_energy_batch(batch: pa.Table) -> pa.Table:
                      "peak_abs": pa.array(o_pk, pa.int64())})
 
 
+def _gen_audio_probe_batch(batch: pa.Table, *, seed: int) -> pa.Table:
+    ids = batch.column("id").to_numpy(zero_copy_only=False)
+    return _audio_probe_rows_for_ids(ids.tolist(), seed)
+
+
 def media_audio_energy_for_n(n: int, seed: int = 42):
     """The driver's ``media_audio_energy`` pipeline for ``n`` fixture
-    rows (decode is the real WAV codec; oracle is fully analytic)."""
+    rows (decode is the real WAV codec; oracle is fully analytic).
+    Fixture generation is distributed: only ids leave the driver."""
+    import functools
+
     import ray.data
 
-    return ray.data.from_arrow(gen_audio_probe_table(n, seed=seed)).map_batches(
-        audio_energy_batch, batch_format="pyarrow", batch_size=32)
+    nb = max(1, min(512, n // 1024 + 1))
+    return (ray.data.range(n, override_num_blocks=nb)
+            .map_batches(functools.partial(_gen_audio_probe_batch, seed=seed),
+                         batch_format="pyarrow")
+            .map_batches(audio_energy_batch, batch_format="pyarrow",
+                         batch_size=32))
 
 
 # ---------------------------------------------------------------------------
@@ -594,20 +612,18 @@ def _probe_video_base(seed: int, i: int) -> tuple[np.ndarray, int]:
     return base, nf
 
 
-def gen_media_probe_table(n_rows: int, seed: int = 42) -> pa.Table:
-    """Mixed-kind media fixture whose every feature is analytically
-    replayable in SQL from the planted parameters (see module note
-    above). Kind cycles image/audio/video by ``media_id % 3``; image
-    rows cycle all 8 EXIF orientations and 3 pixel variants; audio rows
-    reuse the ``gen_audio_probe_table`` construction under the
-    ``mpa``/``mpan`` key prefixes; video rows are camera-pan APNGs over
-    an md5 base raster."""
+def _probe_rows_for_ids(row_ids, seed: int = 42) -> pa.Table:
+    """Probe-fixture rows for an explicit id list — the per-worker
+    kernel behind both the driver-side :func:`gen_media_probe_table`
+    (tests) and the distributed :func:`media_probe_ds` (driver
+    queries). Content depends only on ``(id, seed)``, so any
+    partitioning of the id range produces byte-identical rows."""
     from ..functions.png import encode_apng
     from ..functions.wav import encode_wav
     from .sketches import _md5_low64
 
     ids, kinds, payloads, metas = [], [], [], []
-    for i in range(n_rows):
+    for i in row_ids:
         kind = ("image", "audio", "video")[i % 3]
         if kind == "image":
             w, h, variant, orientation = _probe_image_params(seed, i)
@@ -640,6 +656,50 @@ def gen_media_probe_table(n_rows: int, seed: int = 42) -> pa.Table:
          pa.array(metas, MEDIA_SCHEMA.field("meta").type)],
         schema=MEDIA_SCHEMA,
     )
+
+
+def gen_media_probe_table(n_rows: int, seed: int = 42) -> pa.Table:
+    """Mixed-kind media fixture whose every feature is analytically
+    replayable in SQL from the planted parameters (see module note
+    above). Kind cycles image/audio/video by ``media_id % 3``; image
+    rows cycle all 8 EXIF orientations and 3 pixel variants; audio rows
+    reuse the ``gen_audio_probe_table`` construction under the
+    ``mpa``/``mpan`` key prefixes; video rows are camera-pan APNGs over
+    an md5 base raster. Driver-side form, used by tests; the driver
+    queries generate the same rows distributed via
+    :func:`media_probe_ds`."""
+    return _probe_rows_for_ids(range(n_rows), seed)
+
+
+_KIND_ORD = {"image": 0, "audio": 1, "video": 2}
+
+
+def _gen_probe_batch(batch: pa.Table, *, seed: int,
+                     kind: str | None) -> pa.Table:
+    """``ray.data.range`` id batch → probe-fixture rows, generated ON
+    THE WORKER. ``kind`` prunes ids BEFORE any payload encoding, so a
+    per-kind branch encodes only its third of the fixture."""
+    ids = batch.column("id").to_numpy(zero_copy_only=False)
+    if kind is not None:
+        ids = ids[ids % 3 == _KIND_ORD[kind]]
+    return _probe_rows_for_ids(ids.tolist(), seed)
+
+
+def media_probe_ds(n: int, seed: int = 42, kind: str | None = None):
+    """Distributed probe-fixture generation: only integer ids leave the
+    driver (``ray.data.range``); PNG/WAV/APNG encoding runs inside
+    ``map_batches`` on workers — at a large ``n`` the fixture is never
+    materialized on the driver, unlike ``from_arrow(gen_media_probe_
+    table(n))``. Block count scales with ``n`` (≈1k ids per block,
+    capped) so small fixtures don't pay per-block overhead."""
+    import functools
+
+    import ray.data
+
+    nb = max(1, min(512, n // 1024 + 1))
+    return ray.data.range(n, override_num_blocks=nb).map_batches(
+        functools.partial(_gen_probe_batch, seed=seed, kind=kind),
+        batch_format="pyarrow")
 
 
 def image_probe_batch(batch: pa.Table) -> pa.Table:
@@ -734,14 +794,6 @@ def image_preprocess_probe_batch(batch: pa.Table) -> pa.Table:
                      "error": pa.array(o_err, pa.string())})
 
 
-def _only_kind(kind: str):
-    import pyarrow.compute as pc
-
-    def fn(t: pa.Table) -> pa.Table:
-        return t.filter(pc.equal(t.column("kind"), kind))
-    return fn
-
-
 def _melt_int(feature_cols):
     """Long-format melt of int64 feature columns to (media_id, feature,
     value DOUBLE) — every value is an exact integer far below 2^53, so
@@ -762,21 +814,20 @@ def _melt_int(feature_cols):
 def media_features_probe_for_n(n: int, seed: int = 42):
     """``media_features``: per-kind integer feature monoids over the
     probe fixture, melted long — real codecs on the engine side, fully
-    analytic md5 replay on the oracle side."""
-    import ray.data
-
-    media_ds = ray.data.from_arrow(gen_media_probe_table(n, seed=seed))
-    img = (media_ds.map_batches(_only_kind("image"), batch_format="pyarrow")
+    analytic md5 replay on the oracle side. Each kind branch GENERATES
+    only its own third of the fixture, distributed
+    (:func:`media_probe_ds`); no driver-side fixture materialization."""
+    img = (media_probe_ds(n, seed=seed, kind="image")
            .map_batches(image_probe_batch, batch_format="pyarrow",
                         batch_size=32)
            .map_batches(_melt_int(["px_n", "px_sum", "px_sumsq", "px_wsum"]),
                         batch_format="pyarrow"))
-    aud = (media_ds.map_batches(_only_kind("audio"), batch_format="pyarrow")
+    aud = (media_probe_ds(n, seed=seed, kind="audio")
            .map_batches(audio_energy_batch, batch_format="pyarrow",
                         batch_size=32)
            .map_batches(_melt_int(["n_samples", "sum_sq", "peak_abs"]),
                         batch_format="pyarrow"))
-    vid = (media_ds.map_batches(_only_kind("video"), batch_format="pyarrow")
+    vid = (media_probe_ds(n, seed=seed, kind="video")
            .map_batches(video_stack_batch, batch_format="pyarrow",
                         batch_size=16)
            .map_batches(_melt_int(["n_frames", "px_per_frame", "frames_sum",
@@ -788,23 +839,20 @@ def media_features_probe_for_n(n: int, seed: int = 42):
 def media_preprocess_probe_for_n(n: int, seed: int = 42):
     """``media_preprocess``: decode + readability-threshold replay +
     real preprocess chain (shape-preserving configuration) over the
-    probe fixture's image rows."""
-    import ray.data
-
-    return (ray.data.from_arrow(gen_media_probe_table(n, seed=seed))
-            .map_batches(_only_kind("image"), batch_format="pyarrow")
-            .map_batches(image_preprocess_probe_batch,
-                         batch_format="pyarrow", batch_size=16))
+    probe fixture's image rows (generated distributed, image third
+    only)."""
+    return media_probe_ds(n, seed=seed, kind="image").map_batches(
+        image_preprocess_probe_batch, batch_format="pyarrow", batch_size=16)
 
 
 def media_motion_probe_for_n(n: int, seed: int = 42):
     """``media_motion``: the unchanged :class:`VideoMotionStage` over
     the probe fixture's video rows — the oracle replays the pan
-    structure ((nf-1) × one circular-shift |delta| sum) analytically."""
-    import ray.data
-
+    structure ((nf-1) × one circular-shift |delta| sum) analytically.
+    Generation is distributed and pruned to the video third before any
+    APNG encoding."""
     return build_video_motion_pipeline(
-        ray.data.from_arrow(gen_media_probe_table(n, seed=seed)))
+        media_probe_ds(n, seed=seed, kind="video"))
 
 
 def build_media_pipeline(media_ds, resize_to: int | None = 32,

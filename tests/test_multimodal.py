@@ -322,3 +322,26 @@ def test_media_probe_preprocess_threshold_replay(ray_session):
         assert row.issues == ",".join(issues), (i, v)
         assert row.readability == (
             "good" if not issues else ("fair" if len(issues) <= 2 else "poor"))
+
+
+def test_media_probe_ds_matches_driver_table(ray_session):
+    """Distributed probe generation (ray.data.range → worker-side
+    encode) is byte-identical to the driver-side table, both unfiltered
+    and per-kind-pruned — so moving generation off the driver cannot
+    move the oracle."""
+    from horizon_ocr_python_ray.stages.multimodal import (
+        gen_media_probe_table,
+        media_probe_ds,
+    )
+
+    N = 24
+    ref = gen_media_probe_table(N).sort_by("media_id")
+    got = media_probe_ds(N).take_all()
+    got_t = pa.Table.from_pylist(got, schema=ref.schema).sort_by("media_id")
+    assert got_t.equals(ref)
+    for kind, ordinal in (("image", 0), ("audio", 1), ("video", 2)):
+        part = media_probe_ds(N, kind=kind).take_all()
+        part_t = pa.Table.from_pylist(
+            part, schema=ref.schema).sort_by("media_id")
+        want = ref.take([i for i in range(N) if i % 3 == ordinal])
+        assert part_t.equals(want), kind
