@@ -1723,6 +1723,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_doc_meta": _pages_doc_meta,
         "pages_complexity_route": _pages_complexity_route,
         "media_audio_energy": _media_audio_energy,
+        # --- oracles REPLACED in round 4 (golden parquet -> analytic
+        # md5 replay): green r2/r3 rows certified the OLD oracles, so
+        # these need fresh driver rows and sit inside the prefix ---
+        "media_features": _media_features,
+        "media_preprocess": _media_preprocess,
+        "media_motion": _media_motion,
         # --- block below was driver-checked in round 2 (CORRECTNESS_r02) ---
         "pages_extract": _pages_extract,
         "pages_route_counts": _pages_route_counts,
@@ -1768,8 +1774,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_worst_styles": _pages_worst_styles,
         "pages_validation": _pages_validation,
         "pages_reconstruction": _pages_reconstruction,
-        "media_features": _media_features,
-        "media_preprocess": _media_preprocess,
         "doc_top_terms": _doc_top_terms,
         "doc_decontam": _doc_decontam,
         "doc_chunks": _doc_chunks,
@@ -1824,7 +1828,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "big_orders": _big_orders,
         "cust_idle": _cust_idle,
         "doc_lm_score": _doc_lm_score,
-        "media_motion": _media_motion,
     }
 
 
