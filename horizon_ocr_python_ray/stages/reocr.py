@@ -241,20 +241,34 @@ def _payload_batch_counts(t: pa.Table) -> pa.Table:
     return pa.Table.from_pydict(cols, schema=REOCR_SCHEMA)
 
 
-def build_reocr_pipeline(pages_ds):
+def build_reocr_pipeline(pages_ds) -> pa.Table:
     """pages dataset → per-strategy re-OCR ladder counters (4 rows).
 
     One streaming pass: the raster/kernel work happens inside the batch
-    fn (parallel across payload batches); only 4-row partials reach the
-    final groupby."""
-    import ray.data  # noqa: F401
-    from ray.data.aggregate import Sum
+    fn (parallel across payload batches); each batch emits exactly 4
+    partial rows, so the final merge is a PROVABLY-SMALL driver fold
+    (``functions/collect.iter_tables``, incremental Arrow group-sum) —
+    a ``groupby("strategy")`` here would ship 4-row partials through
+    the full sort exchange and pay its multi-second executor spin-up on
+    what is a 4-key monoid fold."""
+    from ..functions.collect import iter_tables
 
     partials = pages_ds.map_batches(
         _payload_batch_counts, batch_format="pyarrow", batch_size=32)
-    out = partials.groupby("strategy").aggregate(
-        *[Sum(f, alias_name=f) for f in _COUNT_FIELDS])
-    return out.map_batches(
-        lambda t: t.select(["strategy", *_COUNT_FIELDS]).cast(REOCR_SCHEMA)
-        if t.num_rows else t,
-        batch_format="pyarrow")
+
+    def fold(t: pa.Table) -> pa.Table:
+        agg = t.group_by("strategy").aggregate(
+            [(f, "sum") for f in _COUNT_FIELDS])
+        return pa.Table.from_arrays(
+            [agg.column("strategy")]
+            + [agg.column(f"{f}_sum") for f in _COUNT_FIELDS],
+            names=["strategy", *_COUNT_FIELDS])
+
+    merged: pa.Table | None = None
+    for t in iter_tables(partials):  # 4 rows per block, streaming
+        merged = t if merged is None else fold(pa.concat_tables([merged, t]))
+    if merged is None:
+        return pa.Table.from_pydict(
+            {"strategy": [], **{f: [] for f in _COUNT_FIELDS}},
+            schema=REOCR_SCHEMA)
+    return merged.sort_by("strategy").cast(REOCR_SCHEMA)
