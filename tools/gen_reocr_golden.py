@@ -48,9 +48,9 @@ def main() -> None:
     parts = []
     for sf in SFS:
         corpus = ensure_corpus(sf)
-        out = build_reocr_pipeline(read_pages(corpus, columns=["url", "html"]))
-        tabs = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
-        t = pa.concat_tables(tabs).combine_chunks()
+        # build_reocr_pipeline returns the folded 4-row pa.Table directly
+        t = build_reocr_pipeline(
+            read_pages(corpus, columns=["url", "html"])).combine_chunks()
         t = t.append_column(
             "n_rows", pa.array([sf_to_rows(sf)] * t.num_rows, pa.int64()))
         parts.append(t)
