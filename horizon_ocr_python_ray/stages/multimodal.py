@@ -359,19 +359,11 @@ class VideoFrameSampleStage:
         )
 
 
-def media_features_for_n(n: int, seed: int = 42):
-    """The RNG-raster media pipeline over ``n`` fixture rows — kept as
-    the byte-identity pytest surface (tests/test_multimodal.py); the
-    driver's ``media_features`` query now runs the analytically-oracled
-    :func:`media_features_probe_for_n` instead."""
-    import ray.data
-
-    return build_media_pipeline(ray.data.from_arrow(gen_media_table(n, seed=seed)))
-
-
 def media_preprocess_for_n(n: int, seed: int = 42):
-    """The driver's ``media_preprocess`` pipeline for ``n`` media rows
-    (see :func:`media_features_for_n`)."""
+    """The RNG-raster preprocess pipeline over ``n`` fixture rows —
+    the byte-identity pytest surface for the real preprocess chain
+    (tests/test_multimodal.py); the driver's media queries run the
+    analytically-oracled ``*_probe_for_n`` variants instead."""
     import ray.data
 
     return build_image_preprocess_pipeline(
@@ -432,15 +424,6 @@ def build_video_motion_pipeline(media_ds):
         batch_format="pyarrow")
     return vid.map_batches(VideoMotionStage, batch_format="pyarrow",
                            batch_size=16, concurrency=(1, 4))
-
-
-def media_motion_for_n(n: int, seed: int = 42):
-    """The driver's ``media_motion`` pipeline for ``n`` media rows
-    (see :func:`media_features_for_n`)."""
-    import ray.data
-
-    return build_video_motion_pipeline(
-        ray.data.from_arrow(gen_media_table(n, seed=seed)))
 
 
 def gen_audio_probe_table(n_rows: int, seed: int = 42) -> pa.Table:
@@ -514,16 +497,23 @@ def _gen_audio_probe_batch(batch: pa.Table, *, seed: int) -> pa.Table:
     return _audio_probe_rows_for_ids(ids.tolist(), seed)
 
 
+def _id_range_ds(n: int):
+    """``ray.data.range(n)`` sized so blocks carry ~1k ids (capped) —
+    the shared scaffold for distributed fixture generation: only int
+    ids leave the driver; payload encoding runs in ``map_batches``."""
+    import ray.data
+
+    nb = max(1, min(512, n // 1024 + 1))
+    return ray.data.range(n, override_num_blocks=nb)
+
+
 def media_audio_energy_for_n(n: int, seed: int = 42):
     """The driver's ``media_audio_energy`` pipeline for ``n`` fixture
     rows (decode is the real WAV codec; oracle is fully analytic).
     Fixture generation is distributed: only ids leave the driver."""
     import functools
 
-    import ray.data
-
-    nb = max(1, min(512, n // 1024 + 1))
-    return (ray.data.range(n, override_num_blocks=nb)
+    return (_id_range_ds(n)
             .map_batches(functools.partial(_gen_audio_probe_batch, seed=seed),
                          batch_format="pyarrow")
             .map_batches(audio_energy_batch, batch_format="pyarrow",
@@ -694,10 +684,7 @@ def media_probe_ds(n: int, seed: int = 42, kind: str | None = None):
     capped) so small fixtures don't pay per-block overhead."""
     import functools
 
-    import ray.data
-
-    nb = max(1, min(512, n // 1024 + 1))
-    return ray.data.range(n, override_num_blocks=nb).map_batches(
+    return _id_range_ds(n).map_batches(
         functools.partial(_gen_probe_batch, seed=seed, kind=kind),
         batch_format="pyarrow")
 

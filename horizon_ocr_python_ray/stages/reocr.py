@@ -265,8 +265,11 @@ def build_reocr_pipeline(pages_ds) -> pa.Table:
             names=["strategy", *_COUNT_FIELDS])
 
     merged: pa.Table | None = None
-    for t in iter_tables(partials):  # 4 rows per block, streaming
-        merged = t if merged is None else fold(pa.concat_tables([merged, t]))
+    for t in iter_tables(partials):  # few rows per block, streaming
+        # fold the FIRST block too: a block is one task's output and may
+        # itself concatenate several 4-row batch partials (batch_size <
+        # block rows), so a single-block dataset must still group-sum
+        merged = fold(t if merged is None else pa.concat_tables([merged, t]))
     if merged is None:
         return pa.Table.from_pydict(
             {"strategy": [], **{f: [] for f in _COUNT_FIELDS}},

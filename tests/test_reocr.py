@@ -238,3 +238,26 @@ def test_pipeline_counts(ray_session):
     assert out.loc["primary_only", "improved_secondary"] == 0
     # ensemble improves at least as much as any single engine
     assert out.loc["ensemble", "n_improved"] >= out["n_improved"].max() - 0
+
+
+def test_pipeline_folds_single_block(ray_session):
+    """A ONE-block pages dataset whose block holds several 4-row batch
+    partials (block rows > batch_size) must still come out as exactly 4
+    group-summed strategy rows — the fold applies to the first block
+    too, not only to block-merge steps."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from horizon_ocr_python_ray import ensure_corpus
+    from horizon_ocr_python_ray.pipelines.extract import read_pages
+    from horizon_ocr_python_ray.stages.reocr import build_reocr_pipeline
+
+    corpus = ensure_corpus(0.001)
+    wide = read_pages(corpus, columns=["url", "html"]) \
+        .repartition(1)  # one block, 500 rows > batch_size=32
+    one = build_reocr_pipeline(wide).to_pandas().set_index("strategy")
+    ref = build_reocr_pipeline(
+        read_pages(corpus, columns=["url", "html"])).to_pandas() \
+        .set_index("strategy")
+    assert len(one) == len(STRATEGIES)
+    assert one.sort_index().equals(ref.sort_index())
