@@ -2044,14 +2044,20 @@ def oracle_sql() -> dict[str, str]:
                    unnest(generate_series(0, i.h - 1)) AS uy(y),
                    unnest(generate_series(0, i.w - 1)) AS ux(x)
             ),
+            -- edge-clamped 4-neighbour Laplacian via window functions:
+            -- clamping duplicates the edge pixel itself, which is
+            -- exactly coalesce(lag/lead(p), p) — ONE md5 per pixel
+            -- instead of recomputing the pixel expression 5x
             lap AS (
               SELECT media_id, o, w, h, p,
-                     ({_probe_pix_sql('media_id', 'greatest(y - 1, 0)', 'x')}
-                      + {_probe_pix_sql('media_id', 'least(y + 1, h - 1)', 'x')}
-                      + {_probe_pix_sql('media_id', 'y', 'greatest(x - 1, 0)')}
-                      + {_probe_pix_sql('media_id', 'y', 'least(x + 1, w - 1)')}
+                     (coalesce(lag(p) OVER wy, p)
+                      + coalesce(lead(p) OVER wy, p)
+                      + coalesce(lag(p) OVER wx, p)
+                      + coalesce(lead(p) OVER wx, p)
                       - 4 * p) AS l
               FROM ipx
+              WINDOW wy AS (PARTITION BY media_id, x ORDER BY y),
+                     wx AS (PARTITION BY media_id, y ORDER BY x)
             ),
             stat AS (
               SELECT media_id, any_value(o) AS o, any_value(w) AS w,
