@@ -245,9 +245,6 @@ def test_pipeline_folds_single_block(ray_session):
     partials (block rows > batch_size) must still come out as exactly 4
     group-summed strategy rows — the fold applies to the first block
     too, not only to block-merge steps."""
-    import pyarrow.parquet as pq
-    import ray.data
-
     from horizon_ocr_python_ray import ensure_corpus
     from horizon_ocr_python_ray.pipelines.extract import read_pages
     from horizon_ocr_python_ray.stages.reocr import build_reocr_pipeline
