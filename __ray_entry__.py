@@ -192,6 +192,18 @@ def _doc_fingerprint(sf_dir: str):
     return docs.map_batches(fingerprint_batch, batch_format="pyarrow")
 
 
+def _doc_winnow(sf_dir: str):
+    """Winnowing document fingerprints (Schleimer et al. 2003 — the
+    MOSS scheme): per-doc distinct window-minimum gram hashes, digested
+    as (count, signed-domain XOR). One stateless map_batches pass, zero
+    shuffles; the SQL oracle replays gram hashing + window minima with
+    md5_number_lower and a ROWS window frame."""
+    from horizon_ocr_python_ray.stages.winnow import winnow_fingerprints
+
+    docs = _sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return winnow_fingerprints(docs)
+
+
 def _doc_simhash(sf_dir: str):
     import ray.data
     from horizon_ocr_python_ray.stages.dedup_docs import simhash_batch
@@ -1729,6 +1741,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _media_features,
         "media_preprocess": _media_preprocess,
         "media_motion": _media_motion,
+        "doc_winnow": _doc_winnow,  # new in round 4 session 2
         # --- block below was driver-checked in round 2 (CORRECTNESS_r02) ---
         "pages_extract": _pages_extract,
         "pages_route_counts": _pages_route_counts,
@@ -3692,6 +3705,47 @@ def oracle_sql() -> dict[str, str]:
         # SimHash is SQL-reproducible because the token hash is
         # md5_number_lower (DuckDB-native): per-bit strict-majority vote
         # over token hashes, re-signed into int64 domain.
+        # Winnowing fingerprints replayed exactly: same tokenizer, same
+        # 3-gram join, same 4-window minima (ROWS frame clips at the
+        # doc tail; rows past ord = m-w+1 are excluded so short docs
+        # emit exactly ONE whole-doc window), distinct-value dedup,
+        # XOR digest in the signed domain (the simhash idiom).
+        "doc_winnow": r"""
+            WITH t AS (
+              SELECT doc_id, CASE WHEN trim(text)='' THEN []::VARCHAR[]
+                             ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, generate_subscripts(toks, 1) AS ord,
+                     unnest(toks) AS tk
+              FROM t
+            ), grams AS (
+              SELECT a.doc_id, a.ord,
+                     md5_number_lower(a.tk || ' ' || b.tk || ' ' || c.tk) AS h
+              FROM tok a
+              JOIN tok b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+              JOIN tok c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2
+            ), wins AS (
+              SELECT doc_id, ord,
+                     count(*) OVER (PARTITION BY doc_id) AS m,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY ord
+                                  ROWS BETWEEN CURRENT ROW
+                                  AND 3 FOLLOWING) AS wmin
+              FROM grams
+            ), fp AS (
+              SELECT doc_id, any_value(m) AS m,
+                     count(DISTINCT wmin) AS n_fp,
+                     bit_xor(DISTINCT wmin) AS x
+              FROM wins WHERE ord <= greatest(m - 3, 1)
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(fp.m, 0) AS BIGINT) AS n_grams,
+                   CAST(COALESCE(fp.n_fp, 0) AS BIGINT) AS n_fp,
+                   CAST(CAST(COALESCE(fp.x, 0) AS HUGEINT)
+                        - 9223372036854775808 AS BIGINT) AS fp_xor
+            FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+        """,
         "doc_simhash": r"""
             WITH t AS (
               SELECT doc_id, CASE WHEN trim(text)='' THEN []::VARCHAR[]

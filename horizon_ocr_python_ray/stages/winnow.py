@@ -1,0 +1,113 @@
+"""Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003,
+"Winnowing: Local Algorithms for Document Fingerprinting" — the MOSS
+scheme): hash every ordered token k-gram, slide a w-gram window over
+the hash sequence, and keep each window's MINIMUM; the distinct minima
+are the document's fingerprint set. Guarantees: any shared substring of
+at least w+k-1 tokens shares at least one fingerprint (the detection
+threshold), and the selected density is ~2/(w+1) of all grams — a
+position-robust near-dup signal the corpus's other sketches don't give
+(MinHash is order-blind, SimHash is global, the rolling XOR
+fingerprint has no locality guarantee).
+
+Variant pinned here (both engine and SQL oracle): fingerprints are the
+DISTINCT window-minimum VALUES (no positional tie-breaking — value
+dedup subsumes it), and a document with 1 ≤ m < w gram hashes emits
+exactly one window covering all of them, so every tokenizable doc with
+≥ k tokens has ≥ 1 fingerprint.
+
+Scale shape: one stateless ``map_batches`` pass, zero shuffles — the
+per-doc digest (count + XOR of distinct minima) is the comparable
+surface; a cross-doc shared-fingerprint join would add one narrow
+(fingerprint, doc) shuffle, the same plan as ``stages/repgrams.py``.
+
+Reference analog: the content-addressed dedup family (D1–D2,
+docvision response-cache semantics) extended with the standard
+plagiarism-detection fingerprint; tokenization parity with the SQL
+oracles is inherited from ``functions/gramvec.py`` (Arrow RE2 ``\\s+``
+split of ``lower(text)``, byte-identical to DuckDB's
+``regexp_split_to_array``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.gramvec import _gram_windows
+
+#: Token-gram size (k) and window size (w): detection threshold
+#: w + k - 1 = 6 shared tokens, expected density 2/(w+1) = 40%.
+DEFAULT_K = 3
+DEFAULT_W = 4
+
+#: Worker-global gram-hash memo (grams repeat heavily across batches in
+#: boilerplate-rich corpora); bounded like the simhash token cache.
+_GRAM_HASH_CACHE: dict[str, int] = {}
+
+
+def winnow_batch(batch: pa.Table, k: int = DEFAULT_K,
+                 w: int = DEFAULT_W) -> pa.Table:
+    """(doc_id, text) batch → (doc_id, n_grams, n_fp, fp_xor).
+
+    ``n_grams``: ordered k-gram count (0 for docs with < k tokens);
+    ``n_fp``: distinct winnowing fingerprints; ``fp_xor``: XOR of the
+    distinct fingerprint hashes mapped to the signed int64 domain
+    (``x ^ 2^63`` reinterpreted — the simhash idiom, so the SQL twin is
+    ``CAST(xor_agg - 2^63 AS BIGINT)``; empty set → -2^63).
+
+    Vectorized: one Arrow gram explode per batch, md5 once per DISTINCT
+    gram (worker-cached), numpy sliding-window minima per doc."""
+    from ..functions.minhash import md5_low64
+
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    n_docs = len(ids)
+    n_grams = np.zeros(n_docs, np.int64)
+    n_fp = np.zeros(n_docs, np.int64)
+    fpx = np.zeros(n_docs, np.uint64)
+    win = _gram_windows(batch.column("text"), k)
+    if win is not None:
+        doc_idx, _intra, grams = win
+        de = grams.dictionary_encode()
+        uniq = de.dictionary.to_pylist()
+        cache = _GRAM_HASH_CACHE
+        if len(cache) > 1_000_000:
+            cache.clear()
+        uh = np.empty(len(uniq), dtype=np.uint64)
+        for i, g in enumerate(uniq):
+            h = cache.get(g)
+            if h is None:
+                h = md5_low64(g)
+                cache[g] = h
+            uh[i] = h
+        hs = uh[de.indices.to_numpy(zero_copy_only=False)]
+        counts = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
+        n_grams = counts
+        starts = np.zeros(n_docs + 1, np.int64)
+        np.cumsum(counts, out=starts[1:])
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for d in np.nonzero(counts)[0]:
+            hd = hs[starts[d]:starts[d + 1]]
+            # m <= w grams → ONE window over all of them (frame clip)
+            mins = (hd.min(keepdims=True) if hd.size <= w
+                    else sliding_window_view(hd, w).min(axis=1))
+            u = np.unique(mins)
+            n_fp[d] = u.size
+            fpx[d] = np.bitwise_xor.reduce(u)
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_grams": pa.array(n_grams, pa.int64()),
+        "n_fp": pa.array(n_fp, pa.int64()),
+        "fp_xor": pa.array((fpx ^ np.uint64(1 << 63)).view(np.int64),
+                           pa.int64()),
+    })
+
+
+def winnow_fingerprints(docs_ds, k: int = DEFAULT_K, w: int = DEFAULT_W):
+    """documents → per-doc winnowing fingerprint digests, one stateless
+    streaming pass (zero shuffles at any scale)."""
+    import functools
+
+    return docs_ds.map_batches(
+        functools.partial(winnow_batch, k=k, w=w), batch_format="pyarrow")
