@@ -204,6 +204,17 @@ def _doc_winnow(sf_dir: str):
     return winnow_fingerprints(docs)
 
 
+def _doc_winnow_pairs(sf_dir: str):
+    """MOSS detection: document pairs sharing >= 2 winnowing
+    fingerprints, boilerplate fingerprints (df > 50) excluded. One
+    narrow (fp, doc) shuffle; the pairable-fingerprint broadcast is
+    sized by the duplicate rate, never the corpus."""
+    from horizon_ocr_python_ray.stages.winnow import winnow_shared_pairs
+
+    docs = _sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return winnow_shared_pairs(docs)
+
+
 def _doc_simhash(sf_dir: str):
     import ray.data
     from horizon_ocr_python_ray.stages.dedup_docs import simhash_batch
@@ -1742,6 +1753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_preprocess": _media_preprocess,
         "media_motion": _media_motion,
         "doc_winnow": _doc_winnow,  # new in round 4 session 2
+        "doc_winnow_pairs": _doc_winnow_pairs,  # new in round 4 session 2
         # --- block below was driver-checked in round 2 (CORRECTNESS_r02) ---
         "pages_extract": _pages_extract,
         "pages_route_counts": _pages_route_counts,
@@ -3745,6 +3757,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(COALESCE(fp.x, 0) AS HUGEINT)
                         - 9223372036854775808 AS BIGINT) AS fp_xor
             FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+        """,
+        # MOSS detection pairs: same winnowing CTEs, then distinct
+        # (doc, fp), boilerplate drop (df outside [2, 50]), self-join
+        # on fp with doc_a < doc_b, shared count >= 2. fp is mapped to
+        # the signed domain to match the engine's exploded column.
+        "doc_winnow_pairs": r"""
+            WITH t AS (
+              SELECT doc_id, CASE WHEN trim(text)='' THEN []::VARCHAR[]
+                             ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, generate_subscripts(toks, 1) AS ord,
+                     unnest(toks) AS tk
+              FROM t
+            ), grams AS (
+              SELECT a.doc_id, a.ord,
+                     md5_number_lower(a.tk || ' ' || b.tk || ' ' || c.tk) AS h
+              FROM tok a
+              JOIN tok b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+              JOIN tok c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2
+            ), wins AS (
+              SELECT doc_id, ord,
+                     count(*) OVER (PARTITION BY doc_id) AS m,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY ord
+                                  ROWS BETWEEN CURRENT ROW
+                                  AND 3 FOLLOWING) AS wmin
+              FROM grams
+            ), seld AS (
+              SELECT DISTINCT doc_id,
+                     CAST(CAST(wmin AS HUGEINT)
+                          - 9223372036854775808 AS BIGINT) AS fp
+              FROM wins WHERE ord <= greatest(m - 3, 1)
+            ), okfp AS (
+              SELECT fp FROM seld GROUP BY fp
+              HAVING count(*) BETWEEN 2 AND 50
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM seld a
+            JOIN seld b ON b.fp = a.fp AND a.doc_id < b.doc_id
+            JOIN okfp ON okfp.fp = a.fp
+            GROUP BY a.doc_id, b.doc_id
+            HAVING count(*) >= 2
         """,
         "doc_simhash": r"""
             WITH t AS (

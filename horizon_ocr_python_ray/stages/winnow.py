@@ -45,26 +45,18 @@ DEFAULT_W = 4
 _GRAM_HASH_CACHE: dict[str, int] = {}
 
 
-def winnow_batch(batch: pa.Table, k: int = DEFAULT_K,
-                 w: int = DEFAULT_W) -> pa.Table:
-    """(doc_id, text) batch → (doc_id, n_grams, n_fp, fp_xor).
-
-    ``n_grams``: ordered k-gram count (0 for docs with < k tokens);
-    ``n_fp``: distinct winnowing fingerprints; ``fp_xor``: XOR of the
-    distinct fingerprint hashes mapped to the signed int64 domain
-    (``x ^ 2^63`` reinterpreted — the simhash idiom, so the SQL twin is
-    ``CAST(xor_agg - 2^63 AS BIGINT)``; empty set → -2^63).
-
-    Vectorized: one Arrow gram explode per batch, md5 once per DISTINCT
-    gram (worker-cached), numpy sliding-window minima per doc."""
+def _doc_minima(batch: pa.Table, k: int, w: int):
+    """Shared kernel: (doc_ids int64, n_grams int64, per-doc list of
+    distinct window-minimum uint64 arrays). Vectorized: one Arrow gram
+    explode per batch, md5 once per DISTINCT gram (worker-cached),
+    numpy sliding-window minima per doc."""
     from ..functions.minhash import md5_low64
 
     ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(
         np.int64)
     n_docs = len(ids)
     n_grams = np.zeros(n_docs, np.int64)
-    n_fp = np.zeros(n_docs, np.int64)
-    fpx = np.zeros(n_docs, np.uint64)
+    minima: list[np.ndarray | None] = [None] * n_docs
     win = _gram_windows(batch.column("text"), k)
     if win is not None:
         doc_idx, _intra, grams = win
@@ -92,7 +84,25 @@ def winnow_batch(batch: pa.Table, k: int = DEFAULT_K,
             # m <= w grams → ONE window over all of them (frame clip)
             mins = (hd.min(keepdims=True) if hd.size <= w
                     else sliding_window_view(hd, w).min(axis=1))
-            u = np.unique(mins)
+            minima[d] = np.unique(mins)
+    return ids, n_grams, minima
+
+
+def winnow_batch(batch: pa.Table, k: int = DEFAULT_K,
+                 w: int = DEFAULT_W) -> pa.Table:
+    """(doc_id, text) batch → (doc_id, n_grams, n_fp, fp_xor).
+
+    ``n_grams``: ordered k-gram count (0 for docs with < k tokens);
+    ``n_fp``: distinct winnowing fingerprints; ``fp_xor``: XOR of the
+    distinct fingerprint hashes mapped to the signed int64 domain
+    (``x ^ 2^63`` reinterpreted — the simhash idiom, so the SQL twin is
+    ``CAST(xor_agg - 2^63 AS BIGINT)``; empty set → -2^63)."""
+    ids, n_grams, minima = _doc_minima(batch, k, w)
+    n_docs = len(ids)
+    n_fp = np.zeros(n_docs, np.int64)
+    fpx = np.zeros(n_docs, np.uint64)
+    for d, u in enumerate(minima):
+        if u is not None:
             n_fp[d] = u.size
             fpx[d] = np.bitwise_xor.reduce(u)
     return pa.table({
@@ -104,6 +114,23 @@ def winnow_batch(batch: pa.Table, k: int = DEFAULT_K,
     })
 
 
+def _fp_rows_batch(batch: pa.Table, k: int, w: int) -> pa.Table:
+    """(doc_id, text) batch → exploded (fp, doc_id) rows, one per
+    distinct fingerprint per doc; fp in the signed int64 domain."""
+    ids, _n_grams, minima = _doc_minima(batch, k, w)
+    fps: list[np.ndarray] = []
+    owners: list[np.ndarray] = []
+    for d, u in enumerate(minima):
+        if u is not None and u.size:
+            fps.append((u ^ np.uint64(1 << 63)).view(np.int64))
+            owners.append(np.full(u.size, ids[d], np.int64))
+    if not fps:
+        return pa.table({"fp": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64())})
+    return pa.table({"fp": pa.array(np.concatenate(fps), pa.int64()),
+                     "doc_id": pa.array(np.concatenate(owners), pa.int64())})
+
+
 def winnow_fingerprints(docs_ds, k: int = DEFAULT_K, w: int = DEFAULT_W):
     """documents → per-doc winnowing fingerprint digests, one stateless
     streaming pass (zero shuffles at any scale)."""
@@ -111,3 +138,79 @@ def winnow_fingerprints(docs_ds, k: int = DEFAULT_K, w: int = DEFAULT_W):
 
     return docs_ds.map_batches(
         functools.partial(winnow_batch, k=k, w=w), batch_format="pyarrow")
+
+
+#: Fingerprints in more documents than this are boilerplate (navigation,
+#: licence blocks) and are dropped before pairing — the standard MOSS
+#: over-common-fingerprint exclusion, and the cap that keeps the
+#: within-fingerprint pair fan-out quadratic-safe at corpus scale.
+DEFAULT_MAX_DF = 50
+
+
+def winnow_shared_pairs(docs_ds, k: int = DEFAULT_K, w: int = DEFAULT_W,
+                        min_shared: int = 2, max_df: int = DEFAULT_MAX_DF):
+    """MOSS detection query: (doc_a, doc_b, n_shared) pairs sharing at
+    least ``min_shared`` winnowing fingerprints, fingerprints with
+    document frequency outside [2, max_df] excluded.
+
+    Scale shape (mirrors ``dedup_docs._discover_pairs_distributed``):
+    the exploded (fp, doc) table shuffles ONCE on a narrow int64 key;
+    the pairable-fingerprint set (2 ≤ df ≤ max_df — sized by the
+    duplicate rate, not the corpus) is the only driver collect and is
+    broadcast into a vectorized ``is_in`` filter; within-fingerprint
+    pair fan-out is bounded by ``max_df²``; the final pair counts stay
+    a Dataset (never collected here)."""
+    import functools
+
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    fps = docs_ds.map_batches(
+        functools.partial(_fp_rows_batch, k=k, w=w),
+        batch_format="pyarrow").materialize()  # two consumers
+    pairable = fps.groupby("fp").aggregate(Count(alias_name="df")).map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.greater(t.column("df"), pa.scalar(1)),
+                    pc.less_equal(t.column("df"), pa.scalar(max_df)))
+        ).select(["fp"]),
+        batch_format="pyarrow")
+    from ..functions.collect import collect_tables
+
+    key_tabs = collect_tables(pairable)
+    if not key_tabs:
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "n_shared": pa.array([], pa.int64())}))
+    keys = pa.concat_tables(key_tabs).column("fp").combine_chunks()
+    members = fps.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("fp"), value_set=keys)),
+        batch_format="pyarrow")
+
+    def pairs_in_group(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(g["doc_id"].tolist()))
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                                 "doc_b": pd.Series(dtype="int64")})
+        a, b = zip(*((ids[i], ids[j]) for i in range(len(ids))
+                     for j in range(i + 1, len(ids))))
+        return pd.DataFrame({"doc_a": list(a), "doc_b": list(b)})
+
+    pairs = members.groupby("fp").map_groups(
+        pairs_in_group, batch_format="pandas")
+    counted = pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Count(alias_name="n_shared"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        kept = t.filter(pc.greater_equal(t.column("n_shared"),
+                                         pa.scalar(min_shared)))
+        return pa.table({
+            "doc_a": kept.column("doc_a").cast(pa.int64()),
+            "doc_b": kept.column("doc_b").cast(pa.int64()),
+            "n_shared": kept.column("n_shared").cast(pa.int64()),
+        })
+
+    return counted.map_batches(finish, batch_format="pyarrow")

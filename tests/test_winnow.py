@@ -86,3 +86,59 @@ def test_winnow_density():
     assert 0 < row["n_fp"] < row["n_grams"]
     density = row["n_fp"] / row["n_grams"]
     assert 0.2 < density < 0.6  # ~2/(w+1) = 0.4 for w=4
+
+
+def test_winnow_shared_pairs_matches_naive(ray_session):
+    """Distributed pair discovery == naive all-pairs intersection over
+    the same fingerprint sets (df cap + min_shared applied)."""
+    import itertools
+
+    import ray.data
+
+    from horizon_ocr_python_ray.stages.winnow import winnow_shared_pairs
+
+    docs = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "a quick brown fox jumps over the lazy dog again ok",  # near-dup
+        "completely different words entirely here nothing alike at all",
+        "the quick brown fox jumps over the lazy dog tonight",  # exact dup of 0
+        "one two three four five six seven eight nine ten",
+        "shared boilerplate line here " * 3 + "unique alpha",
+        "shared boilerplate line here " * 3 + "unique beta",
+    ]
+    ids = list(range(len(docs)))
+
+    def fpset(text):
+        n, nf, x = naive_winnow(text)
+        toks = text.lower().split()
+        grams = [" ".join(toks[i:i + DEFAULT_K])
+                 for i in range(len(toks) - DEFAULT_K + 1)]
+        hs = [md5_low64(g) for g in grams]
+        if not hs:
+            return set()
+        if len(hs) <= DEFAULT_W:
+            mins = [min(hs)]
+        else:
+            mins = [min(hs[j:j + DEFAULT_W])
+                    for j in range(len(hs) - DEFAULT_W + 1)]
+        return set(mins)
+
+    sets = {i: fpset(t) for i, t in zip(ids, docs)}
+    df = {}
+    for s in sets.values():
+        for f in s:
+            df[f] = df.get(f, 0) + 1
+    ok = {f for f, c in df.items() if 2 <= c <= 50}
+    want = {}
+    for a, b in itertools.combinations(ids, 2):
+        n = len(sets[a] & sets[b] & ok)
+        if n >= 2:
+            want[(a, b)] = n
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(docs, pa.string())}))
+    got = {(r["doc_a"], r["doc_b"]): r["n_shared"]
+           for r in winnow_shared_pairs(ds).take_all()}
+    assert got == want
+    assert (0, 3) in got  # the exact duplicate pair is found
