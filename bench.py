@@ -114,7 +114,8 @@ def run_bench() -> dict:
                  "doc_mix_rebalance", "doc_safe_split", "important_parts",
                  "nation_profit", "market_share", "doc_lm_score",
                  "pages_c4_filter", "doc_shuffle_shards", "pages_html_meta",
-                 "pages_blocklist", "events_cms_counts", "pages_zorder"):
+                 "pages_blocklist", "events_cms_counts", "pages_zorder",
+                 "doc_winnow"):
         t0 = time.monotonic()
         res = q[name](sf_dir)
         if hasattr(res, "count"):
