@@ -1705,11 +1705,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # Registry ordering is rotated each round: the external driver
     # correctness-checks a prefix of this dict (50 entries in rounds
     # 2-3), so the block it has NOT yet checked goes first. Rounds 1-3
-    # together covered 100 of the 130 entries; the 30 that have never
-    # been in a driver prefix (registry positions 51-81 of round 3:
-    # pages_reocr .. concentrated_suppliers) now lead, followed by
-    # queries new in round 4, then the longest-ago-checked (round 2)
-    # block for re-verification.
+    # together covered 100 of round 3's 130 entries; the 30 that had
+    # never been in a driver prefix (pages_reocr ..
+    # concentrated_suppliers) now lead, followed by the queries new in
+    # round 4 (pages_doc_meta .. doc_winnow_pairs — 135 entries total)
+    # and the three media queries whose oracles were REPLACED this
+    # round, then the longest-ago-checked (round 2) block for
+    # re-verification.
     return {
         "pages_reocr": _pages_reocr,
         "pages_outlinks": _pages_outlinks,
