@@ -153,30 +153,36 @@ def winnow_shared_pairs(docs_ds, k: int = DEFAULT_K, w: int = DEFAULT_W,
     least ``min_shared`` winnowing fingerprints, fingerprints with
     document frequency outside [2, max_df] excluded.
 
-    Scale shape (mirrors ``dedup_docs._discover_pairs_distributed``):
-    the exploded (fp, doc) table shuffles ONCE on a narrow int64 key;
-    the pairable-fingerprint set (2 ≤ df ≤ max_df — sized by the
-    duplicate rate, not the corpus) is the only driver collect and is
-    broadcast into a vectorized ``is_in`` filter; within-fingerprint
-    pair fan-out is bounded by ``max_df²``; the final pair counts stay
-    a Dataset (never collected here)."""
+    Scale shape (the ``dedup_docs`` discovery plan routed through the
+    bucketed hash machinery — shared fingerprints are FAR more common
+    than LSH band collisions, so per-fingerprint ``map_groups`` would
+    pay a Python call per shared fp): df via ``grouped_aggregate``
+    (combiner → 64-bucket exchange → Arrow merge); the
+    pairable-fingerprint set (2 ≤ df ≤ max_df — sized by the duplicate
+    rate, not the corpus) is the only driver collect and is broadcast
+    into a vectorized ``is_in`` filter; pair generation is ONE pandas
+    self-merge per BUCKET (``grouped_reduce``, within-fp fan-out
+    bounded by ``max_df²``) emitting bucket-local pair counts; the
+    global shared-count is a second bucketed sum. Pair counts stay a
+    Dataset (never collected here)."""
     import functools
 
     import pandas as pd
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count
+
+    from ..functions.collect import collect_tables
+    from .hashagg import grouped_aggregate, grouped_reduce
 
     fps = docs_ds.map_batches(
         functools.partial(_fp_rows_batch, k=k, w=w),
         batch_format="pyarrow").materialize()  # two consumers
-    pairable = fps.groupby("fp").aggregate(Count(alias_name="df")).map_batches(
+    pairable = grouped_aggregate(
+        fps, "fp", [("doc_id", "count", "df")]).map_batches(
         lambda t: t.filter(
             pc.and_(pc.greater(t.column("df"), pa.scalar(1)),
                     pc.less_equal(t.column("df"), pa.scalar(max_df)))
         ).select(["fp"]),
         batch_format="pyarrow")
-    from ..functions.collect import collect_tables
-
     key_tabs = collect_tables(pairable)
     if not key_tabs:
         import ray.data
@@ -190,19 +196,22 @@ def winnow_shared_pairs(docs_ds, k: int = DEFAULT_K, w: int = DEFAULT_W,
         lambda t: t.filter(pc.is_in(t.column("fp"), value_set=keys)),
         batch_format="pyarrow")
 
-    def pairs_in_group(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"].tolist()))
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
-                                 "doc_b": pd.Series(dtype="int64")})
-        a, b = zip(*((ids[i], ids[j]) for i in range(len(ids))
-                     for j in range(i + 1, len(ids))))
-        return pd.DataFrame({"doc_a": list(a), "doc_b": list(b)})
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized self-merge for ALL fingerprints in the bucket;
+        # bucket-local (doc_a, doc_b) partial counts keep the second
+        # exchange one row per (bucket, pair)
+        m = g.merge(g, on="fp")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        out = (m.groupby(["doc_id_x", "doc_id_y"]).size()
+               .reset_index(name="p_n"))
+        return out.rename(columns={"doc_id_x": "doc_a",
+                                   "doc_id_y": "doc_b"})
 
-    pairs = members.groupby("fp").map_groups(
-        pairs_in_group, batch_format="pandas")
-    counted = pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Count(alias_name="n_shared"))
+    partials = grouped_reduce(members, "fp", pairs_in_bucket,
+                              batch_format="pandas")
+    counted = grouped_aggregate(
+        partials, ["doc_a", "doc_b"], [("p_n", "sum", "n_shared")],
+        bucket_on="doc_a")
 
     def finish(t: pa.Table) -> pa.Table:
         kept = t.filter(pc.greater_equal(t.column("n_shared"),
