@@ -15,10 +15,12 @@ dedup subsumes it), and a document with 1 ≤ m < w gram hashes emits
 exactly one window covering all of them, so every tokenizable doc with
 ≥ k tokens has ≥ 1 fingerprint.
 
-Scale shape: one stateless ``map_batches`` pass, zero shuffles — the
-per-doc digest (count + XOR of distinct minima) is the comparable
-surface; a cross-doc shared-fingerprint join would add one narrow
-(fingerprint, doc) shuffle, the same plan as ``stages/repgrams.py``.
+Scale shape: the per-doc digest (:func:`winnow_fingerprints`) is one
+stateless ``map_batches`` pass, zero shuffles; the MOSS detection join
+(:func:`winnow_shared_pairs`) adds one narrow (fingerprint, doc)
+exchange routed through the bucketed hash machinery
+(``stages/hashagg.py``) with the standard over-common-fingerprint
+exclusion bounding within-key fan-out.
 
 Reference analog: the content-addressed dedup family (D1–D2,
 docvision response-cache semantics) extended with the standard
