@@ -215,6 +215,18 @@ def _doc_winnow_pairs(sf_dir: str):
     return winnow_shared_pairs(docs)
 
 
+def _doc_winnow_clusters(sf_dir: str):
+    """Connected components over the MOSS shared-fingerprint pairs
+    (cluster_id = min doc_id of the component) — winnow-based near-dup
+    grouping, composing the pairs plan with the documented union-find
+    fast path (pair set sized by the duplicate rate)."""
+    from horizon_ocr_python_ray.stages.dedup_docs import near_dup_clusters
+    from horizon_ocr_python_ray.stages.winnow import winnow_shared_pairs
+
+    docs = _sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return near_dup_clusters(winnow_shared_pairs(docs))
+
+
 def _doc_simhash(sf_dir: str):
     import ray.data
     from horizon_ocr_python_ray.stages.dedup_docs import simhash_batch
@@ -1756,6 +1768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_motion": _media_motion,
         "doc_winnow": _doc_winnow,  # new in round 4 session 2
         "doc_winnow_pairs": _doc_winnow_pairs,  # new in round 4 session 2
+        "doc_winnow_clusters": _doc_winnow_clusters,  # new in round 4 session 2
         # --- block below was driver-checked in round 2 (CORRECTNESS_r02) ---
         "pages_extract": _pages_extract,
         "pages_route_counts": _pages_route_counts,
@@ -3802,6 +3815,53 @@ def oracle_sql() -> dict[str, str]:
             JOIN okfp ON okfp.fp = a.fp
             GROUP BY a.doc_id, b.doc_id
             HAVING count(*) >= 2
+        """,
+        # Winnow near-dup clusters: the doc_winnow_pairs CTEs feed the
+        # same recursive min-label walk as minhash_dup_clusters.
+        "doc_winnow_clusters": r"""
+            WITH RECURSIVE t AS (
+              SELECT doc_id, CASE WHEN trim(text)='' THEN []::VARCHAR[]
+                             ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, generate_subscripts(toks, 1) AS ord,
+                     unnest(toks) AS tk
+              FROM t
+            ), grams AS (
+              SELECT a.doc_id, a.ord,
+                     md5_number_lower(a.tk || ' ' || b.tk || ' ' || c.tk) AS h
+              FROM tok a
+              JOIN tok b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+              JOIN tok c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2
+            ), wins AS (
+              SELECT doc_id, ord,
+                     count(*) OVER (PARTITION BY doc_id) AS m,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY ord
+                                  ROWS BETWEEN CURRENT ROW
+                                  AND 3 FOLLOWING) AS wmin
+              FROM grams
+            ), seld AS (
+              SELECT DISTINCT doc_id, wmin AS fp
+              FROM wins WHERE ord <= greatest(m - 3, 1)
+            ), okfp AS (
+              SELECT fp FROM seld GROUP BY fp
+              HAVING count(*) BETWEEN 2 AND 50
+            ), p AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM seld a
+              JOIN seld b ON b.fp = a.fp AND a.doc_id < b.doc_id
+              JOIN okfp ON okfp.fp = a.fp
+              GROUP BY a.doc_id, b.doc_id
+              HAVING count(*) >= 2
+            ), edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM p
+              UNION ALL SELECT doc_b, doc_a FROM p
+            ), walk(u, label) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.u, w.label FROM edges e JOIN walk w ON w.u = e.v
+            )
+            SELECT u AS doc_id, min(label) AS cluster_id FROM walk GROUP BY u
         """,
         "doc_simhash": r"""
             WITH t AS (
