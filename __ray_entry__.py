@@ -936,6 +936,22 @@ def _events_window_join(sf_dir: str):
     return purchase_window_join(events)
 
 
+def _events_asof_join(sf_dir: str):
+    """Backward as-of join: every purchase event joined to the same
+    user's most recent click at ts <= the purchase ts (tie-exact:
+    greatest (ts, event_id); no-click purchases kept with -1/0
+    sentinels). One user-bucket shuffle, per-bucket lexsort +
+    searchsorted — never an inequality expansion
+    (``stages/asofjoin.py``)."""
+    from horizon_ocr_python_ray.stages.asofjoin import event_asof_join
+
+    events = _sf_table(sf_dir, "events",
+                       columns=["event_id", "ts", "user_id",
+                                "event_type", "value"])
+    return event_asof_join(events, left_type="purchase",
+                           right_type="click")
+
+
 def _doc_substring_dedup(sf_dir: str):
     """Exact substring-span dedup (Lee et al. ExactSubstr restated as
     8-token window coverage): token positions inside any corpus-
@@ -1015,6 +1031,18 @@ def _emb_centroids(sf_dir: str):
     emb = _sf_table(sf_dir, "embeddings",
                                 columns=["label", "embedding"])
     return emb_centroids(emb)
+
+
+def _emb_quantize(sf_dir: str):
+    """Per-vector symmetric int8 quantization digest (codes in
+    [-127, 127], scale = max_abs/127): one stateless pass, zero
+    shuffles, integer-only compare surface
+    (``stages/quantize.py``)."""
+    from horizon_ocr_python_ray.stages.quantize import emb_quantize
+
+    emb = _sf_table(sf_dir, "embeddings",
+                    columns=["vec_id", "embedding"])
+    return emb_quantize(emb)
 
 
 def _emb_gram(sf_dir: str):
@@ -1720,7 +1748,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # together covered 100 of round 3's 130 entries; the 30 that had
     # never been in a driver prefix (pages_reocr ..
     # concentrated_suppliers) now lead, followed by the queries new in
-    # round 4 (pages_doc_meta .. doc_winnow_pairs — 135 entries total)
+    # round 4 (pages_doc_meta .. emb_quantize — 138 entries total)
     # and the three media queries whose oracles were REPLACED this
     # round, then the longest-ago-checked (round 2) block for
     # re-verification.
@@ -1769,6 +1797,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_winnow": _doc_winnow,  # new in round 4 session 2
         "doc_winnow_pairs": _doc_winnow_pairs,  # new in round 4 session 2
         "doc_winnow_clusters": _doc_winnow_clusters,  # new in round 4 session 2
+        "events_asof_join": _events_asof_join,  # new in round 4 session 3
+        "emb_quantize": _emb_quantize,  # new in round 4 session 3
         # --- block below was driver-checked in round 2 (CORRECTNESS_r02) ---
         "pages_extract": _pages_extract,
         "pages_route_counts": _pages_route_counts,
@@ -2319,6 +2349,45 @@ def oracle_sql() -> dict[str, str]:
             WHERE p.event_type = 'purchase'
             GROUP BY 1, 2
         """,
+        # Backward as-of join: SQL replay of the pinned tie-exact
+        # semantics (match = right event with greatest (ts, event_id)
+        # at ts <= left ts, equal ts matches) via last_value(...
+        # IGNORE NULLS) over the union of both streams ordered by
+        # (ts, is_left, event_id) — right rows sort before an
+        # equal-ts left row, so >= inclusion falls out of the order.
+        "events_asof_join": """
+            WITH streams AS (
+              SELECT user_id, ts, event_id,
+                     CAST(round(value * 100) AS BIGINT) AS value_e2,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS is_left
+              FROM events
+              WHERE event_type IN ('purchase', 'click')
+            ), filled AS (
+              SELECT user_id, ts, event_id, is_left,
+                     last_value(CASE WHEN is_left = 0 THEN event_id END
+                                IGNORE NULLS) OVER w AS m_id,
+                     last_value(CASE WHEN is_left = 0
+                                     THEN epoch_us(ts) END
+                                IGNORE NULLS) OVER w AS m_ts,
+                     last_value(CASE WHEN is_left = 0 THEN value_e2 END
+                                IGNORE NULLS) OVER w AS m_val
+              FROM streams
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY ts, is_left, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW)
+            )
+            SELECT event_id AS left_id, user_id,
+                   epoch_us(ts) AS ts_us,
+                   CAST(coalesce(m_id, -1) AS BIGINT) AS match_id,
+                   CAST(coalesce(m_ts, -1) AS BIGINT) AS match_ts_us,
+                   CAST(coalesce(m_val, 0) AS BIGINT) AS match_value_e2,
+                   CAST(coalesce(epoch_us(ts) - m_ts, -1) AS BIGINT)
+                     AS gap_us
+            FROM filled
+            WHERE is_left = 1
+        """,
         # Exact substring-span dedup: full SQL replay — positional
         # 8-gram instances, total-count >= 2 (multiplicity, like a
         # suffix array), covered positions via generate_series, cleaned
@@ -2528,6 +2597,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT host, url, warc_ts, CAST(quota_rank AS BIGINT) AS quota_rank
             FROM ranked WHERE quota_rank <= 3
+        """,
+        # Symmetric int8 quantization digest: float32 abs/max per
+        # vector first (bit-equal to the kernel's float32 row max),
+        # then the float64 promotion in x * 127.0 / ma; the compare
+        # surface is integer-only (code digests + e6-fixed scale).
+        # Zero vectors take the same CASE guard as the kernel.
+        "emb_quantize": """
+            WITH m AS (
+              SELECT vec_id, embedding,
+                     list_max(list_transform(embedding, x -> abs(x)))
+                       AS ma
+              FROM embeddings
+            ), c AS (
+              SELECT vec_id, ma,
+                     list_transform(
+                       embedding,
+                       x -> CAST(round(CASE WHEN ma = 0 THEN 0.0
+                                       ELSE CAST(x AS DOUBLE) * 127.0
+                                            / CAST(ma AS DOUBLE) END)
+                                 AS BIGINT)) AS code
+              FROM m
+            )
+            SELECT vec_id,
+                   CAST(round(CAST(ma AS DOUBLE) * 1000000.0) AS BIGINT)
+                     AS max_abs_e6,
+                   CAST(len(code) AS BIGINT) AS n_dims,
+                   CAST(list_sum(code) AS BIGINT) AS code_sum,
+                   CAST(list_sum(list_transform(code, y -> y * y))
+                        AS BIGINT) AS code_sqsum,
+                   CAST(list_min(code) AS BIGINT) AS code_min,
+                   CAST(list_max(code) AS BIGINT) AS code_max
+            FROM c
         """,
         # Embedding centroids: each element fixed-pointed BEFORE summing
         # (round half away from zero, e6) so integer addition makes the
