@@ -1033,6 +1033,17 @@ def _emb_centroids(sf_dir: str):
     return emb_centroids(emb)
 
 
+def _doc_jaccard_near_dup(sf_dir: str):
+    """Exact n-gram Jaccard all-pairs near-dup (AllPairs/PPJoin prefix
+    filtering, recall exactly 1 — no LSH probability): pairs with
+    distinct-5-gram Jaccard ≥ 1/2, integer (inter, union) evidence
+    (``stages/jaccard.py``)."""
+    from horizon_ocr_python_ray.stages.jaccard import jaccard_near_dup_pairs
+
+    docs = _sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return jaccard_near_dup_pairs(docs, k_shingle=5, thr_num=1, thr_den=2)
+
+
 def _emb_quantize(sf_dir: str):
     """Per-vector symmetric int8 quantization digest (codes in
     [-127, 127], scale = max_abs/127): one stateless pass, zero
@@ -1748,7 +1759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # together covered 100 of round 3's 130 entries; the 30 that had
     # never been in a driver prefix (pages_reocr ..
     # concentrated_suppliers) now lead, followed by the queries new in
-    # round 4 (pages_doc_meta .. emb_quantize — 138 entries total)
+    # round 4 (pages_doc_meta .. doc_jaccard_near_dup — 139 entries)
     # and the three media queries whose oracles were REPLACED this
     # round, then the longest-ago-checked (round 2) block for
     # re-verification.
@@ -1799,6 +1810,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_winnow_clusters": _doc_winnow_clusters,  # new in round 4 session 2
         "events_asof_join": _events_asof_join,  # new in round 4 session 3
         "emb_quantize": _emb_quantize,  # new in round 4 session 3
+        "doc_jaccard_near_dup": _doc_jaccard_near_dup,  # new in round 4 session 3
         # --- block below was driver-checked in round 2 (CORRECTNESS_r02) ---
         "pages_extract": _pages_extract,
         "pages_route_counts": _pages_route_counts,
@@ -2597,6 +2609,40 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT host, url, warc_ts, CAST(quota_rank AS BIGINT) AS quota_rank
             FROM ranked WHERE quota_rank <= 3
+        """,
+        # Exact n-gram Jaccard all-pairs: the oracle computes the TRUE
+        # answer directly (full distinct-gram self-join + integer
+        # threshold predicate); the engine's prefix-filtered plan must
+        # reproduce it exactly (recall 1 + exact verify). Tokenization
+        # mirrors doc_substring_dedup (lower, \s+ split, empties
+        # dropped); 5-grams via inclusive list slicing t[i:i+4].
+        "doc_jaccard_near_dup": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), g AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(t[i:i+4], ' ') AS gram
+              FROM tok,
+                   unnest(range(1, greatest(len(t) - 5 + 2, 1))) AS u(i)
+              WHERE len(t) >= 5
+            ), sz AS (
+              SELECT doc_id, count(*) AS n FROM g GROUP BY 1
+            ), inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*) AS i
+              FROM g a
+              JOIN g b ON b.gram = a.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, CAST(i AS BIGINT) AS n_inter,
+                   CAST(sa.n + sb.n - i AS BIGINT) AS n_union
+            FROM inter
+            JOIN sz sa ON sa.doc_id = inter.doc_a
+            JOIN sz sb ON sb.doc_id = inter.doc_b
+            WHERE 2 * i >= (sa.n + sb.n - i)
         """,
         # Symmetric int8 quantization digest: float32 abs/max per
         # vector first (bit-equal to the kernel's float32 row max),

@@ -1,0 +1,293 @@
+"""Exact n-gram Jaccard all-pairs near-dup — the set-similarity join
+(AllPairs / PPJoin prefix filtering; Bayardo, Ma & Srikant 2007, Xiao
+et al. 2008) that completes the dedup family next to MinHash-LSH
+(probabilistic candidates), SimHash (Hamming bands) and winnowing
+(positional fingerprints): every pair of documents whose DISTINCT
+k-token-gram sets have Jaccard ≥ τ, with exact integer (inter, union)
+evidence and recall exactly 1 (no LSH probability).
+
+Why not the naive plan: joining documents on EVERY shared gram is
+quadratic in the document frequency of boilerplate grams. The prefix
+filter bounds candidate generation instead: order each document's gram
+set by a GLOBAL total order (document frequency ascending, gram hash
+as tie-break — rare grams first), keep only the first
+``n - ceil(τ·n) + 1`` grams (the prefix), and join on prefix grams
+only. Theorem (AllPairs): any pair with Jaccard ≥ τ shares at least
+one gram lying in BOTH prefixes, so the candidate set has recall 1;
+an exact verify pass restores precision 1.
+
+Physical plan (all exchanges are ≤4-column int64 rows; text never
+shuffles):
+
+1. ``_distinct_gram_hash_rows``: one streaming explode to distinct
+   (doc_id, gram-md5, n_sh) rows — md5 once per DISTINCT gram string
+   (worker-cached), vectorized dedup via lexsort.
+2. gram document frequency IN-BUCKET: the first exchange co-locates
+   every row of a gram hash, so the bucket-local group size is the
+   global df — one ``transform("size")``, no separate aggregate+join
+   exchange and no broadcast (the df table is corpus-sized).
+3. per-doc prefix: one bucketed exchange on doc_id; inside a bucket
+   the (df, hash) sort + ``cumcount`` rank is vectorized pandas.
+4. candidates: per-bucket self-merge on prefix grams (the
+   winnow_shared_pairs shape) → global pair dedup via a second
+   bucketed aggregate.
+5. verify: exact inter/union over the full md5-gram sets — candidate
+   texts broadcast once via ``ray.put`` under the
+   ``dedup_docs.VERIFY_BROADCAST_MAX_DOCS`` cap, else the distributed
+   ``attach_pair_texts`` hash-join plan (nothing text-sized reaches
+   the driver).
+
+Skew: a gram hot in PREFIXES is by construction rare (df-ascending
+order puts common grams at the tail, past the prefix cut), so the
+within-gram fan-out of step 5 stays small without any df cap — the
+reason this operator can afford recall 1 where winnow_shared_pairs
+needs its [2, max_df] band.
+
+Semantics pinned for the oracle: grams are lowered whitespace k-token
+windows (``functions/gramvec.py`` tokenization, byte-identical to
+DuckDB ``regexp_split_to_array``), sets are DISTINCT grams, τ is the
+integer fraction ``thr_num/thr_den`` and the predicate is
+``thr_den·inter ≥ thr_num·union`` — integer-exact on both engines.
+Documents with < k tokens have empty sets and never pair (the SQL
+self-join convention: an empty∩empty pair is not emitted).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.gramvec import _gram_windows
+from .hashagg import grouped_aggregate, grouped_reduce
+
+#: Worker-global gram-hash memo, shared shape with stages/winnow.py.
+_GRAM_HASH_CACHE: dict[str, int] = {}
+
+_SIGN = np.uint64(1 << 63)
+
+_PAIR_SCHEMA = {
+    "doc_a": pa.int64(),
+    "doc_b": pa.int64(),
+    "n_inter": pa.int64(),
+    "n_union": pa.int64(),
+}
+
+
+def _hash_grams(grams: pa.Array) -> np.ndarray:
+    """md5-low64 per gram instance, hashing each DISTINCT gram string
+    once (worker-cached dictionary encode)."""
+    from ..functions.minhash import md5_low64
+
+    de = grams.dictionary_encode()
+    uniq = de.dictionary.to_pylist()
+    cache = _GRAM_HASH_CACHE
+    if len(cache) > 1_000_000:
+        cache.clear()
+    uh = np.empty(len(uniq), dtype=np.uint64)
+    for i, g in enumerate(uniq):
+        h = cache.get(g)
+        if h is None:
+            h = md5_low64(g)
+            cache[g] = h
+        uh[i] = h
+    return uh[de.indices.to_numpy(zero_copy_only=False)]
+
+
+def _distinct_gram_hash_rows(batch: pa.Table, k: int) -> pa.Table:
+    """(doc_id, text) batch → (doc_id, sh, n_sh) rows: one row per
+    DISTINCT gram hash per doc, n_sh = the doc's distinct-set size
+    (repeated per row so later stages never re-join for it); sh in the
+    signed int64 domain (x ^ 2^63, the simhash idiom)."""
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "sh": pa.array([], pa.int64()),
+                      "n_sh": pa.array([], pa.int64())})
+    win = _gram_windows(batch.column("text"), k)
+    if win is None:
+        return empty
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    doc_idx, _intra, grams = win
+    hs = _hash_grams(grams)
+    order = np.lexsort((hs, doc_idx))
+    d = doc_idx[order]
+    h = hs[order]
+    keep = np.r_[True, (d[1:] != d[:-1]) | (h[1:] != h[:-1])]
+    d = d[keep]
+    h = h[keep]
+    n_per_doc = np.bincount(d, minlength=len(ids)).astype(np.int64)
+    return pa.table({
+        "doc_id": pa.array(ids[d], pa.int64()),
+        "sh": pa.array((h ^ _SIGN).view(np.int64), pa.int64()),
+        "n_sh": pa.array(n_per_doc[d], pa.int64()),
+    })
+
+
+def _md5_shingle_set(text: str, k: int) -> np.ndarray:
+    """Sorted distinct md5 gram hashes (uint64) of one document — the
+    verify-side twin of :func:`_distinct_gram_hash_rows`."""
+    win = _gram_windows(pa.array([text], pa.string()), k)
+    if win is None:
+        return np.empty(0, np.uint64)
+    return np.unique(_hash_grams(win[2]))
+
+
+def _prefix_len(n: np.ndarray, thr_num: int, thr_den: int) -> np.ndarray:
+    """AllPairs Jaccard prefix: n - ceil(τ·n) + 1 in exact ints."""
+    return n - (n * thr_num + thr_den - 1) // thr_den + 1
+
+
+def jaccard_near_dup_pairs(docs_ds, k_shingle: int = 5,
+                           thr_num: int = 1, thr_den: int = 2,
+                           num_buckets: int = 64,
+                           verify_plan: str = "auto"):
+    """documents (doc_id, text) → (doc_a, doc_b, n_inter, n_union):
+    every doc_a < doc_b pair whose distinct k-gram sets satisfy
+    ``thr_den·inter ≥ thr_num·union`` (Jaccard ≥ thr_num/thr_den),
+    with the exact integer intersection/union sizes as evidence."""
+    rows = docs_ds.map_batches(
+        functools.partial(_distinct_gram_hash_rows, k=k_shingle),
+        batch_format="pyarrow")
+
+    def df_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # the exchange co-locates EVERY row of a gram hash in one
+        # bucket, so the bucket-local group size IS the global document
+        # frequency — no separate df aggregate + join exchange.
+        g = g.copy()
+        g["df"] = g.groupby("sh")["doc_id"].transform("size")
+        return g
+
+    joined = grouped_reduce(rows, "sh", df_bucket,
+                            num_buckets=num_buckets,
+                            batch_format="pandas")
+
+    def prefix_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "df", "sh"], kind="mergesort")
+        rank = g.groupby("doc_id").cumcount().to_numpy()
+        lp = _prefix_len(g["n_sh"].to_numpy(), thr_num, thr_den)
+        return g.loc[rank < lp, ["doc_id", "sh"]]
+
+    prefixes = grouped_reduce(joined, "doc_id", prefix_bucket,
+                              num_buckets=num_buckets,
+                              batch_format="pandas")
+
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="sh")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        return (m[["doc_id_x", "doc_id_y"]].drop_duplicates()
+                .rename(columns={"doc_id_x": "doc_a",
+                                 "doc_id_y": "doc_b"}))
+
+    cand_partial = grouped_reduce(prefixes, "sh", pairs_bucket,
+                                  num_buckets=num_buckets,
+                                  batch_format="pandas")
+    cands = grouped_aggregate(
+        cand_partial, ["doc_a", "doc_b"], [("doc_a", "count", "_c")],
+        num_buckets=num_buckets, bucket_on="doc_a").map_batches(
+        lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow")
+    return _verify_pairs(docs_ds, cands, k_shingle, thr_num, thr_den,
+                         plan=verify_plan)
+
+
+def _score_pairs(doc_a, doc_b, sets: dict[int, np.ndarray],
+                 thr_num: int, thr_den: int) -> pa.Table:
+    keep_a, keep_b, inters, unions = [], [], [], []
+    for a, b in zip(doc_a, doc_b):
+        sa = sets[int(a)]
+        sb = sets[int(b)]
+        inter = int(np.intersect1d(sa, sb, assume_unique=True).size)
+        union = int(sa.size + sb.size - inter)
+        if thr_den * inter >= thr_num * union and union > 0:
+            keep_a.append(int(a))
+            keep_b.append(int(b))
+            inters.append(inter)
+            unions.append(union)
+    return pa.table({"doc_a": pa.array(keep_a, pa.int64()),
+                     "doc_b": pa.array(keep_b, pa.int64()),
+                     "n_inter": pa.array(inters, pa.int64()),
+                     "n_union": pa.array(unions, pa.int64())})
+
+
+def _verify_broadcast_task(t: pa.Table, ref, k: int, thr_num: int,
+                           thr_den: int) -> pa.Table:
+    import ray
+
+    texts = ray.get(ref)
+    sets = {d: _md5_shingle_set(txt, k) for d, txt in texts.items()}
+    return _score_pairs(t.column("doc_a").to_pylist(),
+                        t.column("doc_b").to_pylist(),
+                        sets, thr_num, thr_den)
+
+
+def _verify_distributed_task(t: pa.Table, k: int, thr_num: int,
+                             thr_den: int) -> pa.Table:
+    out_a, out_b, inters, unions = [], [], [], []
+    for a, b, ta, tb in zip(t.column("doc_a").to_pylist(),
+                            t.column("doc_b").to_pylist(),
+                            t.column("text_a").to_pylist(),
+                            t.column("text_b").to_pylist()):
+        sa = _md5_shingle_set(ta or "", k)
+        sb = _md5_shingle_set(tb or "", k)
+        inter = int(np.intersect1d(sa, sb, assume_unique=True).size)
+        union = int(sa.size + sb.size - inter)
+        if thr_den * inter >= thr_num * union and union > 0:
+            out_a.append(int(a))
+            out_b.append(int(b))
+            inters.append(inter)
+            unions.append(union)
+    return pa.table({"doc_a": pa.array(out_a, pa.int64()),
+                     "doc_b": pa.array(out_b, pa.int64()),
+                     "n_inter": pa.array(inters, pa.int64()),
+                     "n_union": pa.array(unions, pa.int64())})
+
+
+def _verify_pairs(docs_ds, pairs_ds, k: int, thr_num: int, thr_den: int,
+                  plan: str = "auto"):
+    """Exact inter/union verify — the ngram_jaccard_verify duality
+    (broadcast under the cap, hash-join co-location above it) over md5
+    gram sets."""
+    import ray
+
+    from .dedup_docs import (
+        VERIFY_BROADCAST_MAX_DOCS,
+        attach_pair_texts,
+        collect_texts_for_ids,
+    )
+
+    if plan not in ("auto", "broadcast", "distributed"):
+        raise ValueError(
+            f"unknown plan {plan!r}; expected auto|broadcast|distributed")
+    if plan != "distributed":
+        import ray.data
+
+        from ..functions.collect import collect_tables
+
+        # candidate pairs are provably small (post-prefix-filter); the
+        # one driver fold both reads the ids AND feeds the verify map,
+        # so the 3-exchange candidate plan executes exactly once.
+        tabs = [t for t in collect_tables(pairs_ds) if t.num_rows]
+        if not tabs:
+            return ray.data.from_arrow(pa.table(
+                {kk: pa.array([], t) for kk, t in _PAIR_SCHEMA.items()}))
+        pairs_tab = pa.concat_tables(tabs)
+        cand = set(pairs_tab.column("doc_a").to_pylist())
+        cand.update(pairs_tab.column("doc_b").to_pylist())
+        if len(cand) <= VERIFY_BROADCAST_MAX_DOCS:
+            texts = collect_texts_for_ids(docs_ds, cand)
+            ref = ray.put(texts)
+            return ray.data.from_arrow(pairs_tab).map_batches(
+                _verify_broadcast_task,
+                fn_kwargs={"ref": ref, "k": k, "thr_num": thr_num,
+                           "thr_den": thr_den},
+                batch_format="pyarrow")
+        if plan == "broadcast":
+            raise ValueError(
+                f"jaccard verify: {len(cand)} candidate docs exceed "
+                f"VERIFY_BROADCAST_MAX_DOCS={VERIFY_BROADCAST_MAX_DOCS}; "
+                "use verify_plan='distributed'")
+    return attach_pair_texts(docs_ds, pairs_ds).map_batches(
+        _verify_distributed_task,
+        fn_kwargs={"k": k, "thr_num": thr_num, "thr_den": thr_den},
+        batch_format="pyarrow")
