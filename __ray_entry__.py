@@ -2666,14 +2666,18 @@ def oracle_sql() -> dict[str, str]:
               FROM m
             )
             SELECT vec_id,
-                   CAST(round(CAST(ma AS DOUBLE) * 1000000.0) AS BIGINT)
-                     AS max_abs_e6,
+                   CAST(coalesce(round(CAST(ma AS DOUBLE) * 1000000.0),
+                                 0) AS BIGINT) AS max_abs_e6,
                    CAST(len(code) AS BIGINT) AS n_dims,
-                   CAST(list_sum(code) AS BIGINT) AS code_sum,
-                   CAST(list_sum(list_transform(code, y -> y * y))
-                        AS BIGINT) AS code_sqsum,
-                   CAST(list_min(code) AS BIGINT) AS code_min,
-                   CAST(list_max(code) AS BIGINT) AS code_max
+                   CAST(coalesce(list_sum(code), 0) AS BIGINT)
+                     AS code_sum,
+                   CAST(coalesce(list_sum(list_transform(code,
+                                                         y -> y * y)),
+                                 0) AS BIGINT) AS code_sqsum,
+                   CAST(coalesce(list_min(code), 0) AS BIGINT)
+                     AS code_min,
+                   CAST(coalesce(list_max(code), 0) AS BIGINT)
+                     AS code_max
             FROM c
         """,
         # Embedding centroids: each element fixed-pointed BEFORE summing

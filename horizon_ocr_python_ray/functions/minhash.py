@@ -200,6 +200,32 @@ def md5_low64(s: str) -> int:
     return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[8:16], "little")
 
 
+#: Worker-global gram-string → md5-low64 memo shared by every stage
+#: that hashes exploded gram columns (winnow, jaccard); grams repeat
+#: heavily across batches in boilerplate-rich corpora. Bounded like the
+#: simhash token cache.
+_GRAM_HASH_CACHE: dict[str, int] = {}
+
+
+def md5_gram_hashes(grams) -> np.ndarray:
+    """md5-low64 (uint64) per gram INSTANCE of an Arrow string array,
+    hashing each DISTINCT gram string once (worker-cached dictionary
+    encode) — the vectorized batch twin of :func:`md5_low64`."""
+    de = grams.dictionary_encode()
+    uniq = de.dictionary.to_pylist()
+    cache = _GRAM_HASH_CACHE
+    if len(cache) > 1_000_000:
+        cache.clear()
+    uh = np.empty(len(uniq), dtype=np.uint64)
+    for i, g in enumerate(uniq):
+        h = cache.get(g)
+        if h is None:
+            h = md5_low64(g)
+            cache[g] = h
+        uh[i] = h
+    return uh[de.indices.to_numpy(zero_copy_only=False)]
+
+
 def simhash64(text: str, cache: dict[str, int] | None = None) -> int:
     """64-bit SimHash over md5-low64 token hashes (unweighted), fully
     vectorized: bit matrix via ``np.unpackbits``, strict-majority per

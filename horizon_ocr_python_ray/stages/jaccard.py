@@ -61,10 +61,8 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions.gramvec import _gram_windows
+from ..functions.minhash import md5_gram_hashes
 from .hashagg import grouped_aggregate, grouped_reduce
-
-#: Worker-global gram-hash memo, shared shape with stages/winnow.py.
-_GRAM_HASH_CACHE: dict[str, int] = {}
 
 _SIGN = np.uint64(1 << 63)
 
@@ -74,26 +72,6 @@ _PAIR_SCHEMA = {
     "n_inter": pa.int64(),
     "n_union": pa.int64(),
 }
-
-
-def _hash_grams(grams: pa.Array) -> np.ndarray:
-    """md5-low64 per gram instance, hashing each DISTINCT gram string
-    once (worker-cached dictionary encode)."""
-    from ..functions.minhash import md5_low64
-
-    de = grams.dictionary_encode()
-    uniq = de.dictionary.to_pylist()
-    cache = _GRAM_HASH_CACHE
-    if len(cache) > 1_000_000:
-        cache.clear()
-    uh = np.empty(len(uniq), dtype=np.uint64)
-    for i, g in enumerate(uniq):
-        h = cache.get(g)
-        if h is None:
-            h = md5_low64(g)
-            cache[g] = h
-        uh[i] = h
-    return uh[de.indices.to_numpy(zero_copy_only=False)]
 
 
 def _distinct_gram_hash_rows(batch: pa.Table, k: int) -> pa.Table:
@@ -110,7 +88,7 @@ def _distinct_gram_hash_rows(batch: pa.Table, k: int) -> pa.Table:
     ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(
         np.int64)
     doc_idx, _intra, grams = win
-    hs = _hash_grams(grams)
+    hs = md5_gram_hashes(grams)
     order = np.lexsort((hs, doc_idx))
     d = doc_idx[order]
     h = hs[order]
@@ -131,7 +109,7 @@ def _md5_shingle_set(text: str, k: int) -> np.ndarray:
     win = _gram_windows(pa.array([text], pa.string()), k)
     if win is None:
         return np.empty(0, np.uint64)
-    return np.unique(_hash_grams(win[2]))
+    return np.unique(md5_gram_hashes(win[2]))
 
 
 def _prefix_len(n: np.ndarray, thr_num: int, thr_den: int) -> np.ndarray:
@@ -191,7 +169,7 @@ def jaccard_near_dup_pairs(docs_ds, k_shingle: int = 5,
                          plan=verify_plan)
 
 
-def _score_pairs(doc_a, doc_b, sets: dict[int, np.ndarray],
+def _score_pairs(doc_a, doc_b, sets,  # any int → ndarray mapping
                  thr_num: int, thr_den: int) -> pa.Table:
     keep_a, keep_b, inters, unions = [], [], [], []
     for a, b in zip(doc_a, doc_b):
@@ -210,12 +188,36 @@ def _score_pairs(doc_a, doc_b, sets: dict[int, np.ndarray],
                      "n_union": pa.array(unions, pa.int64())})
 
 
+#: Worker-global (broadcast-ref hex, doc_id) → shingle-set memo: sets
+#: are built LAZILY for the docs a batch actually references and reused
+#: across batches, so B batches over C candidate docs cost C set
+#: constructions, not B × C.
+_VERIFY_SET_CACHE: dict[tuple[str, int], np.ndarray] = {}
+
+
+class _LazySets:
+    def __init__(self, texts: dict[int, str], key: str, k: int):
+        self._texts = texts
+        self._key = key
+        self._k = k
+
+    def __getitem__(self, d: int) -> np.ndarray:
+        kk = (self._key, d)
+        s = _VERIFY_SET_CACHE.get(kk)
+        if s is None:
+            if len(_VERIFY_SET_CACHE) > 1_000_000:
+                _VERIFY_SET_CACHE.clear()
+            s = _md5_shingle_set(self._texts.get(d, ""), self._k)
+            _VERIFY_SET_CACHE[kk] = s
+        return s
+
+
 def _verify_broadcast_task(t: pa.Table, ref, k: int, thr_num: int,
                            thr_den: int) -> pa.Table:
     import ray
 
     texts = ray.get(ref)
-    sets = {d: _md5_shingle_set(txt, k) for d, txt in texts.items()}
+    sets = _LazySets(texts, ref.hex(), k)
     return _score_pairs(t.column("doc_a").to_pylist(),
                         t.column("doc_b").to_pylist(),
                         sets, thr_num, thr_den)
@@ -259,25 +261,28 @@ def _verify_pairs(docs_ds, pairs_ds, k: int, thr_num: int, thr_den: int,
     if plan not in ("auto", "broadcast", "distributed"):
         raise ValueError(
             f"unknown plan {plan!r}; expected auto|broadcast|distributed")
+    pairs_src = pairs_ds  # explicit plan="distributed" keeps streaming
     if plan != "distributed":
         import ray.data
 
         from ..functions.collect import collect_tables
 
         # candidate pairs are provably small (post-prefix-filter); the
-        # one driver fold both reads the ids AND feeds the verify map,
-        # so the 3-exchange candidate plan executes exactly once.
+        # one driver fold both reads the ids AND feeds the verify map
+        # (on EITHER plan below), so the 3-exchange candidate plan
+        # executes exactly once.
         tabs = [t for t in collect_tables(pairs_ds) if t.num_rows]
         if not tabs:
             return ray.data.from_arrow(pa.table(
                 {kk: pa.array([], t) for kk, t in _PAIR_SCHEMA.items()}))
         pairs_tab = pa.concat_tables(tabs)
+        pairs_src = ray.data.from_arrow(pairs_tab)
         cand = set(pairs_tab.column("doc_a").to_pylist())
         cand.update(pairs_tab.column("doc_b").to_pylist())
         if len(cand) <= VERIFY_BROADCAST_MAX_DOCS:
             texts = collect_texts_for_ids(docs_ds, cand)
             ref = ray.put(texts)
-            return ray.data.from_arrow(pairs_tab).map_batches(
+            return pairs_src.map_batches(
                 _verify_broadcast_task,
                 fn_kwargs={"ref": ref, "k": k, "thr_num": thr_num,
                            "thr_den": thr_den},
@@ -287,7 +292,7 @@ def _verify_pairs(docs_ds, pairs_ds, k: int, thr_num: int, thr_den: int,
                 f"jaccard verify: {len(cand)} candidate docs exceed "
                 f"VERIFY_BROADCAST_MAX_DOCS={VERIFY_BROADCAST_MAX_DOCS}; "
                 "use verify_plan='distributed'")
-    return attach_pair_texts(docs_ds, pairs_ds).map_batches(
+    return attach_pair_texts(docs_ds, pairs_src).map_batches(
         _verify_distributed_task,
         fn_kwargs={"k": k, "thr_num": thr_num, "thr_den": thr_den},
         batch_format="pyarrow")

@@ -35,14 +35,19 @@ def _quantize_batch(batch: pa.Table, id_col: str, emb_col: str) -> pa.Table:
     ids = batch.column(id_col).cast(pa.int64())
     mat = _batch_matrix(batch, emb_col)
     if mat.size == 0:
+        # no rows, or every embedding list in the batch is empty —
+        # either way one all-zero digest row per vector (the oracle
+        # coalesces its NULL list aggregates to the same zeros), so
+        # vec_ids are never silently dropped.
+        zeros = pa.array(np.zeros(batch.num_rows, np.int64), pa.int64())
         return pa.table({
-            "vec_id": pa.array([], pa.int64()),
-            "max_abs_e6": pa.array([], pa.int64()),
-            "n_dims": pa.array([], pa.int64()),
-            "code_sum": pa.array([], pa.int64()),
-            "code_sqsum": pa.array([], pa.int64()),
-            "code_min": pa.array([], pa.int64()),
-            "code_max": pa.array([], pa.int64()),
+            "vec_id": ids,
+            "max_abs_e6": zeros,
+            "n_dims": zeros,
+            "code_sum": zeros,
+            "code_sqsum": zeros,
+            "code_min": zeros,
+            "code_max": zeros,
         })
     # float32 abs/max first (bit-equal to SQL list_max(list_transform
     # abs)), THEN the float64 promotion for the scaled division.

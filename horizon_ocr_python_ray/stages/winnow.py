@@ -42,17 +42,13 @@ from ..functions.gramvec import _gram_windows
 DEFAULT_K = 3
 DEFAULT_W = 4
 
-#: Worker-global gram-hash memo (grams repeat heavily across batches in
-#: boilerplate-rich corpora); bounded like the simhash token cache.
-_GRAM_HASH_CACHE: dict[str, int] = {}
-
-
 def _doc_minima(batch: pa.Table, k: int, w: int):
     """Shared kernel: (doc_ids int64, n_grams int64, per-doc list of
     distinct window-minimum uint64 arrays). Vectorized: one Arrow gram
-    explode per batch, md5 once per DISTINCT gram (worker-cached),
-    numpy sliding-window minima per doc."""
-    from ..functions.minhash import md5_low64
+    explode per batch, md5 once per DISTINCT gram (worker-cached via
+    ``functions.minhash.md5_gram_hashes``), numpy sliding-window minima
+    per doc."""
+    from ..functions.minhash import md5_gram_hashes
 
     ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(
         np.int64)
@@ -62,19 +58,7 @@ def _doc_minima(batch: pa.Table, k: int, w: int):
     win = _gram_windows(batch.column("text"), k)
     if win is not None:
         doc_idx, _intra, grams = win
-        de = grams.dictionary_encode()
-        uniq = de.dictionary.to_pylist()
-        cache = _GRAM_HASH_CACHE
-        if len(cache) > 1_000_000:
-            cache.clear()
-        uh = np.empty(len(uniq), dtype=np.uint64)
-        for i, g in enumerate(uniq):
-            h = cache.get(g)
-            if h is None:
-                h = md5_low64(g)
-                cache[g] = h
-            uh[i] = h
-        hs = uh[de.indices.to_numpy(zero_copy_only=False)]
+        hs = md5_gram_hashes(grams)
         counts = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
         n_grams = counts
         starts = np.zeros(n_docs + 1, np.int64)

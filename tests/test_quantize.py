@@ -56,6 +56,14 @@ def test_zero_vector_quantizes_to_zero_codes():
     assert out.loc[2, "code_min"] == -127
 
 
+def test_empty_embeddings_keep_their_rows():
+    out = _run([[], []])
+    assert list(out.index) == [1, 2]
+    assert (out.n_dims == 0).all()
+    assert (out[["max_abs_e6", "code_sum", "code_sqsum",
+                 "code_min", "code_max"]] == 0).all().all()
+
+
 def test_scale_is_per_vector_not_global():
     # same direction, different magnitude → identical codes
     out = _run([[1.0, 0.5, -0.25], [100.0, 50.0, -25.0]])
