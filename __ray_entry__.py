@@ -1033,6 +1033,21 @@ def _emb_centroids(sf_dir: str):
     return emb_centroids(emb)
 
 
+def _ann_topk_quantized(sf_dir: str):
+    """Top-10 by INTEGER dot product of int8 max-abs codes (the
+    quantized column driving the search it exists for): per-batch
+    partial top-k against the broadcast quantized query, ≤k-row
+    partials folded on the driver — no sort exchange, no float in the
+    compare (``stages/quantize.py:quantized_topk``)."""
+    import numpy as np
+    from horizon_ocr_python_ray.stages.quantize import quantized_topk
+
+    emb = _sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = np.array(emb.sort("vec_id").take(1)[0]["embedding"],
+                 dtype=np.float32)
+    return quantized_topk(emb, q, k=10)
+
+
 def _doc_jaccard_near_dup(sf_dir: str):
     """Exact n-gram Jaccard all-pairs near-dup (AllPairs/PPJoin prefix
     filtering, recall exactly 1 — no LSH probability): pairs with
@@ -1759,7 +1774,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # together covered 100 of round 3's 130 entries; the 30 that had
     # never been in a driver prefix (pages_reocr ..
     # concentrated_suppliers) now lead, followed by the queries new in
-    # round 4 (pages_doc_meta .. doc_jaccard_near_dup — 139 entries)
+    # round 4 (pages_doc_meta .. ann_topk_quantized — 140 entries)
     # and the three media queries whose oracles were REPLACED this
     # round, then the longest-ago-checked (round 2) block for
     # re-verification.
@@ -1811,6 +1826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": _events_asof_join,  # new in round 4 session 3
         "emb_quantize": _emb_quantize,  # new in round 4 session 3
         "doc_jaccard_near_dup": _doc_jaccard_near_dup,  # new in round 4 session 3
+        "ann_topk_quantized": _ann_topk_quantized,  # new in round 4 session 3
         # --- block below was driver-checked in round 2 (CORRECTNESS_r02) ---
         "pages_extract": _pages_extract,
         "pages_route_counts": _pages_route_counts,
@@ -2609,6 +2625,42 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT host, url, warc_ts, CAST(quota_rank AS BIGINT) AS quota_rank
             FROM ranked WHERE quota_rank <= 3
+        """,
+        # Quantized top-k: both sides quantize with the emb_quantize
+        # expressions (DOUBLE casts against DuckDB's float32 literal
+        # arithmetic), then the score is an INTEGER dot product — no
+        # float in the rank order at all. Query = min-vec_id vector.
+        "ann_topk_quantized": """
+            WITH m AS (
+              SELECT vec_id, embedding,
+                     list_max(list_transform(embedding, x -> abs(x)))
+                       AS ma
+              FROM embeddings
+            ), c AS (
+              SELECT vec_id,
+                     list_transform(
+                       embedding,
+                       x -> CAST(round(CASE WHEN ma = 0 THEN 0.0
+                                       ELSE CAST(x AS DOUBLE) * 127.0
+                                            / CAST(ma AS DOUBLE) END)
+                                 AS BIGINT)) AS code
+              FROM m
+            ), q AS (
+              SELECT code AS qcode FROM c ORDER BY vec_id LIMIT 1
+            ), d AS (
+              SELECT c.vec_id,
+                     CAST(coalesce(list_sum(list_transform(
+                            range(1, len(c.code) + 1),
+                            i -> c.code[i] * q.qcode[i])), 0)
+                          AS BIGINT) AS score_q
+              FROM c, q
+            )
+            SELECT vec_id, score_q,
+                   CAST(row_number() OVER (ORDER BY score_q DESC,
+                                           vec_id) AS BIGINT) AS rank
+            FROM d
+            ORDER BY rank
+            LIMIT 10
         """,
         # Exact n-gram Jaccard all-pairs: the oracle computes the TRUE
         # answer directly (full distinct-gram self-join + integer

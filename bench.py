@@ -116,7 +116,8 @@ def run_bench() -> dict:
                  "pages_c4_filter", "doc_shuffle_shards", "pages_html_meta",
                  "pages_blocklist", "events_cms_counts", "pages_zorder",
                  "doc_winnow", "doc_winnow_pairs", "doc_winnow_clusters",
-                 "events_asof_join", "emb_quantize", "doc_jaccard_near_dup"):
+                 "events_asof_join", "emb_quantize", "doc_jaccard_near_dup",
+                 "ann_topk_quantized"):
         t0 = time.monotonic()
         res = q[name](sf_dir)
         if hasattr(res, "count"):

@@ -6,7 +6,11 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-from horizon_ocr_python_ray.stages.quantize import emb_quantize
+from horizon_ocr_python_ray.stages.quantize import (
+    _codes_matrix,
+    emb_quantize,
+    quantized_topk,
+)
 
 
 def _emb(vectors, ids=None):
@@ -70,3 +74,26 @@ def test_scale_is_per_vector_not_global():
     a, b = out.loc[1], out.loc[2]
     assert a.code_sum == b.code_sum and a.code_sqsum == b.code_sqsum
     assert a.max_abs_e6 != b.max_abs_e6
+
+
+def test_quantized_topk_matches_naive_int_ranking():
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(40, 8)).astype(np.float32)
+    q = vecs[0]
+    out = quantized_topk(_emb(vecs.tolist()), q, k=7).to_pandas()
+    codes, _ = _codes_matrix(vecs)
+    qc, _ = _codes_matrix(np.atleast_2d(q))
+    scores = codes @ qc[0]
+    ids = np.arange(1, 41)
+    order = np.lexsort((ids, -scores))[:7]
+    assert out.vec_id.tolist() == ids[order].tolist()
+    assert out.score_q.tolist() == scores[order].tolist()
+    assert out.loc[0, "vec_id"] == 1  # the query matches itself first
+    assert out["rank"].tolist() == list(range(1, 8))
+
+
+def test_quantized_topk_tiebreak_is_vec_id():
+    # identical vectors → identical scores; rank order = vec_id
+    out = quantized_topk(_emb([[1.0, 2.0]] * 5), [1.0, 2.0],
+                         k=3).to_pandas()
+    assert out.vec_id.tolist() == [1, 2, 3]
