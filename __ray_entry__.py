@@ -952,6 +952,20 @@ def _events_asof_join(sf_dir: str):
                            right_type="click")
 
 
+def _events_asof_join_fwd(sf_dir: str):
+    """Forward as-of join (next-touch): every purchase joined to the
+    same user's EARLIEST click at ts >= the purchase ts (tie-exact:
+    smallest (ts, event_id)); same one-shuffle searchsorted plan with
+    the mirrored side (``stages/asofjoin.py``)."""
+    from horizon_ocr_python_ray.stages.asofjoin import event_asof_join
+
+    events = _sf_table(sf_dir, "events",
+                       columns=["event_id", "ts", "user_id",
+                                "event_type", "value"])
+    return event_asof_join(events, left_type="purchase",
+                           right_type="click", direction="forward")
+
+
 def _doc_substring_dedup(sf_dir: str):
     """Exact substring-span dedup (Lee et al. ExactSubstr restated as
     8-token window coverage): token positions inside any corpus-
@@ -1774,7 +1788,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # together covered 100 of round 3's 130 entries; the 30 that had
     # never been in a driver prefix (pages_reocr ..
     # concentrated_suppliers) now lead, followed by the queries new in
-    # round 4 (pages_doc_meta .. ann_topk_quantized — 140 entries)
+    # round 4 (pages_doc_meta .. events_asof_join_fwd — 141 entries).
+    # ROUND-5 ROTATION PLAN (do this BEFORE the round-5 driver run,
+    # not earlier — the round-4 driver reads the CURRENT ordering):
+    # after round 4 every entry has ≥1 driver-green row; lead round 5
+    # with the longest-ago-checked block (the round-2-certified
+    # queries past position 50: doc_token_stats .. doc_lm_score) plus
+    # any query whose oracle or kernel changed in round 5.
     # and the three media queries whose oracles were REPLACED this
     # round, then the longest-ago-checked (round 2) block for
     # re-verification.
@@ -1827,6 +1847,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_quantize": _emb_quantize,  # new in round 4 session 3
         "doc_jaccard_near_dup": _doc_jaccard_near_dup,  # new in round 4 session 3
         "ann_topk_quantized": _ann_topk_quantized,  # new in round 4 session 3
+        "events_asof_join_fwd": _events_asof_join_fwd,  # new in round 4 session 3
         # --- block below was driver-checked in round 2 (CORRECTNESS_r02) ---
         "pages_extract": _pages_extract,
         "pages_route_counts": _pages_route_counts,
@@ -2412,6 +2433,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(m_ts, -1) AS BIGINT) AS match_ts_us,
                    CAST(coalesce(m_val, 0) AS BIGINT) AS match_value_e2,
                    CAST(coalesce(epoch_us(ts) - m_ts, -1) AS BIGINT)
+                     AS gap_us
+            FROM filled
+            WHERE is_left = 1
+        """,
+        # Forward as-of join: mirrored replay — first_value(... IGNORE
+        # NULLS) over (CURRENT ROW .. UNBOUNDED FOLLOWING) ordered by
+        # (ts, is_left DESC, event_id): at equal ts the left row sorts
+        # BEFORE the rights, so >= inclusion falls out of the order and
+        # the first right in the frame is the (min ts, min event_id)
+        # match.
+        "events_asof_join_fwd": """
+            WITH streams AS (
+              SELECT user_id, ts, event_id,
+                     CAST(round(value * 100) AS BIGINT) AS value_e2,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS is_left
+              FROM events
+              WHERE event_type IN ('purchase', 'click')
+            ), filled AS (
+              SELECT user_id, ts, event_id, is_left,
+                     first_value(CASE WHEN is_left = 0 THEN event_id END
+                                 IGNORE NULLS) OVER w AS m_id,
+                     first_value(CASE WHEN is_left = 0
+                                      THEN epoch_us(ts) END
+                                 IGNORE NULLS) OVER w AS m_ts,
+                     first_value(CASE WHEN is_left = 0 THEN value_e2 END
+                                 IGNORE NULLS) OVER w AS m_val
+              FROM streams
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY ts, is_left DESC, event_id
+                           ROWS BETWEEN CURRENT ROW
+                                    AND UNBOUNDED FOLLOWING)
+            )
+            SELECT event_id AS left_id, user_id,
+                   epoch_us(ts) AS ts_us,
+                   CAST(coalesce(m_id, -1) AS BIGINT) AS match_id,
+                   CAST(coalesce(m_ts, -1) AS BIGINT) AS match_ts_us,
+                   CAST(coalesce(m_val, 0) AS BIGINT) AS match_value_e2,
+                   CAST(coalesce(m_ts - epoch_us(ts), -1) AS BIGINT)
                      AS gap_us
             FROM filled
             WHERE is_left = 1

@@ -9,6 +9,9 @@ axis).
 the same user's most recent RIGHT event (e.g. ``click``) at
 ``ts_right <= ts_left`` — the classic backward as-of join (feature
 lookup "state as of the conversion", ad last-touch, sensor alignment).
+``direction="forward"`` flips it to the earliest right event at
+``ts_right >= ts_left`` (next-touch attribution, time-to-next-event),
+same plan with the mirrored searchsorted side and user-range clamp.
 
 Plan (one narrow shuffle, no inequality expansion, no per-row Python):
 
@@ -66,12 +69,21 @@ def _empty() -> pa.Table:
 
 
 def event_asof_join(events_ds, left_type: str = "purchase",
-                    right_type: str = "click", num_buckets: int = 64):
+                    right_type: str = "click", num_buckets: int = 64,
+                    direction: str = "backward"):
     """events (event_id, ts, user_id, event_type, value) → one row per
     ``left_type`` event: (left_id, user_id, ts_us, match_id,
     match_ts_us, match_value_e2, gap_us) where match_* describe the
-    same user's most recent ``right_type`` event at ts <= the left ts
-    (sentinels -1/-1/0/-1 when the user has none yet)."""
+    same user's nearest ``right_type`` event — most recent at
+    ts <= left ts for ``direction="backward"`` (tie: greatest
+    (ts, event_id)), earliest at ts >= left ts for ``"forward"``
+    (tie: smallest (ts, event_id)); equal timestamps match in both.
+    Sentinels -1/-1/0/-1 when the user has no event on that side.
+    ``gap_us`` is always the non-negative |ts - match_ts|."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"unknown direction {direction!r}; expected backward|forward")
+    forward = direction == "forward"
 
     def project(t: pa.Table) -> pa.Table:
         keep = pc.is_in(t.column("event_type"),
@@ -124,25 +136,35 @@ def event_asof_join(events_ds, left_type: str = "purchase",
                 "gap_us": pa.array(np.full(n, -1), pa.int64()),
             })
         bkey = key[build_mask]
-        # lexsort (key, event_id): among equal-ts builds the LAST (max
-        # event_id) wins under side="right" below — the pinned tiebreak.
+        # lexsort (key, event_id): among equal-ts builds, side="right"
+        # - 1 lands on the LAST (max event_id) for backward and
+        # side="left" on the FIRST (min event_id) for forward — the
+        # pinned tiebreaks.
         order = np.lexsort((eid[build_mask], bkey))
         bkey = bkey[order]
         beid = eid[build_mask][order]
         bts = ts[build_mask][order]
         bval = val[build_mask][order]
         pkey = key[probe_mask]
-        idx = np.searchsorted(bkey, pkey, side="right") - 1
-        # a probe near its user's range start must not match the
-        # previous user's tail: clamp to the user's first build key.
-        ustart = np.searchsorted(bkey, uidx[probe_mask] * span,
-                                 side="left")
-        matched = idx >= ustart
+        if forward:
+            idx = np.searchsorted(bkey, pkey, side="left")
+            # the earliest build at key >= probe must not fall into the
+            # NEXT user's range: clamp to the user's one-past-last key.
+            uend = np.searchsorted(
+                bkey, (uidx[probe_mask] + 1) * span, side="left")
+            matched = idx < uend
+        else:
+            idx = np.searchsorted(bkey, pkey, side="right") - 1
+            # a probe near its user's range start must not match the
+            # previous user's tail: clamp to the user's first build key.
+            ustart = np.searchsorted(bkey, uidx[probe_mask] * span,
+                                     side="left")
+            matched = idx >= ustart
         safe = np.where(matched, idx, 0)
         m_id = np.where(matched, beid[safe], -1)
         m_ts = np.where(matched, bts[safe], -1)
         m_val = np.where(matched, bval[safe], 0)
-        gap = np.where(matched, ts[probe_mask] - m_ts, -1)
+        gap = np.where(matched, np.abs(ts[probe_mask] - m_ts), -1)
         return pa.table({
             "left_id": pa.array(eid[probe_mask], pa.int64()),
             "user_id": pa.array(users[probe_mask], pa.int64()),

@@ -91,3 +91,48 @@ def test_skewed_user_no_blowup():
     out = event_asof_join(_events(rows)).to_pandas()
     assert len(out) == 1
     assert int(out.match_id.iloc[0]) == 399  # latest click
+
+
+def _run_fwd(rows):
+    return (event_asof_join(_events(rows), direction="forward")
+            .to_pandas().set_index("left_id").sort_index())
+
+
+def test_forward_earliest_following_click_wins():
+    out = _run_fwd([
+        (1, 10, 7, "purchase", 5.0),
+        (2, 30, 7, "click", 1.0),
+        (3, 40, 7, "click", 2.0),
+        (4, 50, 7, "purchase", 9.0),   # only click 3 remains behind it?
+    ])
+    assert out.loc[1, "match_id"] == 2
+    assert out.loc[1, "gap_us"] == 20 * 60 * 1_000_000
+    assert out.loc[4, "match_id"] == -1  # no click at ts >= 50
+
+
+def test_forward_equal_ts_matches_min_event_id():
+    out = _run_fwd([
+        (9, 60, 1, "purchase", 9.0),
+        (3, 60, 1, "click", 1.0),
+        (5, 60, 1, "click", 2.0),
+    ])
+    assert out.loc[9, "match_id"] == 3
+    assert out.loc[9, "gap_us"] == 0
+
+
+def test_forward_users_do_not_leak():
+    # user 2's click is right after user 1's purchase timewise
+    out = _run_fwd([
+        (1, 41, 2, "click", 3.0),
+        (2, 40, 1, "purchase", 1.0),
+        (3, 45, 1, "click", 7.0),
+    ])
+    assert out.loc[2, "match_id"] == 3
+
+
+def test_unknown_direction_rejected():
+    import pytest
+
+    with pytest.raises(ValueError, match="direction"):
+        event_asof_join(_events([(1, 0, 1, "purchase", 1.0)]),
+                        direction="nearest")
