@@ -1655,6 +1655,19 @@ def _doc_mix_rebalance(sf_dir: str):
     return mix_rebalance(docs)
 
 
+def _doc_mix_temperature(sf_dir: str):
+    """Temperature-weighted mixture sampling (GPT-3/LLaMA mixing,
+    α = 1/2): per-language quotas ∝ sqrt(count) via integer
+    largest-remainder allocation of a 20%-of-corpus budget, members
+    the quota smallest (md5, doc_id) per language
+    (``stages/sampling.py:mix_temperature``)."""
+    from horizon_ocr_python_ray.stages.sampling import mix_temperature
+
+    docs = _sf_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    return mix_temperature(docs, stratum="lang", key="doc_id",
+                           budget_permille=200)
+
+
 def _doc_safe_split(sf_dir: str):
     """Leakage-safe split: exact duplicates share a split via their
     content group's min-id representative."""
@@ -1788,7 +1801,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # together covered 100 of round 3's 130 entries; the 30 that had
     # never been in a driver prefix (pages_reocr ..
     # concentrated_suppliers) now lead, followed by the queries new in
-    # round 4 (pages_doc_meta .. events_asof_join_fwd — 141 entries).
+    # round 4 (pages_doc_meta .. doc_mix_temperature — 142 entries).
     # ROUND-5 ROTATION PLAN (do this BEFORE the round-5 driver run,
     # not earlier — the round-4 driver reads the CURRENT ordering):
     # after round 4 every entry has ≥1 driver-green row; lead round 5
@@ -1848,6 +1861,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_jaccard_near_dup": _doc_jaccard_near_dup,  # new in round 4 session 3
         "ann_topk_quantized": _ann_topk_quantized,  # new in round 4 session 3
         "events_asof_join_fwd": _events_asof_join_fwd,  # new in round 4 session 3
+        "doc_mix_temperature": _doc_mix_temperature,  # new in round 4 session 3
         # --- block below was driver-checked in round 2 (CORRECTNESS_r02) ---
         "pages_extract": _pages_extract,
         "pages_route_counts": _pages_route_counts,
@@ -4744,6 +4758,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, doc_id, sample_hash,
                    CAST(sample_rank AS BIGINT) AS sample_rank
             FROM r, q WHERE sample_rank <= q.quota
+        """,
+        # Temperature mixing: ONE IEEE sqrt per stratum (correctly
+        # rounded on both engines), then pure integer largest-remainder
+        # allocation — base = B·w6 // Σw6, leftovers by (remainder
+        # DESC, lang ASC), capped at the stratum count; members are the
+        # quota smallest (md5, doc_id) per language.
+        "doc_mix_temperature": """
+            WITH n AS (
+              SELECT lang, count(*) AS n FROM documents GROUP BY 1
+            ), w AS (
+              SELECT lang, n,
+                     CAST(round(sqrt(n) * 1000000.0) AS BIGINT) AS w6
+              FROM n
+            ), t AS (
+              SELECT sum(n) AS tn, sum(w6) AS tw FROM w
+            ), a AS (
+              SELECT lang, n, w6,
+                     (t.tn * 200) // 1000 AS b,
+                     ((t.tn * 200) // 1000) * w6 // t.tw AS base,
+                     (((t.tn * 200) // 1000) * w6) % t.tw AS rem
+              FROM w, t
+            ), r AS (
+              SELECT *,
+                     row_number() OVER (ORDER BY rem DESC, lang) AS rr,
+                     sum(base) OVER () AS sb
+              FROM a
+            ), q AS (
+              SELECT lang,
+                     CAST(least(base + CASE WHEN rr <= b - sb THEN 1
+                                       ELSE 0 END, n) AS BIGINT)
+                       AS quota
+              FROM r
+            ), sel AS (
+              SELECT d.lang, d.doc_id,
+                     row_number() OVER (
+                       PARTITION BY d.lang
+                       ORDER BY md5_number_lower(
+                                  CAST(d.doc_id AS VARCHAR)), d.doc_id
+                     ) AS rk
+              FROM documents d
+            )
+            SELECT sel.lang, sel.doc_id,
+                   CAST(rk AS BIGINT) AS sample_rank, q.quota
+            FROM sel JOIN q USING (lang)
+            WHERE rk <= q.quota
         """,
         # Leakage-safe split: the split key is the content group's
         # min-doc_id representative; identical texts always co-split.

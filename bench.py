@@ -117,7 +117,8 @@ def run_bench() -> dict:
                  "pages_blocklist", "events_cms_counts", "pages_zorder",
                  "doc_winnow", "doc_winnow_pairs", "doc_winnow_clusters",
                  "events_asof_join", "emb_quantize", "doc_jaccard_near_dup",
-                 "ann_topk_quantized", "events_asof_join_fwd"):
+                 "ann_topk_quantized", "events_asof_join_fwd",
+                 "doc_mix_temperature"):
         t0 = time.monotonic()
         res = q[name](sf_dir)
         if hasattr(res, "count"):

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -179,6 +180,104 @@ def mix_rebalance(ds, stratum: str = "lang", key: str = "doc_id"):
               .groupby(stratum).aggregate(Sum("p_n", alias_name="n")))
     quota = min(int(r["n"]) for r in counts.take_all())
     return stratified_sample(ds, stratum=stratum, key=key, k=quota)
+
+
+def mix_temperature(ds, stratum: str = "lang", key: str = "doc_id",
+                    budget_permille: int = 200):
+    """Temperature-weighted mixture sampling — the GPT-3/LLaMA data-mix
+    recipe (sample source i with probability ∝ nᵢ^α, α = 1/2 pinned)
+    made deterministic and integer-exact:
+
+    1. per-stratum counts from the tiny fold (combiner → one narrow
+       groupby, stratum-cardinality rows);
+    2. weights ``w6ᵢ = round(sqrt(nᵢ)·1e6)`` — ONE IEEE sqrt per
+       stratum (correctly rounded on both engines), everything after
+       is integer: budget ``B = Σn · budget_permille // 1000``, base
+       quota ``B·w6ᵢ // Σw6``, leftover ``B − Σbase`` distributed by
+       LARGEST REMAINDER (``B·w6ᵢ mod Σw6`` desc, stratum asc
+       tie-break), capped at ``nᵢ`` (no redistribution past the cap —
+       pinned);
+    3. members: each stratum's ``quotaᵢ`` smallest ``(md5_low64(key),
+       key)`` — the re-shard-stable hash order every sampler here uses.
+
+    Sqrt flattens the mix: a 3× larger source gets only √3× the docs.
+    Scale shape = :func:`stratified_sample` with per-stratum k: batch-
+    local min-quota combiner, then one tiny shuffle with one group per
+    stratum. Output: (stratum, key, sample_rank, quota)."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.zorder import _md5_low64_np
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(t.select([stratum]), stratum).aggregate(
+            [([], "count_all")])
+        return agg.rename_columns([stratum, "p_n"])
+
+    counts = (ds.map_batches(count_partial, batch_format="pyarrow")
+              .groupby(stratum).aggregate(Sum("p_n", alias_name="n")))
+    ns = {r[stratum]: int(r["n"]) for r in counts.take_all()}
+    if not ns:
+        return ray.data.from_arrow(pa.table({
+            stratum: pa.array([], pa.string()),
+            key: pa.array([], pa.int64()),
+            "sample_rank": pa.array([], pa.int64()),
+            "quota": pa.array([], pa.int64())}))
+    # integer largest-remainder allocation over e6-scaled sqrt weights
+    w6 = {s: int(math.floor(math.sqrt(n) * 1_000_000 + 0.5))
+          for s, n in ns.items()}
+    tw = sum(w6.values())
+    budget = sum(ns.values()) * budget_permille // 1000
+    base = {s: budget * w6[s] // tw for s in ns}
+    rem = {s: (budget * w6[s]) % tw for s in ns}
+    leftover = budget - sum(base.values())
+    bonus_order = sorted(ns, key=lambda s: (-rem[s], s))
+    quota = {s: min(base[s] + (1 if i < leftover else 0), ns[s])
+             for i, s in enumerate(bonus_order)}
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        ks = np.array([str(v) for v in t.column(key).to_pylist()],
+                      dtype=object)
+        return (t.select([stratum, key])
+                 .append_column("sample_hash",
+                                pa.array(_md5_low64_np(ks), pa.uint64())))
+
+    def local_prune(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[(stratum, "ascending"),
+                                              ("sample_hash", "ascending"),
+                                              (key, "ascending")])
+        st = t.take(order)
+        strata = st.column(stratum).to_pylist()
+        keep: list[int] = []
+        run_start = 0
+        for i in range(1, len(strata) + 1):
+            if i == len(strata) or strata[i] != strata[run_start]:
+                q = quota.get(strata[run_start], 0)
+                keep.extend(range(run_start, min(run_start + q, i)))
+                run_start = i
+        return st.take(pa.array(keep, pa.int64()))
+
+    def take_quota(group: pa.Table) -> pa.Table:
+        q = quota.get(group.column(stratum)[0].as_py(), 0) \
+            if group.num_rows else 0
+        order = pc.sort_indices(group,
+                                sort_keys=[("sample_hash", "ascending"),
+                                           (key, "ascending")])
+        kept = group.take(order[:q])
+        return pa.table({
+            stratum: kept.column(stratum),
+            key: kept.column(key),
+            "sample_rank": pa.array(range(1, kept.num_rows + 1),
+                                    pa.int64()),
+            "quota": pa.array([q] * kept.num_rows, pa.int64()),
+        })
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    pruned = hashed.map_batches(local_prune, batch_format="pyarrow")
+    return pruned.groupby(stratum).map_groups(take_quota,
+                                              batch_format="pyarrow")
 
 
 def safe_split(ds, text_col: str = "text", key: str = "doc_id",

@@ -153,3 +153,72 @@ def test_shuffle_shards_stable_under_resharding(ray_session):
     a = a.sort_values(key).reset_index(drop=True)
     b = b.sort_values(key).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_mix_temperature_quotas_follow_sqrt_largest_remainder(ray_session):
+    import math
+
+    import ray.data
+
+    from horizon_ocr_python_ray.stages.sampling import mix_temperature
+
+    ns = {"en": 120, "zh": 30, "fr": 10}
+    rows_lang = [l for l, n in ns.items() for _ in range(n)]
+    t = pa.table({
+        "doc_id": pa.array(list(range(len(rows_lang))), pa.int64()),
+        "lang": pa.array(rows_lang, pa.string()),
+    })
+    out = mix_temperature(ray.data.from_arrow(t).repartition(5),
+                          budget_permille=200).to_pandas()
+    # replay the pinned integer allocation
+    w6 = {s: int(math.floor(math.sqrt(n) * 1_000_000 + 0.5))
+          for s, n in ns.items()}
+    tw = sum(w6.values())
+    budget = sum(ns.values()) * 200 // 1000  # 32
+    base = {s: budget * w6[s] // tw for s in ns}
+    rem = {s: (budget * w6[s]) % tw for s in ns}
+    leftover = budget - sum(base.values())
+    for i, s in enumerate(sorted(ns, key=lambda s: (-rem[s], s))):
+        base[s] = min(base[s] + (1 if i < leftover else 0), ns[s])
+    got = out.groupby("lang").size().to_dict()
+    assert got == {s: q for s, q in base.items() if q}
+    assert len(out) == budget
+    # sqrt flattening: en is 12x fr by count but < 12x by quota
+    assert base["en"] / base["fr"] < ns["en"] / ns["fr"]
+
+
+def test_mix_temperature_quota_caps_at_stratum_count(ray_session):
+    import ray.data
+
+    from horizon_ocr_python_ray.stages.sampling import mix_temperature
+
+    # a tiny stratum whose sqrt share exceeds its own count
+    t = pa.table({
+        "doc_id": pa.array(list(range(101)), pa.int64()),
+        "lang": pa.array(["big"] * 100 + ["tiny"], pa.string()),
+    })
+    out = mix_temperature(ray.data.from_arrow(t).repartition(3),
+                          budget_permille=900).to_pandas()
+    tiny = out[out.lang == "tiny"]
+    assert len(tiny) <= 1
+    assert (out[out.lang == "tiny"].quota <= 1).all()
+
+
+def test_mix_temperature_members_are_hash_order(ray_session):
+    import ray.data
+
+    from horizon_ocr_python_ray.stages.sampling import (
+        _md5_low64,
+        mix_temperature,
+    )
+
+    t = pa.table({
+        "doc_id": pa.array(list(range(50)), pa.int64()),
+        "lang": pa.array(["en"] * 50, pa.string()),
+    })
+    out = (mix_temperature(ray.data.from_arrow(t).repartition(4),
+                           budget_permille=200)
+           .to_pandas().sort_values("sample_rank"))
+    want = sorted(range(50), key=lambda i: (_md5_low64(str(i)), i))[:10]
+    assert list(out["doc_id"]) == want
+    assert list(out["sample_rank"]) == list(range(1, 11))
