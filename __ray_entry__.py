@@ -1801,16 +1801,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # together covered 100 of round 3's 130 entries; the 30 that had
     # never been in a driver prefix (pages_reocr ..
     # concentrated_suppliers) now lead, followed by the queries new in
-    # round 4 (pages_doc_meta .. doc_mix_temperature — 142 entries).
+    # round 4 (pages_doc_meta .. doc_mix_temperature — 142 entries,
+    # including the three media queries whose oracles were REPLACED
+    # this round), then the longest-ago-checked (round 2) block for
+    # re-verification.
     # ROUND-5 ROTATION PLAN (do this BEFORE the round-5 driver run,
     # not earlier — the round-4 driver reads the CURRENT ordering):
     # after round 4 every entry has ≥1 driver-green row; lead round 5
     # with the longest-ago-checked block (the round-2-certified
     # queries past position 50: doc_token_stats .. doc_lm_score) plus
     # any query whose oracle or kernel changed in round 5.
-    # and the three media queries whose oracles were REPLACED this
-    # round, then the longest-ago-checked (round 2) block for
-    # re-verification.
     return {
         "pages_reocr": _pages_reocr,
         "pages_outlinks": _pages_outlinks,

@@ -113,13 +113,17 @@ def quantized_topk(emb_ds, query: np.ndarray, k: int = 10,
         qc = ray.get(qref)
         ids = batch.column(id_col).cast(pa.int64()).to_numpy(
             zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "score_q": pa.array([], pa.int64())})
         mat = _batch_matrix(batch, emb_col)
-        empty = pa.table({"vec_id": pa.array([], pa.int64()),
-                          "score_q": pa.array([], pa.int64())})
-        if mat.size == 0 or len(ids) == 0:
-            return empty
-        codes, _ = _codes_matrix(mat)
-        scores = codes @ qc
+        if mat.size == 0:
+            # all-empty embedding lists: score 0 (the oracle's
+            # coalesce), rows kept — the _quantize_batch invariant
+            scores = np.zeros(len(ids), np.int64)
+        else:
+            codes, _ = _codes_matrix(mat)
+            scores = codes @ qc
         take = min(k, len(ids))
         # partial top-k with the pinned (score DESC, vec_id ASC) order
         order = np.lexsort((ids, -scores))[:take]
@@ -127,7 +131,7 @@ def quantized_topk(emb_ds, query: np.ndarray, k: int = 10,
                          "score_q": pa.array(scores[order], pa.int64())})
 
     partials = emb_ds.map_batches(partial_topk, batch_format="pyarrow")
-    tabs = [t for t in iter_tables(partials) if t.num_rows]
+    tabs = list(iter_tables(partials))  # yields non-empty blocks only
     if not tabs:
         return pa.table({"vec_id": pa.array([], pa.int64()),
                          "score_q": pa.array([], pa.int64()),

@@ -112,17 +112,24 @@ def host_quota(pages_ds, n: int = 3):
 
 
 def stratified_sample(ds, stratum: str = "lang", key: str = "doc_id",
-                      k: int = 50):
-    """Exactly ``k`` rows per stratum, chosen by smallest
+                      k: int | dict = 50, quota_col: bool = False):
+    """The per-stratum quota rows of each stratum, chosen by smallest
     ``md5_low64(key)`` with a total ``(hash, key)`` tie-break — a
-    re-shard-stable equal-allocation subsample (``sample_rank`` 1..k per
-    stratum). Output columns: (stratum, key, sample_hash, sample_rank).
+    re-shard-stable subsample (``sample_rank`` 1..quota per stratum).
+    ``k`` is a flat int (equal allocation) or a per-stratum dict
+    (strata absent from the dict get 0 rows — the temperature-mixing
+    caller). Output columns: (stratum, key, sample_hash, sample_rank
+    [, quota] when ``quota_col``).
 
-    Scale shape: batch-local keep-k-smallest combiner per stratum (min-k
-    is distributive, as in :func:`host_quota`), then one tiny shuffle
-    with one group per stratum. Strata counts are assumed small
-    (languages, routes, source shards); a high-cardinality stratum key
-    would need the quota operator's host-style treatment instead."""
+    Scale shape: batch-local keep-quota-smallest combiner per stratum
+    (min-k is distributive, as in :func:`host_quota`), then one tiny
+    shuffle with one group per stratum. Strata counts are assumed
+    small (languages, routes, source shards); a high-cardinality
+    stratum key would need the quota operator's host-style treatment
+    instead."""
+    fixed_k = k if isinstance(k, int) else None
+    quota_of = ((lambda s: fixed_k) if fixed_k is not None
+                else (lambda s: k.get(s, 0)))
 
     def add_hash(t: pa.Table) -> pa.Table:
         hashes = [_md5_low64(str(v)) for v in t.column(key).to_pylist()]
@@ -130,7 +137,7 @@ def stratified_sample(ds, stratum: str = "lang", key: str = "doc_id",
                  .append_column("sample_hash", pa.array(hashes, pa.uint64())))
 
     def local_prune(t: pa.Table) -> pa.Table:
-        if t.num_rows <= k:
+        if fixed_k is not None and t.num_rows <= fixed_k:
             return t
         order = pc.sort_indices(t, sort_keys=[(stratum, "ascending"),
                                               ("sample_hash", "ascending"),
@@ -141,34 +148,32 @@ def stratified_sample(ds, stratum: str = "lang", key: str = "doc_id",
         run_start = 0
         for i in range(1, len(strata) + 1):
             if i == len(strata) or strata[i] != strata[run_start]:
-                keep.extend(range(run_start, min(run_start + k, i)))
+                q = quota_of(strata[run_start])
+                keep.extend(range(run_start, min(run_start + q, i)))
                 run_start = i
         return st.take(pa.array(keep, pa.int64()))
 
     def take_k(group: pa.Table) -> pa.Table:
+        q = (quota_of(group.column(stratum)[0].as_py())
+             if group.num_rows else 0)
         order = pc.sort_indices(group, sort_keys=[("sample_hash", "ascending"),
                                                   (key, "ascending")])
-        kept = group.take(order[:k])
-        return kept.append_column(
+        kept = group.take(order[:q])
+        kept = kept.append_column(
             "sample_rank", pa.array(range(1, kept.num_rows + 1), pa.int64()))
+        if quota_col:
+            kept = kept.append_column(
+                "quota", pa.array([q] * kept.num_rows, pa.int64()))
+        return kept
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
     pruned = hashed.map_batches(local_prune, batch_format="pyarrow")
     return pruned.groupby(stratum).map_groups(take_k, batch_format="pyarrow")
 
 
-def mix_rebalance(ds, stratum: str = "lang", key: str = "doc_id"):
-    """Equal-share class rebalancing: downsample every stratum to the
-    MINORITY stratum's count, members chosen by the re-shard-stable
-    ``(md5_low64(key), key)`` hash order — the deterministic form of
-    "balance the language mix before training".
-
-    The quota comes from a tiny per-stratum count fold (combiner → one
-    narrow groupby, stratum-cardinality rows); the selection then
-    reuses :func:`stratified_sample`'s min-k machinery with
-    ``k = quota``. Output: (stratum, key, sample_hash, sample_rank),
-    exactly ``quota`` rows per stratum."""
-    import ray
+def _stratum_counts(ds, stratum: str) -> dict:
+    """Per-stratum row counts via the tiny fold (combiner → one narrow
+    groupby, stratum-cardinality rows) — shared by the mix samplers."""
     from ray.data.aggregate import Sum
 
     def count_partial(t: pa.Table) -> pa.Table:
@@ -178,7 +183,20 @@ def mix_rebalance(ds, stratum: str = "lang", key: str = "doc_id"):
 
     counts = (ds.map_batches(count_partial, batch_format="pyarrow")
               .groupby(stratum).aggregate(Sum("p_n", alias_name="n")))
-    quota = min(int(r["n"]) for r in counts.take_all())
+    return {r[stratum]: int(r["n"]) for r in counts.take_all()}
+
+
+def mix_rebalance(ds, stratum: str = "lang", key: str = "doc_id"):
+    """Equal-share class rebalancing: downsample every stratum to the
+    MINORITY stratum's count, members chosen by the re-shard-stable
+    ``(md5_low64(key), key)`` hash order — the deterministic form of
+    "balance the language mix before training".
+
+    The quota comes from :func:`_stratum_counts`; the selection then
+    reuses :func:`stratified_sample`'s min-k machinery with
+    ``k = quota``. Output: (stratum, key, sample_hash, sample_rank),
+    exactly ``quota`` rows per stratum."""
+    quota = min(_stratum_counts(ds, stratum).values())
     return stratified_sample(ds, stratum=stratum, key=key, k=quota)
 
 
@@ -207,18 +225,8 @@ def mix_temperature(ds, stratum: str = "lang", key: str = "doc_id",
     import math
 
     import ray
-    from ray.data.aggregate import Sum
 
-    from ..functions.zorder import _md5_low64_np
-
-    def count_partial(t: pa.Table) -> pa.Table:
-        agg = pa.TableGroupBy(t.select([stratum]), stratum).aggregate(
-            [([], "count_all")])
-        return agg.rename_columns([stratum, "p_n"])
-
-    counts = (ds.map_batches(count_partial, batch_format="pyarrow")
-              .groupby(stratum).aggregate(Sum("p_n", alias_name="n")))
-    ns = {r[stratum]: int(r["n"]) for r in counts.take_all()}
+    ns = _stratum_counts(ds, stratum)
     if not ns:
         return ray.data.from_arrow(pa.table({
             stratum: pa.array([], pa.string()),
@@ -236,48 +244,11 @@ def mix_temperature(ds, stratum: str = "lang", key: str = "doc_id",
     bonus_order = sorted(ns, key=lambda s: (-rem[s], s))
     quota = {s: min(base[s] + (1 if i < leftover else 0), ns[s])
              for i, s in enumerate(bonus_order)}
-
-    def add_hash(t: pa.Table) -> pa.Table:
-        ks = np.array([str(v) for v in t.column(key).to_pylist()],
-                      dtype=object)
-        return (t.select([stratum, key])
-                 .append_column("sample_hash",
-                                pa.array(_md5_low64_np(ks), pa.uint64())))
-
-    def local_prune(t: pa.Table) -> pa.Table:
-        order = pc.sort_indices(t, sort_keys=[(stratum, "ascending"),
-                                              ("sample_hash", "ascending"),
-                                              (key, "ascending")])
-        st = t.take(order)
-        strata = st.column(stratum).to_pylist()
-        keep: list[int] = []
-        run_start = 0
-        for i in range(1, len(strata) + 1):
-            if i == len(strata) or strata[i] != strata[run_start]:
-                q = quota.get(strata[run_start], 0)
-                keep.extend(range(run_start, min(run_start + q, i)))
-                run_start = i
-        return st.take(pa.array(keep, pa.int64()))
-
-    def take_quota(group: pa.Table) -> pa.Table:
-        q = quota.get(group.column(stratum)[0].as_py(), 0) \
-            if group.num_rows else 0
-        order = pc.sort_indices(group,
-                                sort_keys=[("sample_hash", "ascending"),
-                                           (key, "ascending")])
-        kept = group.take(order[:q])
-        return pa.table({
-            stratum: kept.column(stratum),
-            key: kept.column(key),
-            "sample_rank": pa.array(range(1, kept.num_rows + 1),
-                                    pa.int64()),
-            "quota": pa.array([q] * kept.num_rows, pa.int64()),
-        })
-
-    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
-    pruned = hashed.map_batches(local_prune, batch_format="pyarrow")
-    return pruned.groupby(stratum).map_groups(take_quota,
-                                              batch_format="pyarrow")
+    picked = stratified_sample(ds, stratum=stratum, key=key, k=quota,
+                               quota_col=True)
+    return picked.map_batches(
+        lambda t: t.select([stratum, key, "sample_rank", "quota"]),
+        batch_format="pyarrow")
 
 
 def safe_split(ds, text_col: str = "text", key: str = "doc_id",
