@@ -137,6 +137,21 @@ def _pool_max(floor: int = 4) -> int:
 #: groupby instead of a single driver-side pass over the thin projection.
 DRIVER_REGISTRY_MAX_ROWS = 2_000_000
 
+#: The registry itself is a driver/broadcast object either way, so both
+#: discovery paths are bounded by what a broadcast registry can hold:
+#: at most this many duplicate-MEMBER rows (url + timestamp + lang per
+#: member) may reach the driver. A corpus more duplicate-heavy than
+#: this cannot use the broadcast-registry variant at all — the refusal
+#: names ``variant="grouped"`` (the payload-shuffling collapse, correct
+#: at any duplicate rate).
+REGISTRY_MEMBER_MAX_ROWS = 5_000_000
+
+
+class RegistryTooLargeError(ValueError):
+    """Duplicate-member volume exceeds what a broadcast dup registry can
+    hold; use ``variant="grouped"`` (``dedup_collapse``), which shuffles
+    payloads but never materializes the duplicate set in one place."""
+
 
 def _registry_from_members(table: pa.Table):
     """Dup-member rows (content_hash, url, warc_ts, lang) → registry."""
@@ -208,27 +223,47 @@ def build_dup_registry(sniffed_ds, approx_rows: int | None = None):
         return _registry_from_members(members)
 
     # -- distributed path --------------------------------------------------
+    # Only duplicated rows reach the driver, but the registry is a
+    # broadcast object either way, so both folds run under the
+    # REGISTRY_MEMBER_MAX_ROWS running cap with a loud refusal naming
+    # the variant that stays correct at any duplicate rate.
+    from ..functions.collect import iter_tables
     from .hashagg import grouped_aggregate
+
+    def _capped_fold(ds, what: str) -> pa.Table | None:
+        tabs, rows = [], 0
+        for t in ds:
+            rows += t.num_rows
+            if rows > REGISTRY_MEMBER_MAX_ROWS:
+                raise RegistryTooLargeError(
+                    f"dup registry: {what} exceed REGISTRY_MEMBER_MAX_ROWS="
+                    f"{REGISTRY_MEMBER_MAX_ROWS}; this corpus is too "
+                    "duplicate-heavy for the broadcast-registry variant — "
+                    "use variant=\"grouped\" (dedup_collapse)")
+            tabs.append(t)
+        return pa.concat_tables(tabs) if tabs else None
 
     narrow = narrow.materialize()
     counts = grouped_aggregate(narrow.select_columns(["content_hash"]),
                                "content_hash",
                                [("content_hash", "count", "n")])
-    dup_hash_tbl = counts.filter(expr="n > 1").select_columns(["content_hash"]).take_all()
-    dup_hashes = pa.array([r["content_hash"] for r in dup_hash_tbl], pa.string())
-    if len(dup_hashes) == 0:
+    dup_hash_tab = _capped_fold(
+        iter_tables(counts.filter(expr="n > 1")
+                    .select_columns(["content_hash"])),
+        "duplicated content hashes")
+    if dup_hash_tab is None:
         return set(), {}
+    dup_hashes = dup_hash_tab.column("content_hash").combine_chunks()
 
     def members_only(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.is_in(batch.column("content_hash"), value_set=dup_hashes))
 
-    import ray
-
-    got = collect_tables(
-        narrow.map_batches(members_only, batch_format="pyarrow"))
-    if not got:
+    members = _capped_fold(
+        iter_tables(narrow.map_batches(members_only, batch_format="pyarrow")),
+        "duplicate member rows")
+    if members is None:
         return set(), {}
-    return _registry_from_members(pa.concat_tables(got))
+    return _registry_from_members(members)
 
 
 def drop_dup_members_stage(ds, registry_ref):

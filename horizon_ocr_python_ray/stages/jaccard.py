@@ -66,6 +66,15 @@ from .hashagg import grouped_aggregate, grouped_reduce
 
 _SIGN = np.uint64(1 << 63)
 
+#: ``verify_plan="auto"`` collects candidate pairs to the driver only up
+#: to this many rows (4 int64 columns → ~64 MB at the cap). The prefix
+#: filter bounds candidate generation PER GRAM, not the corpus total — a
+#: duplicate-heavy corpus yields O(dup-pairs) candidates — so the fold
+#: streams block-by-block with a running count and falls through to the
+#: distributed ``attach_pair_texts`` verify the moment the cap trips
+#: (the lmscore ``train_bigram_model`` idiom).
+PAIR_COLLECT_MAX_ROWS = 2_000_000
+
 _PAIR_SCHEMA = {
     "doc_a": pa.int64(),
     "doc_b": pa.int64(),
@@ -265,21 +274,41 @@ def _verify_pairs(docs_ds, pairs_ds, k: int, thr_num: int, thr_den: int,
     if plan != "distributed":
         import ray.data
 
-        from ..functions.collect import collect_tables
+        from ..functions.collect import iter_tables
 
-        # candidate pairs are provably small (post-prefix-filter); the
-        # one driver fold both reads the ids AND feeds the verify map
-        # (on EITHER plan below), so the 3-exchange candidate plan
-        # executes exactly once.
-        tabs = [t for t in collect_tables(pairs_ds) if t.num_rows]
-        if not tabs:
+        # The driver fold both reads the candidate ids AND feeds the
+        # verify map (on either plan below), so the 3-exchange candidate
+        # plan executes exactly once on the happy path. The prefix
+        # filter bounds candidates per GRAM, not per corpus, so the
+        # collect streams block-by-block under a running row cap; past
+        # the cap the partial tables are abandoned and verification
+        # falls through to the distributed hash-join plan (which
+        # re-runs the candidate exchanges once, but nothing
+        # candidate-sized ever sits on the driver).
+        tabs, rows, capped = [], 0, False
+        for t in iter_tables(pairs_ds):
+            rows += t.num_rows
+            if rows > PAIR_COLLECT_MAX_ROWS:
+                capped = True
+                break
+            tabs.append(t)
+        if capped:
+            if plan == "broadcast":
+                raise ValueError(
+                    f"jaccard verify: candidate pairs exceed "
+                    f"PAIR_COLLECT_MAX_ROWS={PAIR_COLLECT_MAX_ROWS}; "
+                    "use verify_plan='distributed'")
+            pairs_src = pairs_ds
+        elif not tabs:
             return ray.data.from_arrow(pa.table(
                 {kk: pa.array([], t) for kk, t in _PAIR_SCHEMA.items()}))
-        pairs_tab = pa.concat_tables(tabs)
-        pairs_src = ray.data.from_arrow(pairs_tab)
-        cand = set(pairs_tab.column("doc_a").to_pylist())
-        cand.update(pairs_tab.column("doc_b").to_pylist())
-        if len(cand) <= VERIFY_BROADCAST_MAX_DOCS:
+        else:
+            pairs_tab = pa.concat_tables(tabs)
+            pairs_src = ray.data.from_arrow(pairs_tab)
+        if not capped:
+            cand = set(pairs_tab.column("doc_a").to_pylist())
+            cand.update(pairs_tab.column("doc_b").to_pylist())
+        if not capped and len(cand) <= VERIFY_BROADCAST_MAX_DOCS:
             texts = collect_texts_for_ids(docs_ds, cand)
             ref = ray.put(texts)
             return pairs_src.map_batches(

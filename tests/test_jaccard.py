@@ -107,3 +107,18 @@ def test_distributed_verify_plan_is_row_identical():
     rows = _synth(n_docs=15, seed=9)
     assert (_run(rows, verify_plan="distributed")
             == _run(rows, verify_plan="broadcast"))
+
+
+def test_auto_plan_caps_candidate_collect(monkeypatch):
+    """A dup-heavy corpus past PAIR_COLLECT_MAX_ROWS must route to the
+    distributed verify (never a full driver collect) with identical
+    pairs; an explicit broadcast plan refuses loudly."""
+    from horizon_ocr_python_ray.stages import jaccard as jmod
+
+    # every doc duplicates one of 3 base texts → dense candidate set
+    base = _synth(n_docs=3, seed=5)[:3]
+    rows = [(i + 1, base[i % 3][1]) for i in range(24)]
+    monkeypatch.setattr(jmod, "PAIR_COLLECT_MAX_ROWS", 0)
+    assert _run(rows, verify_plan="auto") == _naive(rows)
+    with pytest.raises(ValueError, match="PAIR_COLLECT_MAX_ROWS"):
+        _run(rows, verify_plan="broadcast")
