@@ -276,10 +276,14 @@ def _minhash_near_dup(sf_dir: str):
 def _ann_topk(sf_dir: str):
     import numpy as np
     import ray.data
-    from horizon_ocr_python_ray.stages.ann import brute_force_topk
+    from horizon_ocr_python_ray.stages.ann import (
+        brute_force_topk,
+        smallest_id_rows,
+    )
 
     emb = _sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    q = np.array(emb.sort("vec_id").take(1)[0]["embedding"], dtype=np.float64)
+    q = np.array(smallest_id_rows(emb, 1).column("embedding").to_pylist()[0],
+                 dtype=np.float64)
     out = brute_force_topk(emb, q, k=10)
 
     def project(t):
@@ -296,10 +300,14 @@ def _ann_topk(sf_dir: str):
 def _ann_topk_lsh(sf_dir: str):
     import numpy as np
     import ray.data
-    from horizon_ocr_python_ray.stages.ann import lsh_bucketed_topk
+    from horizon_ocr_python_ray.stages.ann import (
+        lsh_bucketed_topk,
+        smallest_id_rows,
+    )
 
     emb = _sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    q = np.array(emb.sort("vec_id").take(1)[0]["embedding"], dtype=np.float64)
+    q = np.array(smallest_id_rows(emb, 1).column("embedding").to_pylist()[0],
+                 dtype=np.float64)
     out = lsh_bucketed_topk(emb, q, k=10, dim=len(q))
 
     def project(t):
@@ -316,10 +324,11 @@ def _ann_topk_lsh(sf_dir: str):
 def _ann_topk_ivf(sf_dir: str):
     import numpy as np
     import ray.data
-    from horizon_ocr_python_ray.stages.ann import ivf_topk
+    from horizon_ocr_python_ray.stages.ann import ivf_topk, smallest_id_rows
 
     emb = _sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    q = np.array(emb.sort("vec_id").take(1)[0]["embedding"], dtype=np.float64)
+    q = np.array(smallest_id_rows(emb, 1).column("embedding").to_pylist()[0],
+                 dtype=np.float64)
     out = ivf_topk(emb, q, k=10)
 
     def project(t):
@@ -1054,12 +1063,64 @@ def _ann_topk_quantized(sf_dir: str):
     partials folded on the driver — no sort exchange, no float in the
     compare (``stages/quantize.py:quantized_topk``)."""
     import numpy as np
+    from horizon_ocr_python_ray.stages.ann import smallest_id_rows
     from horizon_ocr_python_ray.stages.quantize import quantized_topk
 
     emb = _sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    q = np.array(emb.sort("vec_id").take(1)[0]["embedding"],
-                 dtype=np.float32)
+    q = np.array(
+        smallest_id_rows(emb, 1).column("embedding").to_pylist()[0],
+        dtype=np.float32)
     return quantized_topk(emb, q, k=10)
+
+
+def _ann_topk_batch(sf_dir: str):
+    """Batched-query retrieval: top-10 by exact cosine for EIGHT planted
+    queries (the 8 smallest-vec_id vectors, fetched by a ≤8-row monoid
+    fold — no sort exchange) in ONE corpus pass: the query matrix
+    broadcasts once via ``ray.put`` and every batch scores all queries
+    in a single matmul, emitting per-query partial top-k rows keyed by
+    ``query_idx`` (``stages/ann.py:brute_force_topk``)."""
+    import numpy as np
+    from horizon_ocr_python_ray.stages.ann import (
+        brute_force_topk,
+        smallest_id_rows,
+    )
+
+    emb = _sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qmat = np.array(
+        smallest_id_rows(emb, 8).column("embedding").to_pylist(),
+        dtype=np.float64)
+    out = brute_force_topk(emb, qmat, k=10)
+
+    def project(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        return pa.Table.from_arrays(
+            [pc.cast(t.column("query_idx"), pa.int64()),
+             t.column("vec_id"),
+             pc.round(t.column("score"), 6),
+             t.column("rank")],
+            names=["query_idx", "vec_id", "score", "rank"],
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+def _ann_topk_quantized_batch(sf_dir: str):
+    """Batched quantized retrieval: top-10 by INTEGER dot product of
+    int8 max-abs codes for FOUR planted queries in one pass — the
+    quantized query matrix broadcasts once, per-batch integer matmul,
+    ≤Q·k-row driver partials, zero float anywhere in the rank
+    (``stages/quantize.py:quantized_topk`` with a query matrix)."""
+    import numpy as np
+    from horizon_ocr_python_ray.stages.ann import smallest_id_rows
+    from horizon_ocr_python_ray.stages.quantize import quantized_topk
+
+    emb = _sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qmat = np.array(
+        smallest_id_rows(emb, 4).column("embedding").to_pylist(),
+        dtype=np.float32)
+    return quantized_topk(emb, qmat, k=10)
 
 
 def _doc_jaccard_near_dup(sf_dir: str):
@@ -1812,6 +1873,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # queries past position 50: doc_token_stats .. doc_lm_score) plus
     # any query whose oracle or kernel changed in round 5.
     return {
+        # --- queries new in round 5 ---
+        "ann_topk_batch": _ann_topk_batch,
+        "ann_topk_quantized_batch": _ann_topk_quantized_batch,
         "pages_reocr": _pages_reocr,
         "pages_outlinks": _pages_outlinks,
         "host_linkgraph": _host_linkgraph,
@@ -2704,6 +2768,70 @@ def oracle_sql() -> dict[str, str]:
         # expressions (DOUBLE casts against DuckDB's float32 literal
         # arithmetic), then the score is an INTEGER dot product — no
         # float in the rank order at all. Query = min-vec_id vector.
+        # Batched-query brute force: same cross-score as ann_topk,
+        # partitioned per planted query (8 smallest vec_ids, query_idx
+        # = their vec_id rank). rank uses the UNROUNDED score on both
+        # engines; only the reported score column rounds to 6dp.
+        "ann_topk_batch": """
+            WITH q AS (
+              SELECT embedding,
+                     CAST(row_number() OVER (ORDER BY vec_id) - 1
+                          AS BIGINT) AS query_idx
+              FROM embeddings ORDER BY vec_id LIMIT 8
+            ), s AS (
+              SELECT q.query_idx, e.vec_id,
+                     list_cosine_similarity(e.embedding::DOUBLE[],
+                                            q.embedding::DOUBLE[]) AS sc
+              FROM embeddings e, q
+            )
+            SELECT query_idx, vec_id, round(sc, 6) AS score,
+                   CAST(row_number() OVER (
+                     PARTITION BY query_idx ORDER BY sc DESC, vec_id
+                   ) AS BIGINT) AS rank
+            FROM s
+            QUALIFY rank <= 10
+            ORDER BY query_idx, rank
+        """,
+        # Batched quantized retrieval: integer code dot products per
+        # planted query (4 smallest vec_ids) — the whole compare
+        # surface is int64, no float rounding anywhere.
+        "ann_topk_quantized_batch": """
+            WITH m AS (
+              SELECT vec_id, embedding,
+                     list_max(list_transform(embedding, x -> abs(x)))
+                       AS ma
+              FROM embeddings
+            ), c AS (
+              SELECT vec_id,
+                     list_transform(
+                       embedding,
+                       x -> CAST(round(CASE WHEN ma = 0 THEN 0.0
+                                       ELSE CAST(x AS DOUBLE) * 127.0
+                                            / CAST(ma AS DOUBLE) END)
+                                 AS BIGINT)) AS code
+              FROM m
+            ), q AS (
+              SELECT code AS qcode,
+                     CAST(row_number() OVER (ORDER BY vec_id) - 1
+                          AS BIGINT) AS query_idx
+              FROM c ORDER BY vec_id LIMIT 4
+            ), d AS (
+              SELECT q.query_idx, c.vec_id,
+                     CAST(coalesce(list_sum(list_transform(
+                            range(1, len(c.code) + 1),
+                            i -> c.code[i] * q.qcode[i])), 0)
+                          AS BIGINT) AS score_q
+              FROM c, q
+            )
+            SELECT query_idx, vec_id, score_q,
+                   CAST(row_number() OVER (
+                     PARTITION BY query_idx
+                     ORDER BY score_q DESC, vec_id
+                   ) AS BIGINT) AS rank
+            FROM d
+            QUALIFY rank <= 10
+            ORDER BY query_idx, rank
+        """,
         "ann_topk_quantized": """
             WITH m AS (
               SELECT vec_id, embedding,

@@ -76,6 +76,32 @@ def _cached_state(key, builder):
     return got
 
 
+def smallest_id_rows(ds, n: int = 1, id_col: str = "vec_id") -> pa.Table:
+    """The ``n`` smallest-``id_col`` rows of a dataset WITHOUT a sort
+    exchange: each batch emits a ≤n-row partial (vectorized partial
+    top-n ascending), folded on the driver with a running trim — the
+    tiny-key monoid idiom. Query planting (`the first k vectors`) and
+    min-key probes use this instead of ``ds.sort(id).take(n)``, which
+    pays a full all-to-all sort of the table for an n-row answer."""
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows <= n:
+            return t
+        return t.take(pc.sort_indices(t.column(id_col)).slice(0, n))
+
+    best: pa.Table | None = None
+    for t in iter_tables(ds.map_batches(partial, batch_format="pyarrow")):
+        best = t if best is None else pa.concat_tables([best, t])
+        if best.num_rows > n:
+            best = best.take(pc.sort_indices(best.column(id_col)).slice(0, n))
+    if best is None:
+        raise ValueError("smallest_id_rows on an empty dataset")
+    # the first (possibly only) block can hold several concatenated
+    # ≤n-row partials — always apply the final trim
+    return best.take(pc.sort_indices(best.column(id_col)).slice(0, n))
+
+
 # -- brute-force top-k -------------------------------------------------------
 
 class BruteForceTopK:
@@ -277,6 +303,11 @@ def lsh_bucketed_topk(emb_ds, query: np.ndarray, k: int = 10, dim: int = 64,
     stateless vectorized ``np.isin`` per batch (no shuffle); candidates
     then go through :func:`brute_force_topk`.
 
+    Accepts a single vector or a (Q, dim) query MATRIX: probe keys are
+    the union over queries (extra candidates from another query's bucket
+    are merely exact-scored, never lose recall for this query), and the
+    result carries ``query_idx`` per :func:`brute_force_topk`.
+
     Default parameters mirror :func:`embedding_near_dup_pairs_lsh`: at
     moderate similarity (s ≈ 0.4) the per-table probe-hit probability is
     1−(1−p)² ≈ 0.86, so 32 tables give miss ≈ 1e-28 per true neighbor —
@@ -284,7 +315,9 @@ def lsh_bucketed_topk(emb_ds, query: np.ndarray, k: int = 10, dim: int = 64,
     """
     query = np.asarray(query, dtype=np.float64)
     lsh = BandedLSH(dim, n_tables, n_planes, seed)
-    probed = lsh.probe_keys(query, n_probes)  # tiny: ≤ T·(P+1) int64 keys
+    probed = np.unique(np.concatenate([
+        lsh.probe_keys(qv, n_probes)
+        for qv in np.atleast_2d(query)]))  # tiny: ≤ Q·T·(P+1) int64 keys
 
     def candidate_filter(batch: pa.Table) -> pa.Table:
         if not batch.num_rows:

@@ -128,3 +128,38 @@ def test_lsh_miss_probability_math():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+def test_smallest_id_rows_matches_sort():
+    from horizon_ocr_python_ray.stages.ann import smallest_id_rows
+
+    ds = _emb_ds()
+    got = smallest_id_rows(ds, 8)
+    want = ds.sort("vec_id").take(8)
+    assert got.column("vec_id").to_pylist() == [r["vec_id"] for r in want]
+    assert got.num_rows == 8
+
+
+def test_batched_brute_force_matches_per_query():
+    ds = _emb_ds()
+    rows = ds.sort("vec_id").take(3)
+    qmat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    batched = brute_force_topk(ds, qmat, k=5).to_pandas()
+    for qi in range(3):
+        single = brute_force_topk(ds, qmat[qi], k=5).to_pandas()
+        mine = batched[batched["query_idx"] == qi].reset_index(drop=True)
+        assert mine["vec_id"].tolist() == single["vec_id"].tolist()
+        assert mine["rank"].tolist() == single["rank"].tolist()
+
+
+def test_batched_lsh_topk_equals_batched_brute_force():
+    ds = _emb_ds()
+    dim = len(ds.take(1)[0]["embedding"])
+    rows = ds.sort("vec_id").take(3)
+    qmat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    brute = brute_force_topk(ds, qmat, k=5).to_pandas()
+    lsh = lsh_bucketed_topk(ds, qmat, k=5, dim=dim).to_pandas()
+    key = ["query_idx", "rank"]
+    b = brute.sort_values(key).reset_index(drop=True)
+    l = lsh.sort_values(key).reset_index(drop=True)
+    assert b["vec_id"].tolist() == l["vec_id"].tolist()

@@ -97,3 +97,25 @@ def test_quantized_topk_tiebreak_is_vec_id():
     out = quantized_topk(_emb([[1.0, 2.0]] * 5), [1.0, 2.0],
                          k=3).to_pandas()
     assert out.vec_id.tolist() == [1, 2, 3]
+
+
+def test_quantized_topk_batch_matches_per_query():
+    import numpy as np
+    import ray.data
+
+    from horizon_ocr_python_ray.stages.quantize import quantized_topk
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        columns=["vec_id", "embedding"])
+    rows = ds.sort("vec_id").take(3)
+    qmat = np.array([r["embedding"] for r in rows], dtype=np.float32)
+    batched = quantized_topk(ds, qmat, k=5).to_pandas()
+    assert list(batched.columns) == ["query_idx", "vec_id", "score_q",
+                                     "rank"]
+    for qi in range(3):
+        single = quantized_topk(ds, qmat[qi], k=5).to_pandas()
+        assert list(single.columns) == ["vec_id", "score_q", "rank"]
+        mine = batched[batched["query_idx"] == qi].reset_index(drop=True)
+        assert mine["vec_id"].tolist() == single["vec_id"].tolist()
+        assert mine["score_q"].tolist() == single["score_q"].tolist()
