@@ -1729,6 +1729,33 @@ def _doc_mix_temperature(sf_dir: str):
                            budget_permille=200)
 
 
+def _doc_mix_export(sf_dir: str):
+    """The temperature-mix SAMPLE AS A CONSUMABLE EXPORT: the sampled
+    docs carry their token counts through the quota-bounded selection
+    (``stratified_sample(carry=...)``) — no re-join of the id list
+    against the corpus. One vectorized token-count map, then the same
+    sqrt-temperature quota machinery as ``doc_mix_temperature``;
+    payload volume through the one tiny shuffle is quota-bounded by
+    the batch-local combiner."""
+    import pyarrow as pa
+    from horizon_ocr_python_ray.functions.textstats import token_count
+    from horizon_ocr_python_ray.stages.sampling import mix_temperature
+
+    docs = _sf_table(sf_dir, "documents",
+                     columns=["doc_id", "lang", "text"])
+
+    def add_tokens(t: "pa.Table") -> "pa.Table":
+        texts = t.column("text").to_pylist()
+        return (t.select(["doc_id", "lang"])
+                .append_column("n_tokens",
+                               pa.array([token_count(x) for x in texts],
+                                        pa.int64())))
+
+    keyed = docs.map_batches(add_tokens, batch_format="pyarrow")
+    return mix_temperature(keyed, stratum="lang", key="doc_id",
+                           budget_permille=200, carry=("n_tokens",))
+
+
 def _doc_safe_split(sf_dir: str):
     """Leakage-safe split: exact duplicates share a split via their
     content group's min-id representative."""
@@ -1876,6 +1903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- queries new in round 5 ---
         "ann_topk_batch": _ann_topk_batch,
         "ann_topk_quantized_batch": _ann_topk_quantized_batch,
+        "doc_mix_export": _doc_mix_export,
         "pages_reocr": _pages_reocr,
         "pages_outlinks": _pages_outlinks,
         "host_linkgraph": _host_linkgraph,
@@ -4928,6 +4956,53 @@ def oracle_sql() -> dict[str, str]:
               FROM documents d
             )
             SELECT sel.lang, sel.doc_id,
+                   CAST(rk AS BIGINT) AS sample_rank, q.quota
+            FROM sel JOIN q USING (lang)
+            WHERE rk <= q.quota
+        """,
+        # Temperature-mix export: doc_mix_temperature's selection with
+        # the token-count payload joined per selected doc — the SQL
+        # replays the identical quota CTEs then carries n_tokens.
+        "doc_mix_export": r"""
+            WITH n AS (
+              SELECT lang, count(*) AS n FROM documents GROUP BY 1
+            ), w AS (
+              SELECT lang, n,
+                     CAST(round(sqrt(n) * 1000000.0) AS BIGINT) AS w6
+              FROM n
+            ), t AS (
+              SELECT sum(n) AS tn, sum(w6) AS tw FROM w
+            ), a AS (
+              SELECT lang, n, w6,
+                     (t.tn * 200) // 1000 AS b,
+                     ((t.tn * 200) // 1000) * w6 // t.tw AS base,
+                     (((t.tn * 200) // 1000) * w6) % t.tw AS rem
+              FROM w, t
+            ), r AS (
+              SELECT *,
+                     row_number() OVER (ORDER BY rem DESC, lang) AS rr,
+                     sum(base) OVER () AS sb
+              FROM a
+            ), q AS (
+              SELECT lang,
+                     CAST(least(base + CASE WHEN rr <= b - sb THEN 1
+                                       ELSE 0 END, n) AS BIGINT)
+                       AS quota
+              FROM r
+            ), sel AS (
+              SELECT d.lang, d.doc_id,
+                     CAST(CASE WHEN trim(d.text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(d.text),
+                                                         '\s+'))
+                          END AS BIGINT) AS n_tokens,
+                     row_number() OVER (
+                       PARTITION BY d.lang
+                       ORDER BY md5_number_lower(
+                                  CAST(d.doc_id AS VARCHAR)), d.doc_id
+                     ) AS rk
+              FROM documents d
+            )
+            SELECT sel.lang, sel.doc_id, sel.n_tokens,
                    CAST(rk AS BIGINT) AS sample_rank, q.quota
             FROM sel JOIN q USING (lang)
             WHERE rk <= q.quota

@@ -112,14 +112,21 @@ def host_quota(pages_ds, n: int = 3):
 
 
 def stratified_sample(ds, stratum: str = "lang", key: str = "doc_id",
-                      k: int | dict = 50, quota_col: bool = False):
+                      k: int | dict = 50, quota_col: bool = False,
+                      carry: tuple = ()):
     """The per-stratum quota rows of each stratum, chosen by smallest
     ``md5_low64(key)`` with a total ``(hash, key)`` tie-break — a
     re-shard-stable subsample (``sample_rank`` 1..quota per stratum).
     ``k`` is a flat int (equal allocation) or a per-stratum dict
     (strata absent from the dict get 0 rows — the temperature-mixing
-    caller). Output columns: (stratum, key, sample_hash, sample_rank
-    [, quota] when ``quota_col``).
+    caller). Output columns: (stratum, key, *carry, sample_hash,
+    sample_rank [, quota] when ``quota_col``).
+
+    ``carry`` names payload columns the selected rows keep, so a
+    pipeline consumes the sample directly instead of re-joining the
+    id list against the corpus. The batch-local combiner prunes to the
+    quota BEFORE the exchange, so the carried payload volume through
+    the shuffle is quota-bounded, not corpus-bounded.
 
     Scale shape: batch-local keep-quota-smallest combiner per stratum
     (min-k is distributive, as in :func:`host_quota`), then one tiny
@@ -133,7 +140,7 @@ def stratified_sample(ds, stratum: str = "lang", key: str = "doc_id",
 
     def add_hash(t: pa.Table) -> pa.Table:
         hashes = [_md5_low64(str(v)) for v in t.column(key).to_pylist()]
-        return (t.select([stratum, key])
+        return (t.select([stratum, key, *carry])
                  .append_column("sample_hash", pa.array(hashes, pa.uint64())))
 
     def local_prune(t: pa.Table) -> pa.Table:
@@ -201,7 +208,7 @@ def mix_rebalance(ds, stratum: str = "lang", key: str = "doc_id"):
 
 
 def mix_temperature(ds, stratum: str = "lang", key: str = "doc_id",
-                    budget_permille: int = 200):
+                    budget_permille: int = 200, carry: tuple = ()):
     """Temperature-weighted mixture sampling — the GPT-3/LLaMA data-mix
     recipe (sample source i with probability ∝ nᵢ^α, α = 1/2 pinned)
     made deterministic and integer-exact:
@@ -221,7 +228,10 @@ def mix_temperature(ds, stratum: str = "lang", key: str = "doc_id",
     Sqrt flattens the mix: a 3× larger source gets only √3× the docs.
     Scale shape = :func:`stratified_sample` with per-stratum k: batch-
     local min-quota combiner, then one tiny shuffle with one group per
-    stratum. Output: (stratum, key, sample_rank, quota)."""
+    stratum. Output: (stratum, key, *carry, sample_rank, quota) —
+    ``carry`` columns ride the quota-bounded selection (see
+    :func:`stratified_sample`), so the output IS the training-mix
+    export, not just an id list."""
     import math
 
     import ray
@@ -232,7 +242,7 @@ def mix_temperature(ds, stratum: str = "lang", key: str = "doc_id",
             stratum: pa.array([], pa.string()),
             key: pa.array([], pa.int64()),
             "sample_rank": pa.array([], pa.int64()),
-            "quota": pa.array([], pa.int64())}))
+            "quota": pa.array([], pa.int64())}))  # carry moot: no rows
     # integer largest-remainder allocation over e6-scaled sqrt weights
     w6 = {s: int(math.floor(math.sqrt(n) * 1_000_000 + 0.5))
           for s, n in ns.items()}
@@ -245,9 +255,9 @@ def mix_temperature(ds, stratum: str = "lang", key: str = "doc_id",
     quota = {s: min(base[s] + (1 if i < leftover else 0), ns[s])
              for i, s in enumerate(bonus_order)}
     picked = stratified_sample(ds, stratum=stratum, key=key, k=quota,
-                               quota_col=True)
+                               quota_col=True, carry=carry)
     return picked.map_batches(
-        lambda t: t.select([stratum, key, "sample_rank", "quota"]),
+        lambda t: t.select([stratum, key, *carry, "sample_rank", "quota"]),
         batch_format="pyarrow")
 
 

@@ -222,3 +222,27 @@ def test_mix_temperature_members_are_hash_order(ray_session):
     want = sorted(range(50), key=lambda i: (_md5_low64(str(i)), i))[:10]
     assert list(out["doc_id"]) == want
     assert list(out["sample_rank"]) == list(range(1, 11))
+
+
+def test_stratified_sample_carry_columns():
+    import pyarrow as pa
+    import ray.data
+
+    from horizon_ocr_python_ray.stages.sampling import stratified_sample
+
+    t = pa.table({
+        "doc_id": pa.array(range(1, 41), pa.int64()),
+        "lang": pa.array((["en"] * 30) + (["de"] * 10), pa.string()),
+        "n_tokens": pa.array([i * 7 for i in range(1, 41)], pa.int64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(4)
+    plain = stratified_sample(ds, k=5).to_pandas()
+    carried = stratified_sample(ds, k=5, carry=("n_tokens",)).to_pandas()
+    # same selection, payload attached
+    key = ["lang", "doc_id"]
+    assert (carried.sort_values(key)["doc_id"].tolist()
+            == plain.sort_values(key)["doc_id"].tolist())
+    want = dict(zip(t.column("doc_id").to_pylist(),
+                    t.column("n_tokens").to_pylist()))
+    for r in carried.itertuples():
+        assert r.n_tokens == want[r.doc_id]
