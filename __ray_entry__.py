@@ -1729,6 +1729,67 @@ def _doc_mix_temperature(sf_dir: str):
                            budget_permille=200)
 
 
+def _pages_checkpoint_manifest(sf_dir: str):
+    """Checkpoint/resume AS A DRIVER-VISIBLE SURFACE: run the extract
+    pipeline through the write-then-commit partition manifest
+    (``state/checkpoint.py:run_partitioned``) with a simulated
+    interruption — run 1 commits fragments 0-1 and "dies", run 2
+    resumes from the manifest and commits only the remaining 2-3 —
+    then emit the lineage records (partition_id, rows, checksum,
+    run_idx). The oracle recomputes every field independently from the
+    corpus golden fixtures: the fragment map is
+    ``md5_number_lower(url) % 4`` and the checksum is the
+    order-insensitive XOR of per-row ``md5(url || chr(31) || text)``
+    halves, so a wrong row count, a dropped url, a byte-different
+    extraction OR a re-run of a committed fragment all break the
+    compare."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    from horizon_ocr_python_ray import (
+        build_extract_pipeline,
+        ensure_corpus,
+        read_pages,
+        sf_from_dir,
+    )
+    from horizon_ocr_python_ray.state.checkpoint import (
+        filter_to_partition,
+        read_manifest,
+        run_partitioned,
+    )
+
+    corpus = ensure_corpus(sf_from_dir(sf_dir))
+    num_parts = 4
+
+    def fragment(pid: int):
+        pages = read_pages(corpus).map_batches(
+            lambda t: filter_to_partition(t, pid, num_parts),
+            batch_format="pyarrow")
+        # per-fragment dedup only sees its fragment (deterministic
+        # bytes either way); cross-fragment dups extract independently
+        return build_extract_pipeline(pages, dedup=False)
+
+    out_dir = tempfile.mkdtemp(prefix="ckpt_manifest_", dir="/tmp")
+    try:
+        first = run_partitioned(fragment, out_dir, num_parts,
+                                max_partitions=2, max_concurrent=2)
+        second = run_partitioned(fragment, out_dir, num_parts,
+                                 max_concurrent=2)
+        manifest = read_manifest(out_dir)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    run_idx = {**{p: 1 for p in first}, **{p: 2 for p in second}}
+    pids = sorted(manifest)
+    return pa.table({
+        "partition_id": pa.array(pids, pa.int64()),
+        "rows": pa.array([manifest[p]["rows"] for p in pids], pa.int64()),
+        "checksum": pa.array([manifest[p]["checksum"] for p in pids],
+                             pa.string()),
+        "run_idx": pa.array([run_idx[p] for p in pids], pa.int64()),
+    })
+
+
 def _doc_mix_export(sf_dir: str):
     """The temperature-mix SAMPLE AS A CONSUMABLE EXPORT: the sampled
     docs carry their token counts through the quota-bounded selection
@@ -1904,6 +1965,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_batch": _ann_topk_batch,
         "ann_topk_quantized_batch": _ann_topk_quantized_batch,
         "doc_mix_export": _doc_mix_export,
+        "pages_checkpoint_manifest": _pages_checkpoint_manifest,
         "pages_reocr": _pages_reocr,
         "pages_outlinks": _pages_outlinks,
         "host_linkgraph": _host_linkgraph,
@@ -4959,6 +5021,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(rk AS BIGINT) AS sample_rank, q.quota
             FROM sel JOIN q USING (lang)
             WHERE rk <= q.quota
+        """,
+        # Checkpoint-manifest lineage replay: expected per-fragment
+        # (rows, checksum) recomputed from the corpus golden fixtures
+        # alone — md5-low64 fragment map, XOR-of-md5-halves checksum
+        # (order-insensitive), run_idx from the pinned interruption
+        # point (fragments 0-1 commit in run 1, 2-3 in the resume).
+        "pages_checkpoint_manifest": f"""
+            WITH g AS (
+              SELECT CAST(md5_number_lower(url) % 4 AS BIGINT)
+                       AS partition_id,
+                     url, extracted_text
+              FROM read_parquet('{golden_sf0_01}')
+            )
+            SELECT partition_id,
+                   count(*) AS rows,
+                   lower(lpad(hex(bit_xor(md5_number_upper(
+                            url || chr(31) || extracted_text))), 16, '0'))
+                   || lower(lpad(hex(bit_xor(md5_number_lower(
+                            url || chr(31) || extracted_text))), 16, '0'))
+                     AS checksum,
+                   CAST(CASE WHEN partition_id <= 1 THEN 1 ELSE 2 END
+                        AS BIGINT) AS run_idx
+            FROM g
+            GROUP BY partition_id
+            ORDER BY partition_id
         """,
         # Temperature-mix export: doc_mix_temperature's selection with
         # the token-count payload joined per selected doc — the SQL

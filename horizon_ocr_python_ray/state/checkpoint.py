@@ -34,8 +34,12 @@ import pyarrow.compute as pc
 
 
 def partition_of(url: str, num_partitions: int) -> int:
-    """Stable fragment id from the url (first 8 hex of sha1, mod P)."""
-    return int(hashlib.sha1(url.encode("utf-8")).hexdigest()[:8], 16) % num_partitions
+    """Stable fragment id from the url: md5 low-64 (little-endian) mod P
+    — the engine-wide ``md5_number_lower`` convention, so an external
+    auditor (the DuckDB oracle included) recomputes the fragment map
+    bit-identically: ``md5_number_lower(url) % P``."""
+    h = int.from_bytes(hashlib.md5(url.encode("utf-8")).digest()[8:], "little")
+    return h % num_partitions
 
 
 def add_partition_column(batch: pa.Table, num_partitions: int) -> pa.Table:
@@ -70,7 +74,11 @@ def _append_manifest(out_dir: str, rec: dict) -> None:
 
 def _rows_checksum(result_table: pa.Table, key_col: str = "url") -> str:
     """Order-insensitive checksum of the partition output (XOR of per-row
-    key+payload hashes) — cheap lineage fingerprint."""
+    key+payload md5s, 128-bit as upper‖lower 64) — cheap lineage
+    fingerprint, replayable by any engine as
+    ``hex(bit_xor(md5_number_upper(url || chr(31) || text))) ||
+    hex(bit_xor(md5_number_lower(...)))`` (the DuckDB spelling the
+    manifest oracle uses)."""
     acc = 0
     text_col = (
         result_table.column("extracted_text").to_pylist()
@@ -78,8 +86,9 @@ def _rows_checksum(result_table: pa.Table, key_col: str = "url") -> str:
         else [""] * result_table.num_rows
     )
     for key, text in zip(result_table.column(key_col).to_pylist(), text_col):
-        h = hashlib.sha256(f"{key}\x00{text}".encode("utf-8")).digest()[:16]
-        acc ^= int.from_bytes(h, "little")
+        d = hashlib.md5(f"{key}\x1f{text}".encode("utf-8")).digest()
+        acc ^= (int.from_bytes(d[:8], "little") << 64) | int.from_bytes(
+            d[8:], "little")
     return f"{acc:032x}"
 
 
