@@ -22,11 +22,31 @@ import os as _os
 from collections.abc import Callable
 from typing import Any
 
-#: Pinned golden fixture for the re-OCR query (tools/gen_reocr_golden.py).
-#: Round 4: the three media queries now have fully ANALYTIC oracles
-#: (planted md5 parameters replayed in SQL) and no longer read goldens.
-_GOLDEN_MEDIA = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
-                              "data", "golden")
+#: Round 4: the three media queries have fully ANALYTIC oracles (planted
+#: md5 parameters replayed in SQL). Round 5: the re-OCR oracle's expected
+#: counters come from tools/reocr_reference.py — an independent from-spec
+#: implementation — via data/reocr_expected.json; data/golden/ is empty.
+_REOCR_EXPECTED = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                                "data", "reocr_expected.json")
+
+
+def _reocr_expected_values() -> str:
+    """VALUES literal rows (n_rows, strategy, <counters>) from the
+    independent re-OCR reference's expected json (one block per
+    driver-compare corpus tier, discriminated by the pages row count)."""
+    import json as _json
+
+    with open(_REOCR_EXPECTED) as f:
+        expected = _json.load(f)
+    fields = ("n_pages", "n_lines", "n_selected", "n_improved", "n_failed",
+              "improved_primary", "improved_secondary", "sum_gain_e4")
+    rows = []
+    for n_rows in sorted(expected, key=int):
+        for strategy in sorted(expected[n_rows]):
+            rec = expected[n_rows][strategy]
+            vals = ", ".join(str(int(rec[f])) for f in fields)
+            rows.append(f"({n_rows}, '{strategy}', {vals})")
+    return ", ".join(rows)
 
 
 def _probe_pix_sql(id_expr: str, y_expr: str, x_expr: str) -> str:
@@ -2461,16 +2481,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS VARCHAR) AS error
             FROM vpx GROUP BY media_id
         """,
-        # Re-OCR strategy ladder vs the pinned golden fixture
-        # (tools/gen_reocr_golden.py): DuckDB cannot replay the raster /
-        # preprocess kernels, so the oracle pins end-to-end byte-stability;
-        # the VALUES are guaranteed by tests/test_reocr.py +
-        # tests/test_imageproc.py. Corpus pages rows = sf·500k = events/2.
+        # Re-OCR strategy ladder vs an INDEPENDENT reference
+        # implementation: DuckDB cannot replay the raster / preprocess
+        # kernels (the selected lines are exactly the RNG-degraded
+        # ones), so the expected counters are computed by
+        # tools/reocr_reference.py — a second, from-spec implementation
+        # sharing only the input substrate (corpus gen + rasterizer)
+        # with the engine — and inlined here as VALUES literals from
+        # data/reocr_expected.json. tests/test_reocr.py keeps the
+        # differential live. Corpus pages rows = sf·500k = events/2.
         "pages_reocr": f"""
-            SELECT strategy, n_pages, n_lines, n_selected, n_improved,
-                   n_failed, improved_primary, improved_secondary,
-                   sum_gain_e4
-            FROM read_parquet('{_GOLDEN_MEDIA}/pages_reocr.parquet')
+            SELECT strategy,
+                   CAST(n_pages AS BIGINT) AS n_pages,
+                   CAST(n_lines AS BIGINT) AS n_lines,
+                   CAST(n_selected AS BIGINT) AS n_selected,
+                   CAST(n_improved AS BIGINT) AS n_improved,
+                   CAST(n_failed AS BIGINT) AS n_failed,
+                   CAST(improved_primary AS BIGINT) AS improved_primary,
+                   CAST(improved_secondary AS BIGINT)
+                     AS improved_secondary,
+                   CAST(sum_gain_e4 AS BIGINT) AS sum_gain_e4
+            FROM (VALUES {_reocr_expected_values()})
+                 AS t(n_rows, strategy, n_pages, n_lines, n_selected,
+                      n_improved, n_failed, improved_primary,
+                      improved_secondary, sum_gain_e4)
             WHERE n_rows = (SELECT count(*) // 2 FROM events)
         """,
         # Incremental cross-corpus near-dup vs brute force: DuckDB cross

@@ -258,3 +258,54 @@ def test_pipeline_folds_single_block(ray_session):
         .set_index("strategy")
     assert len(one) == len(STRATEGIES)
     assert one.sort_index().equals(ref.sort_index())
+
+
+def test_differential_vs_independent_reference(corpus_dir):
+    """The pipeline's ladder counters must equal the INDEPENDENT
+    from-spec implementation (tools/reocr_reference.py — the pages_reocr
+    oracle source) on real corpus payload pages: two separately written
+    programs agreeing per strategy, per counter."""
+    import importlib.util
+    import os
+
+    import pyarrow as pa
+
+    spec = importlib.util.spec_from_file_location(
+        "reocr_reference",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "reocr_reference.py"))
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    work = list(ref._doc_pages(corpus_dir))[:30]
+    assert len(work) == 30
+    expected = {s: dict.fromkeys(ref.FIELDS, 0) for s in ref.STRATEGIES}
+    for key, page in work:
+        agg = ref.ref_page_counters(page, key)
+        for s in ref.STRATEGIES:
+            for f in ref.FIELDS:
+                expected[s][f] += agg[s][f]
+
+    # pipeline side over the SAME pages: one payload row per page
+    import json
+
+    import ray.data
+
+    from horizon_ocr_python_ray.functions.docformat import DOC_MAGIC
+    from horizon_ocr_python_ray.stages.reocr import build_reocr_pipeline
+
+    rows_url, rows_html = [], []
+    for key, page in work:
+        url, page_no = key.rsplit(":", 1)
+        # re-wrap each page as a single-page payload; rasterize keys use
+        # url:page-field, which is preserved inside the page dict
+        rows_url.append(url)
+        rows_html.append(DOC_MAGIC + json.dumps({"pages": [page]}).encode())
+    ds = ray.data.from_arrow(pa.table({
+        "url": pa.array(rows_url, pa.string()),
+        "html": pa.array(rows_html, pa.binary()),
+    })).repartition(4)
+    got_tab = build_reocr_pipeline(ds)
+    got = {r["strategy"]: {f: r[f] for f in ref.FIELDS}
+           for r in got_tab.to_pylist()}
+    assert got == expected
