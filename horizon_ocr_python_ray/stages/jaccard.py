@@ -16,21 +16,26 @@ only. Theorem (AllPairs): any pair with Jaccard ≥ τ shares at least
 one gram lying in BOTH prefixes, so the candidate set has recall 1;
 an exact verify pass restores precision 1.
 
-Physical plan (all exchanges are ≤4-column int64 rows; text never
-shuffles):
+Physical plan (THREE exchanges of ≤3-column int64 rows on the common
+path; text never shuffles):
 
 1. ``_distinct_gram_hash_rows``: one streaming explode to distinct
-   (doc_id, gram-md5, n_sh) rows — md5 once per DISTINCT gram string
+   (doc_id, gram-md5) rows — md5 once per DISTINCT gram string
    (worker-cached), vectorized dedup via lexsort.
 2. gram document frequency IN-BUCKET: the first exchange co-locates
    every row of a gram hash, so the bucket-local group size is the
    global df — one ``transform("size")``, no separate aggregate+join
    exchange and no broadcast (the df table is corpus-sized).
 3. per-doc prefix: one bucketed exchange on doc_id; inside a bucket
-   the (df, hash) sort + ``cumcount`` rank is vectorized pandas.
+   the (df, hash) sort + ``cumcount`` rank is vectorized pandas (the
+   doc's set size is the bucket group size — never shipped as a
+   column), and df == 1 prefix rows are dropped AFTER ranking (a gram
+   no other doc has cannot be a join key — most distinct grams).
 4. candidates: per-bucket self-merge on prefix grams (the
-   winnow_shared_pairs shape) → global pair dedup via a second
-   bucketed aggregate.
+   winnow_shared_pairs shape); CROSS-bucket pair dedup happens on the
+   driver fold the verify step already pays (np.unique on two int64
+   columns) — a fourth exchange only runs on the capped / explicitly
+   distributed plans.
 5. verify: exact inter/union over the full md5-gram sets — candidate
    texts broadcast once via ``ray.put`` under the
    ``dedup_docs.VERIFY_BROADCAST_MAX_DOCS`` cap, else the distributed
@@ -75,6 +80,16 @@ _SIGN = np.uint64(1 << 63)
 #: (the lmscore ``train_bigram_model`` idiom).
 PAIR_COLLECT_MAX_ROWS = 2_000_000
 
+#: The df ≥ 2 gram map (the only grams that can ever be join keys)
+#: broadcasts when it fits — two int64 columns, ~64 MB at the cap —
+#: replacing the full-gram-table doc_id exchange with an in-batch rank
+#: (gram rows are doc-complete by construction). Above the cap (a
+#: duplicate- or boilerplate-heavy corpus, where shared grams ARE
+#: corpus-sized) the plan falls back to the 3-exchange bucketed path —
+#: the same broadcast-under-cap / exchange-above-it duality as
+#: lmscore's model plans.
+DF_BROADCAST_MAX_GRAMS = 4_000_000
+
 _PAIR_SCHEMA = {
     "doc_a": pa.int64(),
     "doc_b": pa.int64(),
@@ -84,13 +99,13 @@ _PAIR_SCHEMA = {
 
 
 def _distinct_gram_hash_rows(batch: pa.Table, k: int) -> pa.Table:
-    """(doc_id, text) batch → (doc_id, sh, n_sh) rows: one row per
-    DISTINCT gram hash per doc, n_sh = the doc's distinct-set size
-    (repeated per row so later stages never re-join for it); sh in the
-    signed int64 domain (x ^ 2^63, the simhash idiom)."""
+    """(doc_id, text) batch → (doc_id, sh) rows: one row per DISTINCT
+    gram hash per doc (the doc's set size is recomputed downstream as
+    the doc-bucket group size — every distinct gram of a doc ships, so
+    no column need carry it); sh in the signed int64 domain (x ^ 2^63,
+    the simhash idiom)."""
     empty = pa.table({"doc_id": pa.array([], pa.int64()),
-                      "sh": pa.array([], pa.int64()),
-                      "n_sh": pa.array([], pa.int64())})
+                      "sh": pa.array([], pa.int64())})
     win = _gram_windows(batch.column("text"), k)
     if win is None:
         return empty
@@ -104,11 +119,9 @@ def _distinct_gram_hash_rows(batch: pa.Table, k: int) -> pa.Table:
     keep = np.r_[True, (d[1:] != d[:-1]) | (h[1:] != h[:-1])]
     d = d[keep]
     h = h[keep]
-    n_per_doc = np.bincount(d, minlength=len(ids)).astype(np.int64)
     return pa.table({
         "doc_id": pa.array(ids[d], pa.int64()),
         "sh": pa.array((h ^ _SIGN).view(np.int64), pa.int64()),
-        "n_sh": pa.array(n_per_doc[d], pa.int64()),
     })
 
 
@@ -126,17 +139,121 @@ def _prefix_len(n: np.ndarray, thr_num: int, thr_den: int) -> np.ndarray:
     return n - (n * thr_num + thr_den - 1) // thr_den + 1
 
 
+def _prefix_rows_broadcast(batch: pa.Table, k: int, thr_num: int,
+                           thr_den: int, df_ref) -> pa.Table:
+    """(doc_id, text) batch → prefix (doc_id, sh) rows with the df map
+    read from the broadcast ref — the zero-exchange twin of the
+    df_bucket → prefix_bucket pair: gram rows of a doc are complete
+    within the batch, so the (df asc, hash asc) rank is a local lexsort;
+    grams absent from the broadcast have df == 1 by construction and
+    are dropped after ranking exactly like the bucketed plan."""
+    import ray
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "sh": pa.array([], pa.int64())})
+    win = _gram_windows(batch.column("text"), k)
+    if win is None:
+        return empty
+    sh_sorted, df_vals = ray.get(df_ref)  # zero-copy plasma views
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    doc_idx, _intra, grams = win
+    hs = md5_gram_hashes(grams)
+    order = np.lexsort((hs, doc_idx))
+    d = doc_idx[order]
+    h = hs[order]
+    keep = np.r_[True, (d[1:] != d[:-1]) | (h[1:] != h[:-1])]
+    d = d[keep]
+    s = (h[keep] ^ _SIGN).view(np.int64)
+    n_per_doc = np.bincount(d, minlength=len(ids)).astype(np.int64)
+    if len(sh_sorted):
+        pos = np.minimum(np.searchsorted(sh_sorted, s), len(sh_sorted) - 1)
+        df = np.where(sh_sorted[pos] == s, df_vals[pos], np.int64(1))
+    else:
+        df = np.ones(len(s), np.int64)
+    o = np.lexsort((s, df, d))
+    d2, s2, df2 = d[o], s[o], df[o]
+    new_seg = np.r_[False, d2[1:] != d2[:-1]]
+    seg = np.cumsum(new_seg)
+    starts = np.r_[0, np.flatnonzero(new_seg)]
+    rank = np.arange(len(d2), dtype=np.int64) - starts[seg]
+    lp = _prefix_len(n_per_doc[d2], thr_num, thr_den)
+    out = (rank < lp) & (df2 > 1)
+    return pa.table({"doc_id": pa.array(ids[d2[out]], pa.int64()),
+                     "sh": pa.array(s2[out], pa.int64())})
+
+
 def jaccard_near_dup_pairs(docs_ds, k_shingle: int = 5,
                            thr_num: int = 1, thr_den: int = 2,
                            num_buckets: int = 64,
-                           verify_plan: str = "auto"):
+                           verify_plan: str = "auto",
+                           df_plan: str = "exchange"):
     """documents (doc_id, text) → (doc_a, doc_b, n_inter, n_union):
     every doc_a < doc_b pair whose distinct k-gram sets satisfy
     ``thr_den·inter ≥ thr_num·union`` (Jaccard ≥ thr_num/thr_den),
-    with the exact integer intersection/union sizes as evidence."""
+    with the exact integer intersection/union sizes as evidence.
+
+    ``df_plan`` picks how gram document frequencies reach the ranker:
+
+    - "exchange" (default): the fully-bucketed 3-exchange plan —
+      correct at any duplicate rate, one streaming job, and FASTER on
+      a single node (the broadcast plan pays a second job barrier +
+      a second gram explode, which dominates below cluster scale).
+    - "auto"/"broadcast": shuffle-minimizing lever for wide clusters —
+      fold df ≥ 2 grams (the only possible join keys) into a capped
+      broadcast and rank in-batch (gram rows are doc-complete), so
+      only TWO exchanges remain, one of them the tiny df aggregate.
+      "auto" falls back to the bucketed plan past
+      ``DF_BROADCAST_MAX_GRAMS``; "broadcast" refuses loudly there.
+      Output is plan-identical (tested)."""
+    if df_plan not in ("auto", "broadcast", "exchange"):
+        raise ValueError(
+            f"unknown df_plan {df_plan!r}; expected auto|broadcast|exchange")
     rows = docs_ds.map_batches(
         functools.partial(_distinct_gram_hash_rows, k=k_shingle),
         batch_format="pyarrow")
+
+    prefixes = None
+    if df_plan != "exchange":
+        import pyarrow.compute as pc
+
+        import ray
+        import ray.data
+
+        from ..functions.collect import iter_tables
+
+        df2 = grouped_aggregate(
+            rows, "sh", [("sh", "count", "df")],
+            num_buckets=num_buckets).map_batches(
+            lambda t: t.filter(pc.greater(t.column("df"), 1)),
+            batch_format="pyarrow")
+        parts, n, capped = [], 0, False
+        for t in iter_tables(df2):
+            n += t.num_rows
+            if n > DF_BROADCAST_MAX_GRAMS:
+                capped = True
+                break
+            parts.append(t)
+        if capped and df_plan == "broadcast":
+            raise ValueError(
+                f"jaccard df map: shared grams exceed "
+                f"DF_BROADCAST_MAX_GRAMS={DF_BROADCAST_MAX_GRAMS}; "
+                "use df_plan='exchange'")
+        if not capped:
+            if not parts:  # no gram shared by ≥2 docs → no pairs at all
+                return ray.data.from_arrow(pa.table(
+                    {kk: pa.array([], t)
+                     for kk, t in _PAIR_SCHEMA.items()}))
+            cat = pa.concat_tables(parts)
+            sh = cat.column("sh").to_numpy()
+            dfv = cat.column("df").to_numpy().astype(np.int64)
+            o = np.argsort(sh)
+            df_ref = ray.put((sh[o], dfv[o]))
+            prefixes = docs_ds.map_batches(
+                functools.partial(_prefix_rows_broadcast, k=k_shingle,
+                                  thr_num=thr_num, thr_den=thr_den,
+                                  df_ref=df_ref),
+                batch_format="pyarrow")
 
     def df_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # the exchange co-locates EVERY row of a gram hash in one
@@ -146,19 +263,25 @@ def jaccard_near_dup_pairs(docs_ds, k_shingle: int = 5,
         g["df"] = g.groupby("sh")["doc_id"].transform("size")
         return g
 
-    joined = grouped_reduce(rows, "sh", df_bucket,
-                            num_buckets=num_buckets,
-                            batch_format="pandas")
-
     def prefix_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # rank over the FULL ordered set (the AllPairs prefix is defined
+        # on it), then drop df == 1 rows: a gram no other doc has can't
+        # be a join key, so emitting its prefix slot is pure exchange
+        # volume — most distinct grams in a web corpus are df == 1.
         g = g.sort_values(["doc_id", "df", "sh"], kind="mergesort")
         rank = g.groupby("doc_id").cumcount().to_numpy()
-        lp = _prefix_len(g["n_sh"].to_numpy(), thr_num, thr_den)
-        return g.loc[rank < lp, ["doc_id", "sh"]]
+        n = g.groupby("doc_id")["sh"].transform("size").to_numpy()
+        lp = _prefix_len(n, thr_num, thr_den)
+        return g.loc[(rank < lp) & (g["df"].to_numpy() > 1),
+                     ["doc_id", "sh"]]
 
-    prefixes = grouped_reduce(joined, "doc_id", prefix_bucket,
-                              num_buckets=num_buckets,
-                              batch_format="pandas")
+    if prefixes is None:  # bucketed fallback: df in-bucket, rank in-bucket
+        joined = grouped_reduce(rows, "sh", df_bucket,
+                                num_buckets=num_buckets,
+                                batch_format="pandas")
+        prefixes = grouped_reduce(joined, "doc_id", prefix_bucket,
+                                  num_buckets=num_buckets,
+                                  batch_format="pandas")
 
     def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
         m = g.merge(g, on="sh")
@@ -167,15 +290,17 @@ def jaccard_near_dup_pairs(docs_ds, k_shingle: int = 5,
                 .rename(columns={"doc_id_x": "doc_a",
                                  "doc_id_y": "doc_b"}))
 
+    # pairs are deduped per sh-bucket here; the CROSS-bucket dedup (a
+    # pair can share prefix grams in several buckets) happens in
+    # _verify_pairs — driver-side np.unique on the collected fold (no
+    # fourth exchange), or a grouped_aggregate only when the capped /
+    # distributed plan runs
     cand_partial = grouped_reduce(prefixes, "sh", pairs_bucket,
                                   num_buckets=num_buckets,
                                   batch_format="pandas")
-    cands = grouped_aggregate(
-        cand_partial, ["doc_a", "doc_b"], [("doc_a", "count", "_c")],
-        num_buckets=num_buckets, bucket_on="doc_a").map_batches(
-        lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow")
-    return _verify_pairs(docs_ds, cands, k_shingle, thr_num, thr_den,
-                         plan=verify_plan)
+    return _verify_pairs(docs_ds, cand_partial, k_shingle, thr_num,
+                         thr_den, plan=verify_plan,
+                         num_buckets=num_buckets)
 
 
 def _score_pairs(doc_a, doc_b, sets,  # any int → ndarray mapping
@@ -254,11 +379,22 @@ def _verify_distributed_task(t: pa.Table, k: int, thr_num: int,
                      "n_union": pa.array(unions, pa.int64())})
 
 
+def _dedup_pairs_exchange(pairs_ds, num_buckets: int):
+    """Cross-bucket pair dedup as one narrow exchange — only the capped
+    / explicitly-distributed plans pay it; the collected plan dedups on
+    the driver instead."""
+    return grouped_aggregate(
+        pairs_ds, ["doc_a", "doc_b"], [("doc_a", "count", "_c")],
+        num_buckets=num_buckets, bucket_on="doc_a").map_batches(
+        lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow")
+
+
 def _verify_pairs(docs_ds, pairs_ds, k: int, thr_num: int, thr_den: int,
-                  plan: str = "auto"):
+                  plan: str = "auto", num_buckets: int = 64):
     """Exact inter/union verify — the ngram_jaccard_verify duality
     (broadcast under the cap, hash-join co-location above it) over md5
-    gram sets."""
+    gram sets. ``pairs_ds`` may contain cross-bucket duplicate rows;
+    every exit path dedups them exactly once."""
     import ray
 
     from .dedup_docs import (
@@ -270,8 +406,9 @@ def _verify_pairs(docs_ds, pairs_ds, k: int, thr_num: int, thr_den: int,
     if plan not in ("auto", "broadcast", "distributed"):
         raise ValueError(
             f"unknown plan {plan!r}; expected auto|broadcast|distributed")
-    pairs_src = pairs_ds  # explicit plan="distributed" keeps streaming
-    if plan != "distributed":
+    if plan == "distributed":
+        pairs_src = _dedup_pairs_exchange(pairs_ds, num_buckets)
+    else:
         import ray.data
 
         from ..functions.collect import iter_tables
@@ -298,12 +435,19 @@ def _verify_pairs(docs_ds, pairs_ds, k: int, thr_num: int, thr_den: int,
                     f"jaccard verify: candidate pairs exceed "
                     f"PAIR_COLLECT_MAX_ROWS={PAIR_COLLECT_MAX_ROWS}; "
                     "use verify_plan='distributed'")
-            pairs_src = pairs_ds
+            pairs_src = _dedup_pairs_exchange(pairs_ds, num_buckets)
         elif not tabs:
             return ray.data.from_arrow(pa.table(
                 {kk: pa.array([], t) for kk, t in _PAIR_SCHEMA.items()}))
         else:
-            pairs_tab = pa.concat_tables(tabs)
+            # driver-side cross-bucket dedup — removes the fourth
+            # exchange on the common (collected) plan
+            cat = pa.concat_tables(tabs)
+            ab = np.stack([cat.column("doc_a").to_numpy(),
+                           cat.column("doc_b").to_numpy()], axis=1)
+            ab = np.unique(ab, axis=0)
+            pairs_tab = pa.table({"doc_a": pa.array(ab[:, 0], pa.int64()),
+                                  "doc_b": pa.array(ab[:, 1], pa.int64())})
             pairs_src = ray.data.from_arrow(pairs_tab)
         if not capped:
             cand = set(pairs_tab.column("doc_a").to_pylist())

@@ -122,3 +122,19 @@ def test_auto_plan_caps_candidate_collect(monkeypatch):
     assert _run(rows, verify_plan="auto") == _naive(rows)
     with pytest.raises(ValueError, match="PAIR_COLLECT_MAX_ROWS"):
         _run(rows, verify_plan="broadcast")
+
+
+def test_df_plan_parity_and_refusal(monkeypatch):
+    """The broadcast-df (2-exchange) and bucketed (3-exchange) plans
+    must produce identical pairs; past the gram cap auto falls back to
+    the bucketed plan with identical output and broadcast refuses."""
+    from horizon_ocr_python_ray.stages import jaccard as jmod
+
+    rows = _synth(n_docs=25, seed=11)
+    want = _naive(rows)
+    assert _run(rows, df_plan="broadcast") == want
+    assert _run(rows, df_plan="exchange") == want
+    monkeypatch.setattr(jmod, "DF_BROADCAST_MAX_GRAMS", 0)
+    assert _run(rows, df_plan="auto") == want
+    with pytest.raises(ValueError, match="DF_BROADCAST_MAX_GRAMS"):
+        _run(rows, df_plan="broadcast")
