@@ -51,6 +51,8 @@ from .config import (
     FuseConfig,
     HtmlConfig,
     RuntimeConfig,
+    config_from_dict,
+    load_config,
 )
 from .pipelines.extract import build_extract_pipeline, read_pages
 from .sources.synth import ensure_corpus, gen_corpus, sf_from_dir, sf_to_rows
@@ -65,6 +67,8 @@ __all__ = [
     "RuntimeConfig",
     "build_extract_pipeline",
     "build_fields_pipeline",
+    "config_from_dict",
+    "load_config",
     "ensure_corpus",
     "gen_corpus",
     "job_metrics",

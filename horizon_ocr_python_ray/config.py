@@ -204,3 +204,61 @@ class ExtractConfig:
 
 
 DEFAULT_CONFIG = ExtractConfig()
+
+
+# ---------------------------------------------------------------------------
+# YAML / dict config-tree loading (reference ``config.py:290-316``:
+# ``load_config`` reads a YAML file section-per-dataclass; absent keys
+# keep their defaults, unknown keys fail loudly).
+# ---------------------------------------------------------------------------
+
+def config_from_dict(tree: dict) -> ExtractConfig:
+    """Nested plain dict (one key per ExtractConfig section) → frozen
+    dataclass tree. Type coercions mirror the dataclass fields: list
+    values become tuples (and ``source_weights`` item pairs become
+    tuples), everything else passes through dataclass construction.
+    Unknown sections or knobs raise ``ValueError`` naming the offender —
+    a silently-ignored typo in a tuning file is a production incident.
+    """
+    import dataclasses
+
+    if not isinstance(tree, dict):
+        raise ValueError(f"config root must be a mapping, got {type(tree).__name__}")
+    sections = {f.name: f for f in dataclasses.fields(ExtractConfig)}
+    unknown = set(tree) - set(sections)
+    if unknown:
+        raise ValueError(
+            f"unknown config section(s) {sorted(unknown)}; "
+            f"expected a subset of {sorted(sections)}")
+    built = {}
+    for name, fld in sections.items():
+        knobs = tree.get(name)
+        cls = fld.default_factory  # every section field is a dataclass factory
+        if knobs is None:
+            built[name] = cls()
+            continue
+        if not isinstance(knobs, dict):
+            raise ValueError(f"config section {name!r} must be a mapping")
+        valid = {f.name: f for f in dataclasses.fields(cls)}
+        bad = set(knobs) - set(valid)
+        if bad:
+            raise ValueError(
+                f"unknown knob(s) {sorted(bad)} in section {name!r}; "
+                f"expected a subset of {sorted(valid)}")
+        coerced = {}
+        for k, v in knobs.items():
+            if isinstance(v, list):
+                v = tuple(tuple(x) if isinstance(x, list) else x for x in v)
+            coerced[k] = v
+        built[name] = cls(**coerced)
+    return ExtractConfig(**built)
+
+
+def load_config(path: str) -> ExtractConfig:
+    """YAML config file → ``ExtractConfig`` (the reference's file-loading
+    surface, ``config.py:290-316``). An empty file yields the defaults."""
+    import yaml
+
+    with open(path) as f:
+        tree = yaml.safe_load(f)
+    return config_from_dict(tree or {})

@@ -39,3 +39,54 @@ def test_sf_from_dir_accepts_corpus_cache_layout():
     assert sf_from_dir("/root/testdata/sf0.01") == 0.01
     assert sf_from_dir("/tmp/hopr_corpus/seed42_sf4_v14") == 4.0
     assert sf_from_dir("/tmp/hopr_corpus/seed42_sf0.1_v14/") == 0.1
+
+
+def test_yaml_config_loading(tmp_path, corpus_dir, golden_map):
+    """Reference config.py:290-316 analog: a YAML tree loads into the
+    frozen dataclass config, absent keys keep defaults, unknown keys
+    fail loudly, and a loaded config drives the pipeline."""
+    import pytest
+
+    from horizon_ocr_python_ray import (
+        build_extract_pipeline,
+        load_config,
+        read_pages,
+    )
+    from horizon_ocr_python_ray.config import config_from_dict
+
+    cfg_path = tmp_path / "engine.yaml"
+    cfg_path.write_text(
+        "dedup:\n"
+        "  strategy: registry\n"
+        "  actor_cache_entries: 1024\n"
+        "html:\n"
+        "  min_block_chars: 12\n"
+        "  heading_tags: [h1, h2]\n"
+        "fuse:\n"
+        "  source_weights: [[regex, 1.0], [layout, 0.8]]\n")
+    cfg = load_config(str(cfg_path))
+    assert cfg.dedup.strategy == "registry"
+    assert cfg.dedup.actor_cache_entries == 1024
+    assert cfg.dedup.enabled is True  # absent knob keeps its default
+    assert cfg.html.min_block_chars == 12
+    assert cfg.html.heading_tags == ("h1", "h2")
+    assert cfg.fuse.source_weights == (("regex", 1.0), ("layout", 0.8))
+    assert cfg.doc.reocr_strategy == "ensemble"  # absent section
+
+    with pytest.raises(ValueError, match="unknown knob"):
+        config_from_dict({"dedup": {"stragety": "registry"}})
+    with pytest.raises(ValueError, match="unknown config section"):
+        config_from_dict({"dedpu": {}})
+
+    empty = tmp_path / "empty.yaml"
+    empty.write_text("")
+    assert load_config(str(empty)).dedup.strategy == "actor_cache"
+
+    # a loaded config drives the pipeline end-to-end (registry variant;
+    # extraction knobs untouched so the golden bytes still apply)
+    run_cfg = config_from_dict({"dedup": {"strategy": "registry"}})
+    df = build_extract_pipeline(read_pages(corpus_dir),
+                                cfg=run_cfg).to_pandas()
+    assert len(df) == len(golden_map)
+    for row in df.itertuples():
+        assert row.extracted_text == golden_map[row.url]["extracted_text"]
