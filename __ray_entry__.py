@@ -1965,83 +1965,28 @@ def _doc_dsir(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registry ordering is rotated each round: the external driver
-    # correctness-checks a prefix of this dict (50 entries in rounds
-    # 2-3), so the block it has NOT yet checked goes first. Rounds 1-3
-    # together covered 100 of round 3's 130 entries; the 30 that had
-    # never been in a driver prefix (pages_reocr ..
-    # concentrated_suppliers) now lead, followed by the queries new in
-    # round 4 (pages_doc_meta .. doc_mix_temperature — 142 entries,
-    # including the three media queries whose oracles were REPLACED
-    # this round), then the longest-ago-checked (round 2) block for
-    # re-verification.
-    # ROUND-5 ROTATION PLAN (do this BEFORE the round-5 driver run,
-    # not earlier — the round-4 driver reads the CURRENT ordering):
-    # after round 4 every entry has ≥1 driver-green row; lead round 5
-    # with the longest-ago-checked block (the round-2-certified
-    # queries past position 50: doc_token_stats .. doc_lm_score) plus
-    # any query whose oracle or kernel changed in round 5.
+    # correctness-checks a 50-entry prefix of this dict. After round 4
+    # every entry had >=1 driver-green row; the round-5 prefix applies
+    # the pinned rotation plan — (a) the 4 queries NEW in round 5,
+    # (b) the 3 round-5 kernel/oracle changes on previously-green
+    # entries (pages_reocr: oracle replaced by the independent
+    # reference; doc_jaccard_near_dup: plan rebuilt; ann_topk_quantized:
+    # batched-query generalization), then (c) ALL 43 entries whose last
+    # green row was round 2 — the longest-ago-certified block, several
+    # of whose kernels were rebuilt since (simhash r4, minhash/ann
+    # folds r4, ann fetch r5). Everything past position 50 was
+    # driver-green in round 3 or 4 (<= two rounds old).
     return {
         # --- queries new in round 5 ---
         "ann_topk_batch": _ann_topk_batch,
         "ann_topk_quantized_batch": _ann_topk_quantized_batch,
         "doc_mix_export": _doc_mix_export,
         "pages_checkpoint_manifest": _pages_checkpoint_manifest,
+        # --- round-5 kernel/oracle changes on green entries ---
         "pages_reocr": _pages_reocr,
-        "pages_outlinks": _pages_outlinks,
-        "host_linkgraph": _host_linkgraph,
-        "host_pagerank": _host_pagerank,
-        "host_anchor_terms": _host_anchor_terms,
-        "doc_dsir": _doc_dsir,
-        "waiting_supplier": _waiting_supplier,
-        "returned_top_customers": _returned_top_customers,
-        "events_cumsum": _events_cumsum,
-        "doc_global_rank": _doc_global_rank,
-        "corpus_tfidf_topk": _corpus_tfidf_topk,
-        "events_gapfill": _events_gapfill,
-        "host_components": _host_components,
-        "emb_semdedup": _emb_semdedup,
-        "doc_mix_rebalance": _doc_mix_rebalance,
-        "doc_safe_split": _doc_safe_split,
-        "pages_host_join": _pages_host_join,
-        "corpus_and_search": _corpus_and_search,
-        "cust_year_orders": _cust_year_orders,
-        "doc_lang_moments": _doc_lang_moments,
-        "doc_lang_drift": _doc_lang_drift,
-        "events_anomaly": _events_anomaly,
-        "disjunctive_revenue": _disjunctive_revenue,
-        "supplier_cnt": _supplier_cnt,
-        "important_parts": _important_parts,
-        "min_cost_supplier": _min_cost_supplier,
-        "market_share": _market_share,
-        "nation_volume": _nation_volume,
-        "nation_profit": _nation_profit,
-        "concentrated_suppliers": _concentrated_suppliers,
-        # --- queries new in round 4 ---
-        # (inserted here so they land inside the 50-entry driver prefix)
-        "pages_doc_meta": _pages_doc_meta,
-        "pages_complexity_route": _pages_complexity_route,
-        "media_audio_energy": _media_audio_energy,
-        # --- oracles REPLACED in round 4 (golden parquet -> analytic
-        # md5 replay): green r2/r3 rows certified the OLD oracles, so
-        # these need fresh driver rows and sit inside the prefix ---
-        "media_features": _media_features,
-        "media_preprocess": _media_preprocess,
-        "media_motion": _media_motion,
-        "doc_winnow": _doc_winnow,  # new in round 4 session 2
-        "doc_winnow_pairs": _doc_winnow_pairs,  # new in round 4 session 2
-        "doc_winnow_clusters": _doc_winnow_clusters,  # new in round 4 session 2
-        "events_asof_join": _events_asof_join,  # new in round 4 session 3
-        "emb_quantize": _emb_quantize,  # new in round 4 session 3
-        "doc_jaccard_near_dup": _doc_jaccard_near_dup,  # new in round 4 session 3
-        "ann_topk_quantized": _ann_topk_quantized,  # new in round 4 session 3
-        "events_asof_join_fwd": _events_asof_join_fwd,  # new in round 4 session 3
-        "doc_mix_temperature": _doc_mix_temperature,  # new in round 4 session 3
-        # --- block below was driver-checked in round 2 (CORRECTNESS_r02) ---
-        "pages_extract": _pages_extract,
-        "pages_route_counts": _pages_route_counts,
-        "doc_exact_dedup": _doc_exact_dedup,
-        "doc_token_stats": _doc_token_stats,
-        "doc_quality": _doc_quality,
+        "doc_jaccard_near_dup": _doc_jaccard_near_dup,
+        "ann_topk_quantized": _ann_topk_quantized,
+        # --- the 43 longest-ago-checked (round-2-certified) entries ---
         "doc_lang_id": _doc_lang_id,
         "doc_lang_confusion": _doc_lang_confusion,
         "doc_fingerprint": _doc_fingerprint,
@@ -2085,7 +2030,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_decontam": _doc_decontam,
         "doc_chunks": _doc_chunks,
         "doc_packing": _doc_packing,
-        # --- block below was driver-checked in round 3 (CORRECTNESS_r03) ---
+        # ---- end of the 50-entry driver prefix; everything below
+        # ---- was driver-green in round 3 or 4 ----
+        "pages_outlinks": _pages_outlinks,
+        "host_linkgraph": _host_linkgraph,
+        "host_pagerank": _host_pagerank,
+        "host_anchor_terms": _host_anchor_terms,
+        "doc_dsir": _doc_dsir,
+        "waiting_supplier": _waiting_supplier,
+        "returned_top_customers": _returned_top_customers,
+        "events_cumsum": _events_cumsum,
+        "doc_global_rank": _doc_global_rank,
+        "corpus_tfidf_topk": _corpus_tfidf_topk,
+        "events_gapfill": _events_gapfill,
+        "host_components": _host_components,
+        "emb_semdedup": _emb_semdedup,
+        "doc_mix_rebalance": _doc_mix_rebalance,
+        "doc_safe_split": _doc_safe_split,
+        "pages_host_join": _pages_host_join,
+        "corpus_and_search": _corpus_and_search,
+        "cust_year_orders": _cust_year_orders,
+        "doc_lang_moments": _doc_lang_moments,
+        "doc_lang_drift": _doc_lang_drift,
+        "events_anomaly": _events_anomaly,
+        "disjunctive_revenue": _disjunctive_revenue,
+        "supplier_cnt": _supplier_cnt,
+        "important_parts": _important_parts,
+        "min_cost_supplier": _min_cost_supplier,
+        "market_share": _market_share,
+        "nation_volume": _nation_volume,
+        "nation_profit": _nation_profit,
+        "concentrated_suppliers": _concentrated_suppliers,
+        "pages_doc_meta": _pages_doc_meta,
+        "pages_complexity_route": _pages_complexity_route,
+        "media_audio_energy": _media_audio_energy,
+        "media_features": _media_features,
+        "media_preprocess": _media_preprocess,
+        "media_motion": _media_motion,
+        "doc_winnow": _doc_winnow,
+        "doc_winnow_pairs": _doc_winnow_pairs,
+        "doc_winnow_clusters": _doc_winnow_clusters,
+        "events_asof_join": _events_asof_join,
+        "emb_quantize": _emb_quantize,
+        "events_asof_join_fwd": _events_asof_join_fwd,
+        "doc_mix_temperature": _doc_mix_temperature,
+        "pages_extract": _pages_extract,
+        "pages_route_counts": _pages_route_counts,
+        "doc_exact_dedup": _doc_exact_dedup,
+        "doc_token_stats": _doc_token_stats,
+        "doc_quality": _doc_quality,
         "pages_html_meta": _pages_html_meta,
         "pages_blocklist": _pages_blocklist,
         "events_cms_counts": _events_cms_counts,

@@ -118,7 +118,9 @@ def run_bench() -> dict:
                  "doc_winnow", "doc_winnow_pairs", "doc_winnow_clusters",
                  "events_asof_join", "emb_quantize", "doc_jaccard_near_dup",
                  "ann_topk_quantized", "events_asof_join_fwd",
-                 "doc_mix_temperature"):
+                 "doc_mix_temperature", "ann_topk_batch",
+                 "ann_topk_quantized_batch", "doc_mix_export",
+                 "pages_checkpoint_manifest"):
         t0 = time.monotonic()
         res = q[name](sf_dir)
         if hasattr(res, "count"):
