@@ -738,12 +738,22 @@ def gen_corpus(n_rows: int, seed: int = 42) -> tuple[pa.Table, pa.Table]:
             built = [row for part in pool.map(_build_chunk, jobs) for row in part]
     else:
         built = _build_chunk((seed, items))
+    return _assemble_tables(built, 0, hosts, routes, srcs)
 
+
+def _assemble_tables(built, idx0: int, hosts, routes, srcs
+                     ) -> tuple[pa.Table, pa.Table]:
+    """Built payload rows for global indices [idx0, idx0+len) → (pages,
+    golden) arrow tables. Split out of :func:`gen_corpus` so the
+    streamed large-corpus writer assembles chunk by chunk — url/dup
+    decisions key off the GLOBAL row index, so chunked assembly is
+    byte-identical to whole-corpus assembly."""
     urls, tss, htmls, texts, langs = [], [], [], [], []
     g_text, g_spans, g_route, g_hash, g_tables = [], [], [], [], []
     g_fields, g_styles, g_err, g_links = [], [], [], []
-    for i, (html_b, text_col, extracted, spans, eff_route, h, gtables,
-            gfields, gstyles, glinks) in enumerate(built):
+    for off, (html_b, text_col, extracted, spans, eff_route, h, gtables,
+              gfields, gstyles, glinks) in enumerate(built):
+        i = idx0 + off
         if routes[i] == "dup":
             if i % 7 == 0:
                 # Syndicated copy: identical bytes republished under an
@@ -807,6 +817,52 @@ def gen_corpus(n_rows: int, seed: int = 42) -> tuple[pa.Table, pa.Table]:
     return pages, golden
 
 
+#: Row count above which the corpus is generated STREAMED — chunks are
+#: built in worker processes, assembled and written shard-by-shard, and
+#: the parent never holds more than ~nproc chunks of Python objects.
+#: The in-memory path at sf16 (8M rows) needs >120 GB for the full
+#: object lists + tables; the streamed path is bounded at a few GB.
+_STREAMED_GEN_MIN_ROWS = 500_000
+
+#: Rows per build/assembly/write chunk on the streamed path (one output
+#: pages shard per chunk — 20k rows ≈ 30 MB parquet, and Ray's reader
+#: gets one task per shard).
+_STREAM_CHUNK_ROWS = 20_000
+
+
+def _gen_corpus_to_dir(n_rows: int, seed: int, tmp: str) -> None:
+    """Streamed large-corpus generation: identical rows to
+    :func:`gen_corpus` (every payload is keyed by ``(seed, i)`` and
+    assembly is global-index-based), but chunk-at-a-time through a
+    process pool's ``imap`` with incremental parquet writes — corpus
+    size is bounded by disk, not driver memory."""
+    import multiprocessing as mp
+
+    pages_dir = os.path.join(tmp, "pages")
+    os.makedirs(pages_dir, exist_ok=True)
+    hosts, routes, srcs = _decide_rows(n_rows, seed)
+    items = [(i, routes[i], srcs[i], routes[srcs[i]] if srcs[i] >= 0 else "")
+             for i in range(n_rows)]
+    jobs = [(seed, items[k:k + _STREAM_CHUNK_ROWS])
+            for k in range(0, n_rows, _STREAM_CHUNK_ROWS)]
+    nproc = min(16, os.cpu_count() or 1)
+    golden_writer = None
+    try:
+        with mp.get_context("fork").Pool(nproc) as pool:
+            for s, built in enumerate(pool.imap(_build_chunk, jobs)):
+                pages, golden = _assemble_tables(
+                    built, s * _STREAM_CHUNK_ROWS, hosts, routes, srcs)
+                pq.write_table(pages, os.path.join(
+                    pages_dir, f"part-{s:04d}.parquet"))
+                if golden_writer is None:
+                    golden_writer = pq.ParquetWriter(
+                        os.path.join(tmp, "golden.parquet"), golden.schema)
+                golden_writer.write_table(golden)
+    finally:
+        if golden_writer is not None:
+            golden_writer.close()
+
+
 def sf_to_rows(sf: float) -> int:
     """Scale factor → pages rows (TESTDATA tiers: sf0.001→500, sf0.01→5k, sf0.1→50k)."""
     return max(1, int(round(sf * 500_000)))
@@ -841,17 +897,21 @@ def ensure_corpus(sf: float, seed: int = 42, root: str = "/tmp/hopr_corpus") -> 
     if os.path.exists(done):
         return d
     n = sf_to_rows(sf)
-    pages, golden = gen_corpus(n, seed)
     tmp = d + ".tmp"
-    os.makedirs(os.path.join(tmp, "pages"), exist_ok=True)
-    # shard pages so read_parquet parallelizes
-    n_shards = max(1, min(64, n // 250))
-    per = -(-pages.num_rows // n_shards)
-    for s in range(n_shards):
-        chunk = pages.slice(s * per, per)
-        if chunk.num_rows:
-            pq.write_table(chunk, os.path.join(tmp, "pages", f"part-{s:04d}.parquet"))
-    pq.write_table(golden, os.path.join(tmp, "golden.parquet"))
+    if n >= _STREAMED_GEN_MIN_ROWS:
+        # streamed: chunk-built, shard-written — memory-bounded at any sf
+        _gen_corpus_to_dir(n, seed, tmp)
+    else:
+        pages, golden = gen_corpus(n, seed)
+        os.makedirs(os.path.join(tmp, "pages"), exist_ok=True)
+        # shard pages so read_parquet parallelizes
+        n_shards = max(1, min(64, n // 250))
+        per = -(-pages.num_rows // n_shards)
+        for s in range(n_shards):
+            chunk = pages.slice(s * per, per)
+            if chunk.num_rows:
+                pq.write_table(chunk, os.path.join(tmp, "pages", f"part-{s:04d}.parquet"))
+        pq.write_table(golden, os.path.join(tmp, "golden.parquet"))
     with open(os.path.join(tmp, "_DONE"), "w") as f:
         f.write(f"n={n} seed={seed}\n")
     if not os.path.exists(done):

@@ -79,3 +79,34 @@ def test_reconstruction_counts_derivable_from_golden(corpus):
                 continue  # corrupt planted payload: no spans by design
             spans = golden.column("spans")[i].as_py()
             assert len(spans) > 0
+
+
+def test_streamed_generation_matches_in_memory(tmp_path):
+    """The streamed large-corpus writer must assemble byte-identical
+    rows to gen_corpus (chunked assembly keys off global indices)."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from horizon_ocr_python_ray.sources.synth import (
+        _gen_corpus_to_dir,
+        gen_corpus,
+    )
+
+    n = 2_500
+    pages_mem, golden_mem = gen_corpus(n, 42)
+    import horizon_ocr_python_ray.sources.synth as synth
+
+    old = synth._STREAM_CHUNK_ROWS
+    synth._STREAM_CHUNK_ROWS = 700  # several chunks even at test size
+    try:
+        _gen_corpus_to_dir(n, 42, str(tmp_path))
+    finally:
+        synth._STREAM_CHUNK_ROWS = old
+    parts = sorted(glob.glob(str(tmp_path / "pages" / "*.parquet")))
+    pages_st = pa.concat_tables([pq.read_table(p) for p in parts])
+    golden_st = pq.read_table(str(tmp_path / "golden.parquet"))
+    assert len(parts) == 4
+    assert pages_st.to_pydict() == pages_mem.to_pydict()
+    assert golden_st.to_pydict() == golden_mem.to_pydict()
