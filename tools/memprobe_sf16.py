@@ -7,13 +7,38 @@ scale. Usage: ``python tools/memprobe_sf16.py [sf]``."""
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+
+
+def _spill_evidence(session_dir: str) -> dict:
+    """Scrape object-store spill/restore counters from the raylet log
+    (the grpc-backed ``memory_summary`` API is unavailable in this
+    container — no ``grpc`` module). The raylet periodically logs
+    'Spilled N MiB, M objects' / 'Restored N MiB, M objects' lines;
+    absence of both means the pipeline never exceeded the store."""
+    out = {"spilled_lines": [], "restored_lines": []}
+    for path in glob.glob(os.path.join(session_dir, "logs", "raylet*.out")):
+        try:
+            with open(path, errors="replace") as f:
+                for line in f:
+                    if re.search(r"Spilled \d", line):
+                        out["spilled_lines"].append(line.strip()[-160:])
+                    elif re.search(r"Restored \d", line):
+                        out["restored_lines"].append(line.strip()[-160:])
+        except OSError:
+            pass
+    # keep only the LAST line of each (counters are cumulative)
+    out["spilled_lines"] = out["spilled_lines"][-2:]
+    out["restored_lines"] = out["restored_lines"][-2:]
+    return out
 
 
 def main() -> None:
@@ -38,24 +63,32 @@ def main() -> None:
     wall = time.monotonic() - t0
     stats = ds.stats()
 
-    # object-store / spill counters from the Ray memory summary
-    from ray._private.internal_api import memory_summary
-
-    msum = memory_summary(stats_only=True)
     import pyarrow.parquet as pq
 
     total = 0
+    n_files = 0
     for f in os.listdir(out_dir):
         if f.endswith(".parquet"):
             total += pq.read_metadata(os.path.join(out_dir, f)).num_rows
+            n_files += 1
+
+    session_dir = ray._private.worker._global_node.get_session_dir_path()
+    spill = _spill_evidence(session_dir)
+
+    # peak driver RSS + system-wide memory floor seen during the run
+    import resource
+
+    peak_rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+
     print(json.dumps({
         "sf": sf, "wall_s": round(wall, 1), "rows": total,
         "docs_per_sec": round(total / wall, 1),
+        "output_files": n_files,
+        "driver_peak_rss_mb": peak_rss_mb,
+        "spill": spill,
     }))
-    print("---- memory_summary ----")
-    print(msum)
     print("---- ds.stats() tail ----")
-    print("\n".join(stats.splitlines()[-30:]))
+    print("\n".join(stats.splitlines()[-40:]))
     shutil.rmtree(out_dir, ignore_errors=True)
     ray.shutdown()
 
