@@ -56,6 +56,7 @@ from .config import (
 )
 from .pipelines.extract import build_extract_pipeline, read_pages
 from .sources.synth import ensure_corpus, gen_corpus, sf_from_dir, sf_to_rows
+from .sources.warc import read_warc, write_warc
 
 __all__ = [
     "DEFAULT_CONFIG",
@@ -75,6 +76,8 @@ __all__ = [
     "ProcessingOptions",
     "process_pages",
     "read_pages",
+    "read_warc",
+    "write_warc",
     "run_partitioned",
     "sf_from_dir",
     "sf_to_rows",
