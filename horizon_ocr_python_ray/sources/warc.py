@@ -111,7 +111,12 @@ def record_bytes(url: str, ts_us: int, payload: bytes, content_type: str,
         b"WARC-Type: response",
         b"WARC-Record-ID: <urn:uuid:" + str(rec_id).encode("ascii") + b">",
         b"WARC-Date: " + _warc_date(ts_us).encode("ascii"),
-        b"WARC-Target-URI: " + url.encode("utf-8"),
+        # raw control chars are invalid in URLs and would be header
+        # injection here; percent-encode them (one-way — a VALID url
+        # round-trips unchanged)
+        b"WARC-Target-URI: " + "".join(
+            f"%{ord(c):02X}" if ord(c) < 0x20 else c
+            for c in url).encode("utf-8"),
     ]
     if lang and lang != "unknown":
         headers.append(b"WARC-Identified-Content-Language: "

@@ -119,3 +119,47 @@ def test_extraction_parity_with_parquet_read(corpus_dir, tmp_path):
     a = {r["url"]: r["extracted_text"] for r in via_warc}
     b = {r["url"]: r["extracted_text"] for r in sub}
     assert a == b and len(a) == 120
+
+
+# ---------------------------------------------------------------------------
+# property: arbitrary rows round-trip (pure parse kernel, no Ray)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_url = st.text(
+    alphabet=st.characters(min_codepoint=0x20, blacklist_characters="%",
+                           blacklist_categories=("Cs",)),  # no surrogates
+    min_size=1, max_size=60).map(lambda s: "https://h.example/" + s)
+_payload = st.one_of(
+    st.binary(min_size=0, max_size=300),
+    # adversarial: record markers and header text inside the body
+    st.just(b"WARC/1.0\r\nWARC-Type: response\r\n\r\nfake"),
+    st.just(b"HTTP/1.1 200 OK\r\n\r\nnested"),
+    st.just(b"\r\n\r\nContent-Length: 999\r\n\r\n"),
+)
+_row = st.tuples(
+    _url,
+    st.integers(min_value=0, max_value=4_102_444_800_000_000),  # ≤ 2100
+    _payload,
+    st.sampled_from(["en", "de", "fr", "unknown"]),
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_row, min_size=1, max_size=8),
+       st.booleans())
+def test_property_roundtrip_arbitrary_rows(rows, compress):
+    parts = [W.warcinfo_bytes(compress=compress)]
+    for url, ts, payload, lang in rows:
+        parts.append(W.record_bytes(
+            url, ts, payload, "application/octet-stream", lang,
+            compress=compress))
+    t = W.parse_warc_file_bytes(b"".join(parts))
+    assert t.num_rows == len(rows)
+    assert t.column("url").to_pylist() == [r[0] for r in rows]
+    assert t.column("warc_ts").cast(pa.int64()).to_pylist() == \
+        [r[1] for r in rows]
+    assert t.column("html").to_pylist() == [r[2] for r in rows]
+    assert t.column("lang").to_pylist() == [r[3] for r in rows]
