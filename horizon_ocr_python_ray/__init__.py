@@ -56,7 +56,7 @@ from .config import (
 )
 from .pipelines.extract import build_extract_pipeline, read_pages
 from .sources.synth import ensure_corpus, gen_corpus, sf_from_dir, sf_to_rows
-from .sources.warc import read_warc, write_warc
+from .sources.warc import read_warc, read_wet, write_warc, write_wet
 
 __all__ = [
     "DEFAULT_CONFIG",
@@ -77,7 +77,9 @@ __all__ = [
     "process_pages",
     "read_pages",
     "read_warc",
+    "read_wet",
     "write_warc",
+    "write_wet",
     "run_partitioned",
     "sf_from_dir",
     "sf_to_rows",

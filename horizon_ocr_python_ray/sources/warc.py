@@ -222,6 +222,111 @@ def write_warc(ds, out_dir: str):
                           batch_size=None)
 
 
+def conversion_record_bytes(url: str, ts_us: int, text: str,
+                            *, compress: bool = True) -> bytes:
+    """One ``WARC-Type: conversion`` record — the WET layout Common
+    Crawl uses for extracted plain text (no HTTP wrapper; body is the
+    UTF-8 text, ``Content-Type: text/plain``)."""
+    body = text.encode("utf-8")
+    rec_id = uuid.uuid5(uuid.NAMESPACE_URL, "wet:" + url)
+    headers = [
+        b"WARC/1.0",
+        b"WARC-Type: conversion",
+        b"WARC-Record-ID: <urn:uuid:" + str(rec_id).encode("ascii") + b">",
+        b"WARC-Date: " + _warc_date(ts_us).encode("ascii"),
+        b"WARC-Target-URI: " + "".join(
+            f"%{ord(c):02X}" if ord(c) < 0x20 else c
+            for c in url).encode("utf-8"),
+        b"Content-Type: text/plain",
+        b"Content-Length: " + str(len(body)).encode("ascii"),
+    ]
+    raw = _CRLF.join(headers) + _CRLF + _CRLF + body + _CRLF + _CRLF
+    if not compress:
+        return raw
+    co = zlib.compressobj(6, zlib.DEFLATED, 31)
+    return co.compress(raw) + co.flush()
+
+
+def write_wet(ds, out_dir: str, *, url_col: str = "url",
+              ts_col: str = "warc_ts", text_col: str = "extracted_text"):
+    """Distributed WET sink for extraction output: each block becomes
+    one ``.warc.wet.gz`` shard of conversion records (write-then-rename
+    + ``(path, records)`` manifest rows, as :func:`write_warc`). Feed
+    it the flagship pipeline's result Dataset directly."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "records": pa.array([], pa.int64())})
+        urls = t.column(url_col).to_pylist()
+        ts = t.column(ts_col).cast(pa.int64()).to_pylist()
+        texts = t.column(text_col).to_pylist()
+        name = f"shard-{uuid.uuid4().hex}.warc.wet.gz"
+        tmp = os.path.join(out_dir, "." + name + ".tmp")
+        final = os.path.join(out_dir, name)
+        with open(tmp, "wb") as f:
+            f.write(warcinfo_bytes())
+            for u, t_us, x in zip(urls, ts, texts):
+                f.write(conversion_record_bytes(u, t_us, x or ""))
+        os.replace(tmp, final)
+        return pa.table({"path": pa.array([final]),
+                         "records": pa.array([t.num_rows], pa.int64())})
+
+    return ds.map_batches(write_block, batch_format="pyarrow",
+                          batch_size=None)
+
+
+def read_wet(source: str | list[str]):
+    """Read WET (conversion-record) files back into
+    ``(url, warc_ts, text)`` — the verification twin of
+    :func:`write_wet`."""
+    import ray.data
+
+    if isinstance(source, str) and os.path.isdir(source):
+        paths = sorted(
+            os.path.join(source, f) for f in os.listdir(source)
+            if ".warc" in f and not f.startswith("."))
+    elif isinstance(source, str):
+        paths = [source]
+    else:
+        paths = list(source)
+    files = ray.data.read_binary_files(paths)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        urls, ts, texts = [], [], []
+        for b in batch.column("bytes"):
+            for raw in _iter_raw_records(b.as_py()):
+                rec = _parse_conversion(raw)
+                if rec is not None:
+                    urls.append(rec[0])
+                    ts.append(rec[1])
+                    texts.append(rec[2])
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+            "text": pa.array(texts, pa.string()),
+        })
+
+    return files.map_batches(parse, batch_format="pyarrow")
+
+
+def _parse_conversion(raw: bytes):
+    hdr_end = raw.find(_CRLF + _CRLF)
+    if hdr_end < 0:
+        return None
+    fields: dict[bytes, bytes] = {}
+    for line in raw[:hdr_end].split(_CRLF)[1:]:
+        k, _, v = line.partition(b":")
+        fields[k.strip().lower()] = v.strip()
+    if fields.get(b"warc-type", b"") != b"conversion":
+        return None
+    url = fields.get(b"warc-target-uri", b"").decode("utf-8", "replace")
+    ts_us = _parse_warc_date(
+        fields.get(b"warc-date", b"1970-01-01T00:00:00Z").decode("ascii"))
+    return url, ts_us, raw[hdr_end + 4:].decode("utf-8", "replace")
+
+
 # --------------------------------------------------------------------------
 # record decode
 # --------------------------------------------------------------------------
