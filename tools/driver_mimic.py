@@ -25,6 +25,13 @@ def to_pandas(res) -> pd.DataFrame:
         df = res
     else:
         df = res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
+    if df.shape[1] == 0 and hasattr(res, "schema"):
+        # Ray quirk: Dataset.to_pandas() drops the columns of an
+        # all-empty result even though Dataset.schema() knows them
+        sch = res.schema()
+        if sch is not None:
+            df = pd.DataFrame({n: pd.Series(dtype="object")
+                               for n in sch.names})
     return df
 
 

@@ -57,8 +57,10 @@ sys.path.insert(0, REPO)
 
 EXPECTED_PATH = os.path.join(REPO, "data", "reocr_expected.json")
 
-#: Driver-compare corpus tiers: sf0.001 → 500 pages rows, sf0.01 → 5000.
-SFS = (0.001, 0.01)
+#: Driver-compare corpus tiers: sf0.001 → 500 pages rows, sf0.01 → 5000,
+#: sf0.1 → 50000 (the bench scale, so off-driver sf0.1 differentials
+#: also have an oracle row set).
+SFS = (0.001, 0.01, 0.1)
 
 # -- spec constants (reference ReOCRConfig, targeted_reocr.py:44-77) --------
 THRESH = 0.70          # first-pass confidence below this is re-OCR'd
