@@ -293,20 +293,31 @@ def read_wet(source: str | list[str]):
         paths = list(source)
     files = ray.data.read_binary_files(paths)
 
-    def parse(batch: pa.Table) -> pa.Table:
-        urls, ts, texts = [], [], []
-        for b in batch.column("bytes"):
-            for raw in _iter_raw_records(b.as_py()):
-                rec = _parse_conversion(raw)
-                if rec is not None:
-                    urls.append(rec[0])
-                    ts.append(rec[1])
-                    texts.append(rec[2])
+    def wet_table(urls, ts, texts) -> pa.Table:
         return pa.table({
             "url": pa.array(urls, pa.string()),
             "warc_ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
             "text": pa.array(texts, pa.string()),
         })
+
+    def parse(batch: pa.Table):
+        # chunked generator, as read_warc's parse
+        urls, ts, texts = [], [], []
+        any_rows = False
+        for b in batch.column("bytes"):
+            for raw in _iter_raw_records(b.as_py()):
+                rec = _parse_conversion(raw)
+                if rec is None:
+                    continue
+                urls.append(rec[0])
+                ts.append(rec[1])
+                texts.append(rec[2])
+                if len(urls) >= PARSE_CHUNK_ROWS:
+                    any_rows = True
+                    yield wet_table(urls, ts, texts)
+                    urls, ts, texts = [], [], []
+        if urls or not any_rows:
+            yield wet_table(urls, ts, texts)
 
     return files.map_batches(parse, batch_format="pyarrow")
 
@@ -412,9 +423,27 @@ def _parse_record(raw: bytes):
             ctype.decode("ascii", "replace"), payload)
 
 
-def parse_warc_file_bytes(buf: bytes) -> pa.Table:
-    """Whole-file parse → pages-shaped Arrow table (the per-read-task
-    kernel behind :func:`read_warc`)."""
+#: Rows per Arrow table yielded by the streaming file parse — bounds a
+#: read task's record-accumulation heap by chunk, not by file size
+#: (the gzip-member iterator is already incremental, so peak heap is
+#: compressed-file bytes + one chunk of decoded records).
+PARSE_CHUNK_ROWS = 4096
+
+
+def _rows_to_table(urls, ts, htmls, texts, langs) -> pa.Table:
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+        "html": pa.array(htmls, pa.binary()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+    })
+
+
+def iter_warc_file_tables(buf: bytes, chunk_rows: int = PARSE_CHUNK_ROWS):
+    """Stream-parse one WARC file's bytes → pages-shaped Arrow tables of
+    ≤ ``chunk_rows`` rows each. Record iteration is member-by-member,
+    so only one chunk of decoded records is ever held."""
     urls: list[str] = []
     ts: list[int] = []
     htmls: list[bytes | None] = []
@@ -434,13 +463,21 @@ def parse_warc_file_bytes(buf: bytes) -> pa.Table:
             htmls.append(payload)
             texts.append("")
         langs.append(lang)
-    return pa.table({
-        "url": pa.array(urls, pa.string()),
-        "warc_ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
-        "html": pa.array(htmls, pa.binary()),
-        "text": pa.array(texts, pa.string()),
-        "lang": pa.array(langs, pa.string()),
-    })
+        if len(urls) >= chunk_rows:
+            yield _rows_to_table(urls, ts, htmls, texts, langs)
+            urls, ts, htmls, texts, langs = [], [], [], [], []
+    if urls:
+        yield _rows_to_table(urls, ts, htmls, texts, langs)
+
+
+def parse_warc_file_bytes(buf: bytes) -> pa.Table:
+    """Whole-file parse → one pages-shaped Arrow table (test/fixture
+    surface; the Ray read path streams via
+    :func:`iter_warc_file_tables`)."""
+    tables = list(iter_warc_file_tables(buf))
+    if not tables:
+        return _rows_to_table([], [], [], [], [])
+    return pa.concat_tables(tables)
 
 
 def read_warc(source: str | list[str]):
@@ -463,11 +500,16 @@ def read_warc(source: str | list[str]):
         paths = list(source)
     files = ray.data.read_binary_files(paths)
 
-    def parse(batch: pa.Table) -> pa.Table:
-        tables = [parse_warc_file_bytes(b.as_py())
-                  for b in batch.column("bytes")]
-        tables = [t for t in tables if t.num_rows] or [
-            parse_warc_file_bytes(b"")]
-        return pa.concat_tables(tables)
+    def parse(batch: pa.Table):
+        # generator UDF: yield bounded chunks so a task's heap is
+        # O(compressed file + PARSE_CHUNK_ROWS records), not O(file
+        # decompressed) — CC files are ~1 GB gz / 3-5 GB inflated
+        any_rows = False
+        for b in batch.column("bytes"):
+            for t in iter_warc_file_tables(b.as_py()):
+                any_rows = True
+                yield t
+        if not any_rows:
+            yield _rows_to_table([], [], [], [], [])
 
     return files.map_batches(parse, batch_format="pyarrow")

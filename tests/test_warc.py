@@ -190,3 +190,15 @@ def test_wet_sink_roundtrip(corpus_dir, tmp_path):
     got = {r["url"]: (r["warc_ts"], r["text"])
            for r in W.read_wet(wet_dir).take_all()}
     assert got == want and len(got) == 80
+
+
+def test_streaming_parse_chunks(pages_table):
+    """iter_warc_file_tables yields bounded chunks whose concatenation
+    equals the whole-file parse."""
+    buf = W.table_to_warc_bytes(pages_table.slice(0, 100))
+    chunks = list(W.iter_warc_file_tables(buf, chunk_rows=16))
+    assert all(t.num_rows <= 16 for t in chunks)
+    assert len(chunks) == -(-100 // 16)
+    whole = W.parse_warc_file_bytes(buf)
+    assert pa.concat_tables(chunks).equals(whole)
+    assert whole.num_rows == 100
