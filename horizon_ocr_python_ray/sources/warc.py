@@ -71,6 +71,20 @@ PAGES_SCHEMA = pa.schema([
 # record encode
 # --------------------------------------------------------------------------
 
+def _gzip_member(raw: bytes) -> bytes:
+    """Compress one record as its own gzip member (the CC framing)."""
+    co = zlib.compressobj(6, zlib.DEFLATED, 31)  # 31 → gzip wrapper
+    return co.compress(raw) + co.flush()
+
+
+def _encode_uri(url: str) -> bytes:
+    """Raw control chars are invalid in URLs and would be header
+    injection; percent-encode them (one-way — a VALID url round-trips
+    unchanged)."""
+    return "".join(f"%{ord(c):02X}" if ord(c) < 0x20 else c
+                   for c in url).encode("utf-8")
+
+
 def _sniff_content_type(payload: bytes) -> str:
     if payload[:5] == b"%PDF-":
         return "application/pdf"
@@ -111,12 +125,7 @@ def record_bytes(url: str, ts_us: int, payload: bytes, content_type: str,
         b"WARC-Type: response",
         b"WARC-Record-ID: <urn:uuid:" + str(rec_id).encode("ascii") + b">",
         b"WARC-Date: " + _warc_date(ts_us).encode("ascii"),
-        # raw control chars are invalid in URLs and would be header
-        # injection here; percent-encode them (one-way — a VALID url
-        # round-trips unchanged)
-        b"WARC-Target-URI: " + "".join(
-            f"%{ord(c):02X}" if ord(c) < 0x20 else c
-            for c in url).encode("utf-8"),
+        b"WARC-Target-URI: " + _encode_uri(url),
     ]
     if lang and lang != "unknown":
         headers.append(b"WARC-Identified-Content-Language: "
@@ -126,10 +135,7 @@ def record_bytes(url: str, ts_us: int, payload: bytes, content_type: str,
         b"Content-Length: " + str(len(http)).encode("ascii"),
     ]
     raw = _CRLF.join(headers) + _CRLF + _CRLF + http + _CRLF + _CRLF
-    if not compress:
-        return raw
-    co = zlib.compressobj(6, zlib.DEFLATED, 31)  # 31 → gzip member
-    return co.compress(raw) + co.flush()
+    return _gzip_member(raw) if compress else raw
 
 
 def warcinfo_bytes(*, compress: bool = True) -> bytes:
@@ -146,10 +152,7 @@ def warcinfo_bytes(*, compress: bool = True) -> bytes:
         b"Content-Length: " + str(len(body)).encode("ascii"),
     ]
     raw = _CRLF.join(headers) + _CRLF + _CRLF + body + _CRLF + _CRLF
-    if not compress:
-        return raw
-    co = zlib.compressobj(6, zlib.DEFLATED, 31)
-    return co.compress(raw) + co.flush()
+    return _gzip_member(raw) if compress else raw
 
 
 def _row_record(url: str, ts_us: int, html: bytes | None, text: str | None,
@@ -196,24 +199,49 @@ def write_warc_dir(table: pa.Table, out_dir: str, rows_per_shard: int = 200,
     return paths
 
 
+def _shard_name(t: pa.Table, suffix: str) -> str:
+    """Deterministic, content-derived shard name: a Ray task RETRY (or a
+    second execution of the lazy plan) re-writes the SAME path via
+    ``os.replace`` instead of leaving a duplicate shard — the same
+    idempotence the parquet checkpoint sink gets from per-partition
+    paths. Derived from the block's url bounds + row count, which
+    identify a block of a deterministic pipeline."""
+    import hashlib
+
+    urls = t.column("url")
+    key = (str(urls[0]) + "\x1f" + str(urls[len(urls) - 1]) + "\x1f"
+           + str(t.num_rows))
+    return f"shard-{hashlib.md5(key.encode('utf-8')).hexdigest()}{suffix}"
+
+
+def _commit_shard(out_dir: str, name: str, payload: bytes) -> str:
+    """Write-then-rename into ``out_dir`` (created here, IN the task —
+    on a multi-node cluster the driver's mkdir ran on another node).
+    The tmp name carries a uuid so two concurrent attempts never
+    interleave writes; the final name is the deterministic one."""
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = os.path.join(out_dir, f".{name}.{uuid.uuid4().hex}.tmp")
+    final = os.path.join(out_dir, name)
+    with open(tmp, "wb") as f:
+        f.write(payload)
+    os.replace(tmp, final)
+    return final
+
+
 def write_warc(ds, out_dir: str):
     """Distributed WARC sink: each task writes ITS block as one
     ``.warc.gz`` shard (write-then-rename, so a killed run leaves no
-    half shard) and emits a ``(path, records)`` manifest row. Returns
+    half shard; content-derived names, so retries overwrite instead of
+    duplicating) and emits a ``(path, records)`` manifest row. Returns
     the manifest as a small Dataset — materialize it to commit, the
     same pattern as the parquet checkpoint sink."""
-    os.makedirs(out_dir, exist_ok=True)
 
     def write_block(t: pa.Table) -> pa.Table:
         if not t.num_rows:
             return pa.table({"path": pa.array([], pa.string()),
                              "records": pa.array([], pa.int64())})
-        name = f"shard-{uuid.uuid4().hex}.warc.gz"
-        tmp = os.path.join(out_dir, "." + name + ".tmp")
-        final = os.path.join(out_dir, name)
-        with open(tmp, "wb") as f:
-            f.write(table_to_warc_bytes(t))
-        os.replace(tmp, final)
+        final = _commit_shard(out_dir, _shard_name(t, ".warc.gz"),
+                              table_to_warc_bytes(t))
         return pa.table({"path": pa.array([final]),
                          "records": pa.array([t.num_rows], pa.int64())})
 
@@ -234,17 +262,12 @@ def conversion_record_bytes(url: str, ts_us: int, text: str,
         b"WARC-Type: conversion",
         b"WARC-Record-ID: <urn:uuid:" + str(rec_id).encode("ascii") + b">",
         b"WARC-Date: " + _warc_date(ts_us).encode("ascii"),
-        b"WARC-Target-URI: " + "".join(
-            f"%{ord(c):02X}" if ord(c) < 0x20 else c
-            for c in url).encode("utf-8"),
+        b"WARC-Target-URI: " + _encode_uri(url),
         b"Content-Type: text/plain",
         b"Content-Length: " + str(len(body)).encode("ascii"),
     ]
     raw = _CRLF.join(headers) + _CRLF + _CRLF + body + _CRLF + _CRLF
-    if not compress:
-        return raw
-    co = zlib.compressobj(6, zlib.DEFLATED, 31)
-    return co.compress(raw) + co.flush()
+    return _gzip_member(raw) if compress else raw
 
 
 def write_wet(ds, out_dir: str, *, url_col: str = "url",
@@ -253,7 +276,6 @@ def write_wet(ds, out_dir: str, *, url_col: str = "url",
     one ``.warc.wet.gz`` shard of conversion records (write-then-rename
     + ``(path, records)`` manifest rows, as :func:`write_warc`). Feed
     it the flagship pipeline's result Dataset directly."""
-    os.makedirs(out_dir, exist_ok=True)
 
     def write_block(t: pa.Table) -> pa.Table:
         if not t.num_rows:
@@ -262,19 +284,30 @@ def write_wet(ds, out_dir: str, *, url_col: str = "url",
         urls = t.column(url_col).to_pylist()
         ts = t.column(ts_col).cast(pa.int64()).to_pylist()
         texts = t.column(text_col).to_pylist()
-        name = f"shard-{uuid.uuid4().hex}.warc.wet.gz"
-        tmp = os.path.join(out_dir, "." + name + ".tmp")
-        final = os.path.join(out_dir, name)
-        with open(tmp, "wb") as f:
-            f.write(warcinfo_bytes())
-            for u, t_us, x in zip(urls, ts, texts):
-                f.write(conversion_record_bytes(u, t_us, x or ""))
-        os.replace(tmp, final)
+        parts = [warcinfo_bytes()]
+        parts += [conversion_record_bytes(u, t_us, x or "")
+                  for u, t_us, x in zip(urls, ts, texts)]
+        key = t.select([url_col]).rename_columns(["url"])
+        final = _commit_shard(out_dir, _shard_name(key, ".warc.wet.gz"),
+                              b"".join(parts))
         return pa.table({"path": pa.array([final]),
                          "records": pa.array([t.num_rows], pa.int64())})
 
     return ds.map_batches(write_block, batch_format="pyarrow",
                           batch_size=None)
+
+
+def _resolve_paths(source: str | list[str]) -> list[str]:
+    """A ``.warc``/``.warc.gz`` file, a list of them, or a directory
+    (scanned non-recursively) → sorted path list. Shared by both
+    readers so the filename filter can't drift between them."""
+    if isinstance(source, str) and os.path.isdir(source):
+        return sorted(
+            os.path.join(source, f) for f in os.listdir(source)
+            if ".warc" in f and not f.startswith("."))
+    if isinstance(source, str):
+        return [source]
+    return list(source)
 
 
 def read_wet(source: str | list[str]):
@@ -283,14 +316,12 @@ def read_wet(source: str | list[str]):
     :func:`write_wet`."""
     import ray.data
 
-    if isinstance(source, str) and os.path.isdir(source):
-        paths = sorted(
-            os.path.join(source, f) for f in os.listdir(source)
-            if ".warc" in f and not f.startswith("."))
-    elif isinstance(source, str):
-        paths = [source]
-    else:
-        paths = list(source)
+    paths = _resolve_paths(source)
+    if not paths:  # empty sink output → empty dataset, not a read error
+        return ray.data.from_arrow(pa.table({
+            "url": pa.array([], pa.string()),
+            "warc_ts": pa.array([], pa.timestamp("us")),
+            "text": pa.array([], pa.string())}))
     files = ray.data.read_binary_files(paths)
 
     def wet_table(urls, ts, texts) -> pa.Table:
@@ -342,27 +373,43 @@ def _parse_conversion(raw: bytes):
 # record decode
 # --------------------------------------------------------------------------
 
+#: Input feed size for the incremental gzip-member scan. One member is
+#: decompressed from fixed-size memoryview windows — never a copy of
+#: the whole remaining file — so the scan is O(file), not
+#: O(members × file) memcpy.
+_INFLATE_CHUNK = 1 << 20
+
+
 def _iter_raw_records(buf: bytes):
     """Yield decompressed record byte-blocks from a WARC file buffer —
     per-member gzip framing (the Common-Crawl layout), or a plain
-    concatenated ``.warc`` when the gzip magic is absent."""
+    concatenated ``.warc`` when the gzip magic is absent. A corrupt or
+    truncated tail stops the scan after the last good member instead of
+    failing the records already parsed."""
     if buf[:2] != _GZ_MAGIC:
         # plain: split on record boundaries lazily via header scan
         yield from _split_plain_records(buf)
         return
+    view = memoryview(buf)
     pos = 0
     n = len(buf)
     while pos < n:
+        if view[pos:pos + 2] != _GZ_MAGIC:
+            break  # trailing garbage after the last member
         d = zlib.decompressobj(31)
-        chunk = d.decompress(buf[pos:])
-        chunk += d.flush()
-        rest = d.unused_data
-        consumed = (n - pos) - len(rest)
-        if consumed <= 0:
-            break  # trailing garbage / truncated member
-        pos += consumed
+        out: list[bytes] = []
+        try:
+            while not d.eof and pos < n:
+                window = view[pos:pos + _INFLATE_CHUNK]
+                out.append(d.decompress(window))
+                # on member end, unused_data is the tail OF THIS WINDOW
+                pos += len(window) - len(d.unused_data)
+        except zlib.error:
+            break  # corrupt member: keep everything before it
+        if not d.eof:
+            break  # truncated final member
         # one member MAY hold several records (non-CC writers)
-        yield from _split_plain_records(chunk)
+        yield from _split_plain_records(b"".join(out))
 
 
 def _split_plain_records(buf: bytes):
@@ -490,14 +537,9 @@ def read_warc(source: str | list[str]):
     directory (scanned non-recursively for ``*.warc*``)."""
     import ray.data
 
-    if isinstance(source, str) and os.path.isdir(source):
-        paths = sorted(
-            os.path.join(source, f) for f in os.listdir(source)
-            if ".warc" in f and not f.startswith("."))
-    elif isinstance(source, str):
-        paths = [source]
-    else:
-        paths = list(source)
+    paths = _resolve_paths(source)
+    if not paths:  # empty sink output → empty dataset, not a read error
+        return ray.data.from_arrow(_rows_to_table([], [], [], [], []))
     files = ray.data.read_binary_files(paths)
 
     def parse(batch: pa.Table):

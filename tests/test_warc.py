@@ -202,3 +202,37 @@ def test_streaming_parse_chunks(pages_table):
     whole = W.parse_warc_file_bytes(buf)
     assert pa.concat_tables(chunks).equals(whole)
     assert whole.num_rows == 100
+
+
+def test_corrupt_tail_keeps_parsed_records(pages_table):
+    """Garbage or a truncated member after valid members stops the scan
+    gracefully — earlier records survive instead of the task failing."""
+    small = pages_table.slice(0, 6)
+    buf = W.table_to_warc_bytes(small, leader=False)
+    assert W.parse_warc_file_bytes(buf + b"\x00garbage\xff" * 8).num_rows == 6
+    # cut INSIDE the final member: everything before it still parses
+    assert W.parse_warc_file_bytes(buf[:-20]).num_rows == 5
+
+
+def test_sink_is_idempotent_under_reexecution(pages_table, tmp_path):
+    """Shard names are content-derived, so re-running the sink (a task
+    retry / second plan execution) overwrites rather than duplicates."""
+    import ray.data
+
+    out = str(tmp_path / "sink")
+    for _ in range(2):  # same input written twice
+        ds = ray.data.from_arrow(pages_table).repartition(4)
+        W.write_warc(ds, out).take_all()
+    shards = [f for f in os.listdir(out) if f.endswith(".warc.gz")]
+    assert len(shards) == 4  # not 8
+    assert W.read_warc(out).count() == pages_table.num_rows
+
+
+def test_read_empty_dir_returns_empty_dataset(tmp_path):
+    d = str(tmp_path / "none")
+    os.makedirs(d)
+    got = W.read_warc(d)
+    assert got.count() == 0
+    assert set(got.schema().names) == {"url", "warc_ts", "html", "text", "lang"}
+    wet = W.read_wet(d)
+    assert wet.count() == 0
